@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry()      — flagship KG triple extraction on sf0.001.
+queries()    — one entry per implemented operator (see SURVEY.md §2 and
+               nlp_lib_spark/gate.py).
+oracle_sql() — DuckDB oracle per query where SQL-expressible; the
+               NLP-kernel queries (gazetteer scan, rule engine) are
+               pytest-oracled instead and ship rows-only here.
 """
 
 from __future__ import annotations
@@ -13,26 +14,21 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nlp_lib_spark.gate import ORACLES, QUERIES
+from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+from nlp_lib_spark.operators.extract import extract_triples
+from nlp_lib_spark.operators.transcripts import transcripts
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: transcripts -> (subj, pred, obj) triples."""
+    t = transcripts(spark, "/root/testdata/sf0.001")
+    return extract_triples(t, TESTDATA_CONFIG)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

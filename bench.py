@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "turns_per_sec": N, ...}
+
+Set SPARK_GRAFT_SCALING=1 to additionally run the flagship extraction at
+local[8] and local[32] on the same input and report throughput at both plus
+scaling efficiency (the sandbox evidence for the N->4N executor criterion;
+see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from nlp_lib_spark.gate import QUERIES  # noqa: E402
+from nlp_lib_spark.lexicons import TESTDATA_CONFIG  # noqa: E402
+from nlp_lib_spark.operators.extract import extract_triples  # noqa: E402
+from nlp_lib_spark.operators.transcripts import transcripts  # noqa: E402
+from nlp_lib_spark.session import get_spark  # noqa: E402
+
+HEADLINE = (
+    "kg_triples",          # flagship: full annotate->extract chain
+    "kg_mentions",         # staged annotation + mention explode
+    "kg_token_stats",      # JVM-side regex token/sentence stats
+    "minhash_lsh_pairs",   # MinHash+LSH near-dup candidate pairs
+    "dedup_exact",         # exact dedup by content hash
+    "ann_topk",            # brute-force cosine top-k
+    "doc_quality",         # text quality scoring
+    "tpch_q1",             # relational aggregate baseline
+)
+
+
+def _materialize(df) -> int:
+    # noop sink forces full computation without collecting to the driver
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def run_suite(sf_dir: str, cpus: int) -> dict:
+    spark = get_spark(app="nlp_lib_spark-bench", cpus=cpus)
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.time() - t0, 3)
+    # flagship throughput: turns/sec over the transcripts table
+    t = transcripts(spark, sf_dir)
+    n_turns = t.count()
+    t0 = time.time()
+    _materialize(extract_triples(t, TESTDATA_CONFIG))
+    flagship_sec = time.time() - t0
+    spark.stop()
+    return {"timings": timings, "n_turns": n_turns,
+            "flagship_sec": flagship_sec,
+            "turns_per_sec": round(n_turns / max(1e-9, flagship_sec), 1)}
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, same input, two parallelism levels (local[8] vs local[32])."""
+    out = {}
+    for cpus in (8, 32):
+        spark = get_spark(app=f"nlp_lib_spark-scale-{cpus}", cpus=cpus)
+        t = transcripts(spark, sf_dir)
+        n = t.count()
+        t0 = time.time()
+        _materialize(extract_triples(t, TESTDATA_CONFIG))
+        sec = time.time() - t0
+        out[f"local{cpus}"] = {"sec": round(sec, 3),
+                               "turns_per_sec": round(n / sec, 1)}
+        spark.stop()
+    eff = (out["local32"]["turns_per_sec"]
+           / out["local8"]["turns_per_sec"]) / 4.0
+    out["efficiency_8_to_32"] = round(eff, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    res = run_suite(sf_dir, cpus)
+    payload = {
+        "metric": "headline_suite_total",
+        "value": round(sum(res["timings"].values()), 3),
+        "unit": "sec",
+        "queries": res["timings"],
+        "sf": sf,
+        "n_turns": res["n_turns"],
+        "turns_per_sec": res["turns_per_sec"],
+    }
+    if os.environ.get("SPARK_GRAFT_SCALING"):
+        payload["scaling"] = run_scaling(sf_dir)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

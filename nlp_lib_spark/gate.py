@@ -1,0 +1,402 @@
+"""Driver-gate query registry: Spark queries + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 gets an entry here; the driver
+runs the Spark side and the DuckDB oracle side-by-side at sf=0.01 and
+compares row-count + schema + order-insensitive value hash. Aliases match
+on both sides by construction. Queries whose semantics are not reasonably
+SQL-expressible (the sequential gazetteer scan, the rule engine) ship
+without an oracle and get the driver's rows-only check; their correctness
+gate is the pytest oracle parity suite instead.
+
+Float discipline: every double output is rounded (4dp for ratios/sims, 2dp
+for money) so cross-engine summation-order noise cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+from nlp_lib_spark.operators.extract import (annotate_turns, extract_triples,
+                                             mentions_from_annotations)
+from nlp_lib_spark.operators.transcripts import (transcripts,
+                                                 transcripts_select_sql)
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+# Spark regexes are Java-flavoured but these two are RE2-compatible, so the
+# same pattern strings work in DuckDB oracles (kernels/text.py mirrors them).
+SENT_PAT = "[^.!?]+[.!?]+|[^.!?]+$"
+TOK_PAT = r"\w+(?:[-/']\w+)*|[^\w\s]"
+# Spark SQL literals process backslash escapes (so double them); DuckDB does
+# not. Single quotes double in both dialects.
+TOK_PAT_SPARK = TOK_PAT.replace("\\", "\\\\").replace("'", "''")
+TOK_PAT_DUCK = TOK_PAT.replace("'", "''")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def gate(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def shared_sql(name: str, sql: str) -> None:
+    """Register a query whose SQL text is valid in BOTH dialects."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    QUERIES[name] = fn
+    ORACLES[name] = sql
+
+
+# --------------------------------------------------------------------------
+# KG pipeline over the derived transcripts table
+# --------------------------------------------------------------------------
+
+_DUCK_TRANSCRIPTS = transcripts_select_sql("documents", "duckdb", with_ts=False)
+
+
+@gate("kg_transcripts", oracle=_DUCK_TRANSCRIPTS)
+def q_kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return transcripts(spark, sf_dir, with_ts=False)
+
+
+@gate("kg_sentences", oracle=f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT conv_id, turn_idx,
+       generate_subscripts(regexp_extract_all(text, '{SENT_PAT}'), 1) - 1 AS sent_id,
+       trim(unnest(regexp_extract_all(text, '{SENT_PAT}'))) AS sentence
+FROM t
+""")
+def q_kg_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    transcripts(spark, sf_dir, with_ts=False).createOrReplaceTempView("__t")
+    return spark.sql(f"""
+SELECT conv_id, turn_idx, pos AS sent_id, trim(s) AS sentence
+FROM __t LATERAL VIEW posexplode(regexp_extract_all(text, '{SENT_PAT}', 0)) AS pos, s
+""")
+
+
+@gate("kg_token_stats", oracle=f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT conv_id, turn_idx,
+       len(regexp_extract_all(text, '{TOK_PAT_DUCK}')) AS n_tokens,
+       len(regexp_extract_all(text, '[.!?]+')) AS n_sentences
+FROM t
+""")
+def q_kg_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    transcripts(spark, sf_dir, with_ts=False).createOrReplaceTempView("__t")
+    return spark.sql(f"""
+SELECT conv_id, turn_idx,
+       size(regexp_extract_all(text, '{TOK_PAT_SPARK}', 0)) AS n_tokens,
+       size(regexp_extract_all(text, '[.!?]+', 0)) AS n_sentences
+FROM __t
+""")
+
+
+@gate("kg_mentions")  # sequential gazetteer scan — pytest-oracled, rows-only here
+def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir, with_ts=False)
+    ann = annotate_turns(t, TESTDATA_CONFIG)
+    return mentions_from_annotations(ann)
+
+
+@gate("kg_triples")  # rule engine — pytest-oracled, rows-only here
+def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return extract_triples(t, TESTDATA_CONFIG)
+
+
+@gate("kg_triple_counts")  # aggregation over rule output — rows-only
+def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return (extract_triples(t, TESTDATA_CONFIG)
+            .groupBy("pred").count().orderBy(F.desc("count"), "pred"))
+
+
+# --------------------------------------------------------------------------
+# Text-analysis / training-data ops over `documents`
+# --------------------------------------------------------------------------
+
+@gate("doc_quality", oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       round(len(replace(text, ' ', '')) * 1.0 / len(string_split(text, ' ')), 4) AS mean_tok_len,
+       round(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+             / len(string_split(text, ' ')), 4) AS stop_ratio
+FROM documents
+""")
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT doc_id,
+       size(split(text, ' ')) AS n_tokens,
+       CAST(round(length(replace(text, ' ', '')) * 1.0 / size(split(text, ' ')), 4) AS DOUBLE) AS mean_tok_len,
+       CAST(round(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
+             / size(split(text, ' ')), 4) AS DOUBLE) AS stop_ratio
+FROM documents
+""")
+
+
+_LANG_STOPS = {
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "los", "las", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est"),
+}
+
+
+def _lang_scores_sql(filter_fn: str, len_fn: str, split_fn: str) -> str:
+    parts = [f"{len_fn}({filter_fn}({split_fn}(text, ' '), x -> x IN ('the', 'a', 'is', 'of'))) AS s_en"]
+    for lang, stops in _LANG_STOPS.items():
+        lst = ", ".join(f"'{s}'" for s in stops)
+        parts.append(f"{len_fn}({filter_fn}({split_fn}(text, ' '), x -> x IN ({lst}))) AS s_{lang}")
+    return ",\n       ".join(parts)
+
+
+@gate("doc_lang_id", oracle=f"""
+WITH s AS (
+  SELECT doc_id,
+         {_lang_scores_sql('list_filter', 'len', 'string_split')}
+  FROM documents
+)
+SELECT doc_id, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > s_en THEN 'fr'
+            ELSE 'en' END AS lang_guess
+FROM s
+""")
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH s AS (
+  SELECT doc_id,
+         {_lang_scores_sql('filter', 'size', 'split')}
+  FROM documents
+)
+SELECT doc_id, s_en, s_de, s_es, s_fr,
+       CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
+            WHEN s_fr > s_en THEN 'fr'
+            ELSE 'en' END AS lang_guess
+FROM s
+""")
+
+
+@gate("dedup_exact", oracle="""
+SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(lower(text))
+""")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(lower(text))
+""")
+
+
+@gate("doc_fingerprint", oracle="""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
+FROM documents
+""")
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT doc_id,
+       md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS bag_fp
+FROM documents
+""")
+
+
+# ---- MinHash + LSH near-dup (md5-based hash family, engine-portable) ----
+
+_N_HASHES = 8
+
+
+def _minhash_cols(dialect: str) -> str:
+    # 3-token shingles; minhash_h = min over shingles of md5("h|" + shingle)
+    if dialect == "spark":
+        sh = "transform(sequence(1, greatest(1, size(split(text,' ')) - 2)), i -> array_join(slice(split(text,' '), i, 3), ' '))"
+        tmpl = "array_min(transform({sh}, s -> md5('{h}|' || s))) AS mh{h}"
+    else:
+        sh = "list_transform(range(1, greatest(2, len(string_split(text,' ')) - 1)), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
+        tmpl = "list_min(list_transform({sh}, s -> md5('{h}|' || s))) AS mh{h}"
+    return ",\n       ".join(tmpl.format(sh=sh, h=h) for h in range(_N_HASHES))
+
+
+@gate("minhash_signatures", oracle=f"""
+SELECT doc_id,
+       {_minhash_cols('duckdb')}
+FROM documents
+""")
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+SELECT doc_id,
+       {_minhash_cols('spark')}
+FROM documents
+""")
+
+
+def _band_sql(table: str, dialect: str) -> str:
+    bands = []
+    for b in range(_N_HASHES // 2):
+        bands.append(f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || mh{2*b+1}) AS band_val FROM {table}")
+    return " UNION ALL ".join(bands)
+
+
+@gate("minhash_lsh_pairs", oracle=f"""
+WITH sig AS (
+  SELECT doc_id, {_minhash_cols('duckdb')} FROM documents
+), bands AS ({_band_sql('sig', 'duckdb')})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+""")
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale shape: ONE pass computes signatures, bands explode row-locally,
+    # and candidate pairs are generated inside each LSH bucket (groupBy band
+    # -> sorted id list -> pair explode). No self-join: a self-join would
+    # recompute the signature subtree on both sides (Spark inlines CTEs)
+    # and shuffle the full band table twice.
+    from pyspark.sql import functions as F
+    register_views(spark, sf_dir)
+    sig = spark.sql(f"SELECT doc_id, {_minhash_cols('spark')} FROM documents")
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_val', md5(mh{2*b} || mh{2*b+1}))"
+        for b in range(_N_HASHES // 2))
+    bands = sig.select(
+        "doc_id", F.expr(f"explode(array({band_structs}))").alias("b")
+    ).select("doc_id", "b.band_idx", "b.band_val")
+    buckets = (bands.groupBy("band_idx", "band_val")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# ---- embedding similarity search (brute-force cosine top-k baseline) ----
+
+@gate("ann_topk", oracle="""
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.embedding, e.embedding), 4) AS sim
+  FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+""")
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH e2 AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb FROM embeddings),
+q AS (SELECT vec_id, emb FROM e2 WHERE vec_id < 10),
+sims AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         round(
+           aggregate(zip_with(q.emb, e.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
+           / (sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
+              * sqrt(aggregate(e.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
+  FROM q JOIN e2 e ON e.vec_id <> q.vec_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+""")
+
+
+# --------------------------------------------------------------------------
+# Relational analogues (SURVEY.md §2.8) — SQL shared verbatim across engines
+# --------------------------------------------------------------------------
+
+shared_sql("tpch_q1", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+
+shared_sql("top_event_types", """
+SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type ORDER BY n DESC, event_type LIMIT 5
+""")
+
+shared_sql("cust_nation_rev", """
+SELECT n.n_name AS nation, count(*) AS n_orders,
+       round(sum(o.o_totalprice), 2) AS revenue
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""")
+
+shared_sql("fold_split", """
+SELECT CAST(o_orderkey % 10 AS INT) AS fold, count(*) AS n,
+       round(sum(o_totalprice), 2) AS fold_value
+FROM orders GROUP BY CAST(o_orderkey % 10 AS INT)
+""")
+
+shared_sql("union_distinct_keys", """
+SELECT DISTINCT name FROM (
+  SELECT n_name AS name FROM nation
+  UNION ALL SELECT r_name AS name FROM region
+) u
+""")
+
+shared_sql("pr_eval", """
+SELECT l_returnflag,
+       sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) AS tp,
+       sum(CASE WHEN l_discount > 0.05 AND l_quantity <= 25 THEN 1 ELSE 0 END) AS fp,
+       sum(CASE WHEN l_discount <= 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) AS fn,
+       CAST(round(sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS precision_,
+       CAST(round(sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) * 1.0
+             / nullif(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS recall_
+FROM lineitem GROUP BY l_returnflag
+""")
+
+@gate("topk_terms", oracle="""
+SELECT w AS term, count(*) AS freq FROM (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+) t GROUP BY w ORDER BY freq DESC, term LIMIT 10
+""")
+def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT w AS term, count(*) AS freq
+FROM documents LATERAL VIEW explode(split(text, ' ')) AS w
+GROUP BY w ORDER BY freq DESC, term LIMIT 10
+""")

@@ -1,0 +1,109 @@
+"""Dependency-graph edge list with O(V+E) lookups.
+
+Functional re-expression of ``ling/SimpleDepGraph.java`` (which stores a
+flat edge list and does a linear scan per query — its own ``TODO`` at
+java:35 — and BFS over an adjacency *matrix*, java:196-242). We index
+adjacency once per sentence and run dict-of-lists BFS; same results,
+linear cost, which matters because these kernels run per candidate pair
+at 10^12-turn scale.
+
+Edge = (reln, gov, dep) with 0-based token indices.
+Path labels follow the reference convention: traversing an edge from gov
+to dep contributes ``reln``; the reverse direction contributes ``-reln``
+(java:205-207).
+"""
+
+from __future__ import annotations
+
+import re
+from collections import deque
+
+Edge = tuple[str, int, int]  # (reln, gov, dep)
+
+
+class DepGraph:
+    __slots__ = ("edges", "_by_gov", "_by_dep", "_adj")
+
+    def __init__(self, edges: list[Edge]):
+        self.edges = list(edges)
+        self._by_gov: dict[int, list[Edge]] = {}
+        self._by_dep: dict[int, list[Edge]] = {}
+        self._adj: dict[int, list[tuple[int, str]]] = {}
+        for e in self.edges:
+            reln, gov, dep = e
+            self._by_gov.setdefault(gov, []).append(e)
+            self._by_dep.setdefault(dep, []).append(e)
+            self._adj.setdefault(gov, []).append((dep, reln))
+            self._adj.setdefault(dep, []).append((gov, "-" + reln))
+
+    # ---- edge selections (SimpleDepGraph.java:244-317) ----
+    def gov_edges(self, gov: int, pattern: str | None = None) -> list[Edge]:
+        es = self._by_gov.get(gov, [])
+        if pattern is None:
+            return es
+        return [e for e in es if re.fullmatch(pattern, e[0])]
+
+    def dep_edges(self, dep: int, pattern: str | None = None) -> list[Edge]:
+        es = self._by_dep.get(dep, [])
+        if pattern is None:
+            return es
+        return [e for e in es if re.fullmatch(pattern, e[0])]
+
+    def edges_matching(self, pattern: str) -> list[Edge]:
+        return [e for e in self.edges if re.fullmatch(pattern, e[0])]
+
+    def dependents(self, gov: int) -> list[int]:
+        return [e[2] for e in self._by_gov.get(gov, [])]
+
+    def parent(self, dep: int) -> int:
+        es = self._by_dep.get(dep, [])
+        return es[0][1] if es else -1
+
+    # ---- shortest path (SimpleDepGraph.java:190-242 / getPathAsList) ----
+    def path_labels(self, src: int, dst: int) -> list[str] | None:
+        """Undirected BFS shortest path src->dst; edge-label list with
+        ``-`` prefix for edges traversed dep->gov. None when disconnected."""
+        if src == dst:
+            return []
+        prev: dict[int, tuple[int, str]] = {src: (-1, "")}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            if v == dst:
+                break
+            for (nxt, lab) in sorted(self._adj.get(v, [])):
+                if nxt not in prev:
+                    prev[nxt] = (v, lab)
+                    q.append(nxt)
+        if dst not in prev:
+            return None
+        labels: list[str] = []
+        v = dst
+        while v != src:
+            p, lab = prev[v]
+            labels.append(lab)
+            v = p
+        labels.reverse()
+        return labels
+
+    # ---- bounded reachability (SimpleDepGraph.java:319-418) ----
+    def reachable(self, src: int, directed: bool, max_dist: int,
+                  pattern: str | None = None) -> set[int]:
+        seen = {src}
+        q = deque([(src, 0)])
+        while q:
+            v, d = q.popleft()
+            if d == max_dist:
+                continue
+            if directed:
+                nbrs = [(e[2], e[0]) for e in self._by_gov.get(v, [])]
+            else:
+                nbrs = self._adj.get(v, [])
+            for nxt, lab in nbrs:
+                if pattern is not None and not re.fullmatch(pattern, lab.lstrip("-")):
+                    continue
+                if nxt not in seen:
+                    seen.add(nxt)
+                    q.append((nxt, d + 1))
+        seen.discard(src)
+        return seen

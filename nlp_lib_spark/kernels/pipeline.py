@@ -1,0 +1,134 @@
+"""Per-turn annotate->extract pipeline (the shared hot-path kernel).
+
+Stage order mirrors the reference's flagship entry point
+``main/WBioRelEx.process`` (WBioRelEx.java:286-360):
+
+    strip citations -> sentence split -> tokenize -> gazetteer IOB
+    -> blind entities -> (skip if <2 entities) -> simplify parentheticals
+    -> POS -> DOMAIN annotate -> dependency build (CC-processed)
+    -> rule union -> (subj, pred, obj)
+
+This module is pure Python. The distributed engine calls ``extract_turn``
+inside Arrow ``mapInPandas`` batches; the test oracle calls it directly on
+a single process. The triple predicate is the DOMAIN key term nearest the
+pair (the reference exposes the same via its DOMAIN tag / key-term feature,
+``ppi/PPIPipe2.java:450-525``), falling back to ``interacts_with``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from nlp_lib_spark.kernels.blind import blind
+from nlp_lib_spark.kernels.depparse import dep_parse
+from nlp_lib_spark.kernels.domain import DomainAnnotator
+from nlp_lib_spark.kernels.gazetteer import Gazetteer
+from nlp_lib_spark.kernels.postag import pos_tag
+from nlp_lib_spark.kernels.rules import predict_interactions
+from nlp_lib_spark.kernels.simplify import simplify
+from nlp_lib_spark.kernels.stem import stem
+from nlp_lib_spark.kernels.text import split_sentences, strip_citations, tokenize
+
+
+@dataclass(frozen=True)
+class KGConfig:
+    """Frozen lexicons for one deployment; broadcast to executors."""
+
+    entity_names: tuple[str, ...]
+    domain_terms: tuple[str, ...]
+
+    def build(self) -> "KGRuntime":
+        return KGRuntime(self)
+
+
+class KGRuntime:
+    """Compiled lexicons (prefix trie set, stemmed domain dict, verb stems)."""
+
+    __slots__ = ("gazetteer", "domain", "verb_stems")
+
+    def __init__(self, cfg: KGConfig):
+        self.gazetteer = Gazetteer(cfg.entity_names)
+        self.domain = DomainAnnotator(cfg.domain_terms)
+        self.verb_stems = frozenset(stem(t) for t in cfg.domain_terms)
+
+
+def annotate_sentence(rt: KGRuntime, sentence: str) -> dict:
+    """Full annotation of one raw sentence; returns all layers."""
+    tokens = tokenize(sentence)
+    iob = rt.gazetteer.tag_iob(tokens)
+    blinded, mapping, entity_count = blind(tokens, iob)
+    out = {
+        "tokens": tokens,
+        "iob": iob,
+        "blinded": blinded,
+        "mapping": mapping,
+        "entity_count": entity_count,
+        "pos": None,
+        "domain": None,
+        "edges": None,
+        "pairs": [],
+    }
+    if entity_count <= 1:  # WBioRelEx.java:310-340 trivial skip
+        return out
+    blinded = simplify(blinded)
+    pos = pos_tag(blinded, rt.verb_stems)
+    domain = rt.domain.tag(blinded)
+    edges = dep_parse(blinded, pos)
+    pairs = sorted(predict_interactions(blinded, pos, domain, edges))
+    out.update({"blinded": blinded, "pos": pos, "domain": domain,
+                "edges": edges, "pairs": pairs})
+    return out
+
+
+def _pred_term(domain: list[str | None], i: int, j: int) -> str:
+    """Predicate = nearest DOMAIN key term: between the pair first, then a
+    5-token window left of e1, then right of e2; else 'interacts_with'."""
+    for k in range(i + 1, j):
+        if domain[k] is not None:
+            return domain[k]
+    lo = max(0, i - 5)
+    for k in range(i - 1, lo - 1, -1):
+        if domain[k] is not None:
+            return domain[k]
+    hi = min(len(domain), j + 6)
+    for k in range(j + 1, hi):
+        if domain[k] is not None:
+            return domain[k]
+    return "interacts_with"
+
+
+def triples_for_sentence(rt: KGRuntime, sentence: str) -> list[tuple]:
+    """(e1_tok, e2_tok, subj, pred, obj) per predicted pair."""
+    ann = annotate_sentence(rt, sentence)
+    if not ann["pairs"]:
+        return []
+    blinded, mapping, domain = ann["blinded"], ann["mapping"], ann["domain"]
+    out = []
+    for (i, j) in ann["pairs"]:
+        pred = _pred_term(domain, i, j)
+        if i == j:  # fused same-token pair (RelexRule5)
+            parts = blinded[i].split("/")
+            if len(parts) < 2:
+                continue
+            subj = mapping.get(parts[0], parts[0])
+            obj = mapping.get(parts[1], parts[1])
+        else:
+            ti, tj = blinded[i], blinded[j]
+            subj = mapping.get(ti)
+            obj = mapping.get(tj)
+            if subj is None:  # PROTEINk inside a fused token
+                subj = "/".join(mapping.get(p, p) for p in ti.split("/"))
+            if obj is None:
+                obj = "/".join(mapping.get(p, p) for p in tj.split("/"))
+        out.append((i, j, subj, pred, obj))
+    return out
+
+
+def extract_turn(rt: KGRuntime, text: str) -> list[tuple]:
+    """Turn text -> [(sent_id, e1, e2, subj, pred, obj)] — the flagship path."""
+    cleaned = strip_citations(text)  # WBioRelEx.java:293
+    out = []
+    for sent_id, sentence in enumerate(split_sentences(cleaned)):
+        for (i, j, subj, pred, obj) in triples_for_sentence(rt, sentence):
+            out.append((sent_id, i, j, subj, pred, obj))
+    return out

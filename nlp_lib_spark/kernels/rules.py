@@ -1,0 +1,395 @@
+"""RelEx rule-based relation classification (the shipped rule union).
+
+Faithful re-expression of the five rules the reference unions at runtime
+(``relx/ppi/RunRelex.getPredictedInteractions``, RunRelex.java:141-153):
+RelexRule1, RelexRule2, RelexRule2b, RelexRule3, RelexRule5, plus the shared
+machinery of their base class (``relx/ppi/RelexRule.java:24-162``).
+
+Every function is pure over (tokens, pos, domain, DepGraph); rules run
+per-sentence inside Arrow UDF batches with zero cross-row dependencies.
+Java ``String.matches`` = full match -> ``re.fullmatch``;
+``Matcher.find`` -> ``re.search``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from nlp_lib_spark.kernels.depgraph import DepGraph, Edge
+
+# RelexRule1.java:26-28
+_R1_PATH = r"dep|agent|.*comp|.*obj|advcl|(inf|part|rc)mod|prep.*|abbrev|parataxis"
+_R1_AGENT_NP = r"nn|amod|abbrev"
+_R1_TARGET_NP = r"nn|amod|advmod"
+_R1_RCHEAD = r"similar|include(s|d)?|members?|identical|involve(s|d)?"
+# RelexRule2.java:23-24
+_R2_PREP = r"prep_(of|by|to|on|for|in|through|with)"
+_R2_NP = r"nn|amod|advmod"
+# RelexRule2b.java:19
+_R2B_RE = re.compile(r"(PREP|REL|N)+(PREP)(REL|PREP|N)*PROT1(REL|N|PREP|PROT)+PROT2")
+# RelexRule3.java:23,47
+_R3_REACH = r"agent|prep_(of|by|to|on|for|in|through|with|between)|nn|amod"
+# RelexRule5.java:20
+_R5_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
+
+Pair = tuple[int, int]
+
+
+class Sent:
+    """Per-sentence bundle the rules read (tokens + POS + DOMAIN tags)."""
+
+    __slots__ = ("tokens", "pos", "domain")
+
+    def __init__(self, tokens: list[str], pos: list[str],
+                 domain: list[str | None]):
+        self.tokens = tokens
+        self.pos = pos
+        self.domain = domain
+
+    def __len__(self) -> int:
+        return len(self.tokens)
+
+    def is_protein(self, i: int) -> bool:
+        return "PROTEIN" in self.tokens[i]
+
+
+# ---------------------------------------------------------------- base class
+def _add_path(gov: int, g: DepGraph, cur: list[Edge],
+              paths: list[list[Edge]], path_pat: str, visited: set[int]) -> None:
+    # RelexRule.java:58-76
+    if gov in visited:
+        return
+    visited.add(gov)
+    nxt = g.gov_edges(gov, path_pat)
+    if not nxt:
+        paths.append(list(cur))
+    else:
+        for e in nxt:
+            cur.append(e)
+            _add_path(e[2], g, cur, paths, path_pat, visited)
+            cur.pop()
+    visited.discard(gov)
+
+
+def _paths_from_src(s: Sent, start: int, start_pat: str, g: DepGraph,
+                    path_pat: str) -> list[list[Edge]]:
+    # RelexRule.java:24-35 (explores from seed.dep)
+    paths: list[list[Edge]] = []
+    for seed in g.gov_edges(start, start_pat):
+        _add_path(seed[2], g, [seed], paths, path_pat, set())
+    return paths
+
+
+def _all_paths_from_dep(s: Sent, g: DepGraph, start_pat: str,
+                        path_pat: str) -> list[list[Edge]]:
+    # RelexRule.java:46-56 (explores from seed.dep)
+    paths: list[list[Edge]] = []
+    for seed in g.edges_matching(start_pat):
+        _add_path(seed[2], g, [seed], paths, path_pat, set())
+    return paths
+
+
+def _all_paths_from_gov(s: Sent, g: DepGraph, start_pat: str,
+                        path_pat: str) -> list[list[Edge]]:
+    # RelexRule1.java:55-68 override (explores from seed.gov)
+    paths: list[list[Edge]] = []
+    for seed in g.edges_matching(start_pat):
+        _add_path(seed[1], g, [seed], paths, path_pat, set())
+    return paths
+
+
+def _head_entity_from_np(head: int, s: Sent, g: DepGraph, pat: str) -> int:
+    # RelexRule.java:86-104 — rightmost PROTEIN among head + matching deps
+    reachable = [head] + [e[2] for e in g.gov_edges(head, pat)]
+    entity = -1
+    for p in reachable:
+        if s.is_protein(p) and p > entity:
+            entity = p
+    return entity
+
+
+def _entities_from_np(head: int, s: Sent, g: DepGraph, pat: str) -> list[int]:
+    # RelexRule.java:114-147
+    agents: list[int] = []
+    agent = _head_entity_from_np(head, s, g, pat)
+    if agent != -1:
+        agents.append(agent)
+        if agent != head:
+            for e in g.dep_edges(agent, r"conj.*"):
+                nxt = _head_entity_from_np(e[1], s, g, pat)
+                if nxt != -1:
+                    agents.append(nxt)
+    if not agents:
+        for e in g.gov_edges(head, r"appos"):
+            a = _head_entity_from_np(e[2], s, g, pat)
+            if a != -1:
+                agents.append(a)
+    return agents
+
+
+def _np_chunk(pos: int, s: Sent, g: DepGraph) -> tuple[int, int]:
+    # RelexRule.java:149-162
+    es = g.gov_edges(pos, r"nn|amod|advmod") + g.dep_edges(pos, r"nn|amod|advmod")
+    lo = hi = pos
+    for reln, gv, dp in es:
+        lo = min(lo, gv, dp)
+        hi = max(hi, gv, dp)
+    return lo, hi
+
+
+# ------------------------------------------------------------------- Rule 1
+def _r1_is_negated(g: DepGraph, path: list[Edge], end: int) -> bool:
+    # RelexRule1.java:214-226
+    for i in range(end + 1):
+        _, gov, dep = path[i]
+        if g.gov_edges(gov, r"neg") or g.gov_edges(dep, r"neg"):
+            return True
+    return False
+
+
+def _r1_chunk_has_domain(s: Sent, chunk: tuple[int, int]) -> bool:
+    lo, hi = chunk
+    return any(s.domain[i] is not None for i in range(lo, hi + 1))
+
+
+def _r1_is_domain_specific(s: Sent, g: DepGraph, path: list[Edge], end: int) -> bool:
+    # RelexRule1.java:238-256
+    for i in range(end + 1):
+        _, gov, dep = path[i]
+        if s.domain[gov] is not None or s.domain[dep] is not None:
+            return True
+        if i == 0:
+            if _r1_chunk_has_domain(s, _np_chunk(dep, s, g)):
+                return True
+        else:
+            if _r1_chunk_has_domain(s, _np_chunk(gov, s, g)):
+                return True
+            if i == end:
+                if _r1_chunk_has_domain(s, _np_chunk(dep, s, g)):
+                    return True
+                break
+    return False
+
+
+def _r1_agents(subj: int, s: Sent, g: DepGraph, path: list[Edge]) -> set[int]:
+    # RelexRule1.java:104-166
+    agents: set[int] = set(_entities_from_np(subj, s, g, _R1_AGENT_NP))
+
+    prep_paths = _paths_from_src(s, subj, r"prep.*|partmod", g,
+                                 r"prep.*|agent|dobj|dep")
+    for agent in list(agents):
+        if agent != subj:
+            prep_paths.extend(_paths_from_src(s, agent, r"prep.*|partmod", g,
+                                              r"prep.*|agent|dobj"))
+    for path2 in prep_paths:
+        prep_head = -1
+        for reln, gv, dp in path2:
+            if re.fullmatch(r"prep_(of|from|like|including|in)", reln):
+                prep_head = max(prep_head, dp)
+        if prep_head != -1:
+            agents.update(_entities_from_np(prep_head, s, g, _R1_AGENT_NP))
+
+    main_head = path[0][1] if path else -1
+    for e in g.gov_edges(subj, r"rcmod"):
+        dep = e[2]
+        rc_head = s.tokens[dep].lower()
+        if dep != main_head and re.fullmatch(_R1_RCHEAD, rc_head):
+            for rp in _paths_from_src(s, dep, r".*obj|prep.*", g, r".*obj|prep.*"):
+                for t in rp:
+                    tmp = _entities_from_np(t[2], s, g, _R1_AGENT_NP)
+                    if tmp:
+                        agents.update(tmp)
+                        break
+    return agents
+
+
+def rule1(s: Sent, g: DepGraph) -> set[Pair]:
+    # RelexRule1.findRelations (java:36-39) over nsubj|nsubjpass seeds
+    out: set[Pair] = set()
+    for path in _all_paths_from_gov(s, g, r"nsubj|nsubjpass", _R1_PATH):
+        agents = _r1_agents(path[0][2], s, g, path)
+        if not agents:
+            continue
+        # targets (java:167-193)
+        targets: set[Pair] = set()
+        for i in range(1, len(path)):
+            reln, gv, head = path[i][0], path[i][1], path[i][2]
+            if re.fullmatch(r"rcmod", reln):
+                rc_head = s.tokens[head].lower()
+                if not re.fullmatch(_R1_RCHEAD, rc_head) and s.domain[head] is None:
+                    break
+            if not s.pos[head].startswith("NN"):
+                continue
+            for e in _entities_from_np(head, s, g, _R1_TARGET_NP):
+                targets.add((e, i))
+        for tgt, idx in targets:
+            if _r1_is_domain_specific(s, g, path, idx) and \
+               not _r1_is_negated(g, path[:idx + 1], idx):
+                for agent in agents:
+                    out.add((agent, tgt) if agent < tgt else (tgt, agent))
+    return out
+
+
+# ------------------------------------------------------------------- Rule 2
+def _r2_is_domain_specific(s: Sent, g: DepGraph, path: list[Edge]) -> bool:
+    # RelexRule2.java:86-122 (note: the else-branch checks token at the
+    # *path index* i — a reference quirk we replicate)
+    for i, (reln, gov, dep) in enumerate(path):
+        gov_pos = s.pos[gov]
+        if re.fullmatch(r"N.*", gov_pos):
+            lo, hi = _np_chunk(gov, s, g)
+            for j in range(lo, hi + 1):
+                if s.domain[j] is not None:
+                    return True
+        elif i < len(s.tokens) and s.domain[i] is not None:
+            return True
+    return False
+
+
+def rule2(s: Sent, g: DepGraph) -> set[Pair]:
+    out: set[Pair] = set()
+    for path in _all_paths_from_dep(s, g, _R2_PREP, _R2_PREP):
+        for i, (reln, gov, dep) in enumerate(path):
+            if not re.fullmatch(r"NN.*", s.pos[gov]) or \
+               not re.fullmatch(r"NN.*", s.pos[dep]):
+                continue
+            agents = set(_entities_from_np(gov, s, g, _R2_NP))
+            targets = set(_entities_from_np(dep, s, g, _R2_NP))
+            if not agents or not targets:
+                continue
+            if not _r2_is_domain_specific(s, g, path[:i + 1]):
+                continue
+            for a in agents:
+                for t in targets:
+                    out.add((a, t) if a < t else (t, a))
+    return out
+
+
+# ------------------------------------------------------------------ Rule 2b
+def _r2b_sent_pattern(s: Sent, e1: int, e2: int) -> str:
+    # RelexRule2b.java:38-64
+    parts: list[str] = []
+    for i in range(e2 + 1):
+        tok = s.tokens[i]
+        if i == e1:
+            parts.append("PROT1")
+        elif i == e2:
+            parts.append("PROT2")
+        elif "PROTEIN" in tok:
+            parts.append("PROT")
+        elif s.domain[i] is not None:
+            parts.append("REL")
+        elif re.fullmatch(r"[/,-]", tok):
+            parts.append(tok)
+        elif re.fullmatch(r"IN|TO", s.pos[i]) and \
+                re.fullmatch(r"of|by|to|on|for|in|through|with", tok):
+            parts.append("PREP")
+        elif re.fullmatch(r"and|or", tok):
+            parts.append("CONJ")
+        elif s.pos[i].startswith("N"):
+            parts.append("N")
+        else:
+            parts.append("W")
+    return "".join(parts)
+
+
+def rule2b(s: Sent, g: DepGraph) -> set[Pair]:
+    out: set[Pair] = set()
+    n = len(s)
+    for i in range(n):
+        if not s.is_protein(i):
+            continue
+        for j in range(i + 1, n):
+            if s.is_protein(j) and _R2B_RE.search(_r2b_sent_pattern(s, i, j)):
+                out.add((i, j))
+    return out
+
+
+# ------------------------------------------------------------------- Rule 3
+def _r3_reachables(s: Sent, g: DepGraph, idx: int, domain_specific: bool,
+                   pat: str, visited: set[int], targets: set[int]) -> None:
+    # RelexRule3.java:92-108
+    if idx in visited:
+        return
+    visited.add(idx)
+    if domain_specific and s.is_protein(idx):
+        targets.add(idx)
+    if not domain_specific and s.domain[idx] is not None:
+        domain_specific = True
+    for reln, gv, dp in g.gov_edges(idx):
+        if pat == "*" or re.fullmatch(pat, reln):
+            _r3_reachables(s, g, dp, domain_specific, pat, visited, targets)
+
+
+def rule3(s: Sent, g: DepGraph) -> set[Pair]:
+    out: set[Pair] = set()
+    n = len(s)
+    # (a) consecutive prep_between on the shortest path (java:27-42,79-89)
+    domain_term_pos = -1
+    for i in range(n):
+        if (i - domain_term_pos) < 5 and s.is_protein(i):
+            for j in range(i + 1, n):
+                if s.is_protein(j):
+                    labels = g.path_labels(i, j)
+                    if labels:
+                        for k in range(1, len(labels)):
+                            if re.fullmatch(r"-?prep_between", labels[k]) and \
+                               re.fullmatch(r"-?prep_between", labels[k - 1]):
+                                out.add((i, j))
+                                break
+        if s.domain[i] is not None:
+            domain_term_pos = i
+    # (b) domain noun fan-out (java:44-55)
+    for i in range(n):
+        if re.fullmatch(r"N.*", s.pos[i]) and s.domain[i] is not None:
+            targets: set[int] = set()
+            _r3_reachables(s, g, i, True, _R3_REACH, set(), targets)
+            for e1 in targets:
+                for e2 in targets:
+                    if e1 < e2 and i < e1:
+                        out.add((e1, e2))
+    # (c) partmod with DOMAIN dependent (java:57-74)
+    for reln, gov, dep in g.edges_matching(r"partmod"):
+        if s.domain[dep] is not None:
+            tset: set[int] = set()
+            _r3_reachables(s, g, dep, True, _R3_REACH, set(), tset)
+            aset: set[int] = set()
+            _r3_reachables(s, g, gov, True, _R3_REACH, set(), aset)
+            for a in aset:
+                for t in tset:
+                    if a < t:
+                        out.add((a, t))
+    return out
+
+
+# ------------------------------------------------------------------- Rule 5
+def rule5(s: Sent, g: DepGraph) -> set[Pair]:
+    out: set[Pair] = set()
+    n = len(s)
+    for i in range(n):
+        if s.is_protein(i) and i < n - 1:
+            if _R5_RE.fullmatch(s.tokens[i]) and s.domain[i + 1] is not None:
+                out.add((i, i))
+            elif _R5_RE.fullmatch(s.tokens[i]):
+                for reln, gov, dep in g.dep_edges(i):
+                    if re.fullmatch(r"nn|amod|abbrev|appos", reln) and \
+                       s.domain[gov] is not None:
+                        out.add((i, i))
+                        break
+    return out
+
+
+# -------------------------------------------------------------------- union
+def predict_interactions(tokens: list[str], pos: list[str],
+                         domain: list[str | None],
+                         edges: list[Edge]) -> set[Pair]:
+    """Union of the five shipped rules (RunRelex.java:141-153)."""
+    s = Sent(tokens, pos, domain)
+    g = DepGraph(edges)
+    out: set[Pair] = set()
+    out |= rule1(s, g)
+    out |= rule2(s, g)
+    out |= rule2b(s, g)
+    out |= rule3(s, g)
+    out |= rule5(s, g)
+    return out

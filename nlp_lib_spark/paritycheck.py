@@ -1,0 +1,84 @@
+"""Local replica of the driver's Spark-vs-DuckDB correctness comparison.
+
+Sorts columns by name, normalizes values (floats rounded, timestamps to
+UTC-naive ISO strings, NULL sentinel), hashes the multiset of rows. Used by
+tests and by ad-hoc runs so gate regressions surface before the driver does.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+import pandas as pd
+
+from nlp_lib_spark.gate import ORACLES, QUERIES, TABLES
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "\x00NULL"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "\x00NULL"
+        return f"{v:.6g}"
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_hash(df: pd.DataFrame) -> tuple[int, str]:
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for tup in df.itertuples(index=False, name=None):
+        rows.append("\x01".join(_norm_cell(v) for v in tup))
+    rows.sort()
+    h = hashlib.md5("\x02".join(rows).encode()).hexdigest()
+    return len(rows), h
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    return con
+
+
+def compare_query(spark, sf_dir: str, name: str) -> dict:
+    sdf = QUERIES[name](spark, sf_dir).toPandas()
+    out = {"name": name, "spark_rows": len(sdf)}
+    if name not in ORACLES:
+        out["status"] = "rows_only"
+        return out
+    con = duck_connection(sf_dir)
+    ddf = con.sql(ORACLES[name]).df()
+    con.close()
+    n_s, h_s = frame_hash(sdf)
+    n_d, h_d = frame_hash(ddf)
+    out.update({"duck_rows": n_d,
+                "schema_match": sorted(map(str.lower, sdf.columns))
+                                == sorted(map(str.lower, ddf.columns)),
+                "hash_match": h_s == h_d,
+                "status": "ok" if (n_s == n_d and h_s == h_d) else "MISMATCH"})
+    return out
+
+
+def run_all(spark, sf_dir: str, names=None) -> list[dict]:
+    results = []
+    for name in (names or QUERIES):
+        try:
+            results.append(compare_query(spark, sf_dir, name))
+        except Exception as e:  # surface, keep going
+            results.append({"name": name, "status": "ERROR",
+                            "error": f"{type(e).__name__}: {e}"})
+    return results

@@ -1,0 +1,149 @@
+"""Golden unit tests for the per-sentence kernels (hand-verified expectations)."""
+
+from __future__ import annotations
+
+from nlp_lib_spark.kernels import (DepGraph, DomainAnnotator, Gazetteer,
+                                   blind, simplify, stem, tokenize)
+from nlp_lib_spark.kernels.postag import pos_tag
+from nlp_lib_spark.kernels.rules import predict_interactions
+from nlp_lib_spark.kernels.text import split_sentences, strip_citations
+
+
+def test_strip_citations():
+    # bracket removed verbatim (reference replaceAll leaves the two spaces)
+    assert strip_citations("x [12, 3] y [ 4 ; 5-6 ] z") == "x  y  z"
+    assert strip_citations("keep [a1] this") == "keep [a1] this"
+
+
+def test_split_sentences():
+    assert split_sentences("a b . c d ! e") == ["a b .", "c d !", "e"]
+    assert split_sentences("one... two") == ["one...", "two"]
+    assert split_sentences("") == []
+
+
+def test_tokenize():
+    assert tokenize("the p53/p21 complex ( see bcl-2 ) .") == \
+        ["the", "p53/p21", "complex", "(", "see", "bcl-2", ")", "."]
+    assert tokenize("don't split-this") == ["don't", "split-this"]
+
+
+def test_stem():
+    assert stem("activates") == stem("activate") == "activat"
+    assert stem("binding") == stem("binds") == "bind"
+    assert stem("interaction") == "interact"
+
+
+def test_gazetteer_prefix_extension():
+    g = Gazetteer(["raf kinase inhibitor", "p53"])
+    # full 3-word match
+    assert g.tag_iob(["the", "raf", "kinase", "inhibitor", "acts"]) == \
+        ["O", "B-PROTEIN", "I-PROTEIN", "I-PROTEIN", "O"]
+    # prefix over-generation: bare first word still B-matches (reference
+    # EntityLexicon builds a prefix set, WBioRelEx.java:431-444)
+    tags = g.tag_iob(["raf", "binds", "p53"])
+    assert tags[0] == "B-PROTEIN"
+    # the consume quirk: the failing extension token is emitted O and the
+    # scan resumes AFTER it (i = j in the reference loop) — "binds" consumed
+    assert tags == ["B-PROTEIN", "O", "B-PROTEIN"]
+    # back-to-back entity after a match is still found
+    g2 = Gazetteer(["a b", "c"])
+    assert g2.tag_iob(["a", "b", "x", "c"]) == \
+        ["B-PROTEIN", "I-PROTEIN", "O", "B-PROTEIN"]
+
+
+def test_gazetteer_consume_quirk_swallows_entity():
+    # faithful reference behavior: entity token right after a failed
+    # extension is swallowed as O
+    g = Gazetteer(["a", "c"])
+    assert g.tag_iob(["a", "c", "x"]) == ["B-PROTEIN", "O", "O"]
+
+
+def test_fused_token():
+    g = Gazetteer(["p53", "p21"])
+    assert g.tag_iob(["the", "p53/p21", "complex"]) == ["O", "B-FUSED", "O"]
+
+
+def test_blind():
+    tokens = ["the", "raf", "kinase", "binds", "p53", "."]
+    tags = ["O", "B-PROTEIN", "I-PROTEIN", "O", "B-PROTEIN", "O"]
+    blinded, mapping, count = blind(tokens, tags)
+    assert blinded == ["the", "PROTEIN0", "binds", "PROTEIN1", "."]
+    assert mapping == {"PROTEIN0": "raf kinase", "PROTEIN1": "p53"}
+    assert count == 2
+
+
+def test_blind_fused():
+    blinded, mapping, count = blind(["p53/p21", "complex"], ["B-FUSED", "O"])
+    assert blinded == ["PROTEIN0/PROTEIN1", "complex"]
+    assert mapping == {"PROTEIN0": "p53", "PROTEIN1": "p21"}
+    assert count == 2
+
+
+def test_simplify():
+    # paren span without PROTEIN dropped, with PROTEIN kept
+    assert simplify(["a", "(", "x", "y", ")", "b"]) == ["a", "b"]
+    assert simplify(["a", "(", "PROTEIN0", ")", "b"]) == \
+        ["a", "(", "PROTEIN0", ")", "b"]
+    # unclosed paren without protein drops to end
+    assert simplify(["a", "(", "x", "y"]) == ["a"]
+
+
+def test_domain_annotator():
+    d = DomainAnnotator(["interact", "bind"])
+    got = d.tag(["interacts", "binding", "cross-binding", "table"])
+    assert got == ["interact", "bind", "bind", None]
+
+
+def test_depgraph_paths():
+    g = DepGraph([("nsubj", 2, 0), ("prep_with", 2, 4), ("det", 4, 3)])
+    assert g.path_labels(0, 4) == ["-nsubj", "prep_with"]
+    assert g.path_labels(0, 0) == []
+    assert g.path_labels(0, 5) is None
+    assert [e[0] for e in g.gov_edges(2, r"prep.*")] == ["prep_with"]
+    assert g.parent(0) == 2
+
+
+def _run_rules(sentence_tokens, entities, domain_terms):
+    from nlp_lib_spark.kernels.depparse import dep_parse
+    from nlp_lib_spark.kernels.stem import stem as _stem
+    d = DomainAnnotator(domain_terms)
+    pos = pos_tag(sentence_tokens, frozenset(_stem(t) for t in domain_terms))
+    dom = d.tag(sentence_tokens)
+    edges = dep_parse(sentence_tokens, pos)
+    return predict_interactions(sentence_tokens, pos, dom, edges)
+
+
+def test_rule1_svo():
+    pairs = _run_rules(
+        ["the", "PROTEIN0", "interacts", "with", "the", "PROTEIN1", "."],
+        [], ["interact"])
+    assert (1, 5) in pairs
+
+
+def test_rule1_negation_blocks():
+    pairs = _run_rules(
+        ["the", "PROTEIN0", "does", "not", "regulate", "the", "PROTEIN1", "."],
+        [], ["regulate"])
+    assert pairs == set()
+
+
+def test_rule2_nominal_prep_chain():
+    pairs = _run_rules(
+        ["interaction", "of", "PROTEIN0", "with", "PROTEIN1", ".",],
+        [], ["interaction", "interact"])
+    assert (2, 4) in pairs
+
+
+def test_rule3_between():
+    pairs = _run_rules(
+        ["the", "association", "between", "PROTEIN0", "and", "PROTEIN1",
+         "suggests", "binding", "."],
+        [], ["association", "bind"])
+    assert (3, 5) in pairs
+
+
+def test_rule5_fused():
+    pairs = _run_rules(
+        ["the", "PROTEIN0/PROTEIN1", "interaction", "was", "strong", "."],
+        [], ["interaction", "interact"])
+    assert (1, 1) in pairs
