@@ -335,6 +335,81 @@ SELECT query_id, neighbor_id, sim FROM (
 
 
 # --------------------------------------------------------------------------
+# Discourse / linking / canonicalization stages
+# --------------------------------------------------------------------------
+
+def _ann(spark: SparkSession, sf_dir: str):
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return annotate_turns(t, TESTDATA_CONFIG)
+
+
+@gate("kg_discourse")  # cross-turn window + lexicon kernels — rows-only
+def q_kg_discourse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.discourse import discourse_relations
+    return discourse_relations(_ann(spark, sf_dir))
+
+
+@gate("kg_hor_edges")  # higher-order relations across discourse args
+def q_kg_hor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.discourse import (discourse_relations,
+                                                   hor_edges)
+    t = transcripts(spark, sf_dir, with_ts=False)
+    disc = discourse_relations(annotate_turns(t, TESTDATA_CONFIG))
+    return hor_edges(disc, extract_triples(t, TESTDATA_CONFIG))
+
+
+@gate("kg_entity_links")  # broadcast-dict linking over gazetteer mentions
+def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.graph import canonical_map
+    mentions = mentions_from_annotations(_ann(spark, sf_dir))
+    dictionary = spark.createDataFrame(
+        [(e,) for e in TESTDATA_ENTITIES], "entity string")
+    return canonical_map(mentions, dictionary)
+
+
+@gate("kg_edges")  # canonical KG edge table — rows-only
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.graph import canonical_map, materialize_graph
+    t = transcripts(spark, sf_dir, with_ts=False)
+    mentions = mentions_from_annotations(annotate_turns(t, TESTDATA_CONFIG))
+    dictionary = spark.createDataFrame(
+        [(e,) for e in TESTDATA_ENTITIES], "entity string")
+    cmap = canonical_map(mentions, dictionary)
+    _nodes, edges = materialize_graph(extract_triples(t, TESTDATA_CONFIG), cmap)
+    return edges
+
+
+_CC_EDGES_SPARK = """
+SELECT 'o' || CAST(l_orderkey AS STRING) AS u,
+       'p' || CAST(l_partkey AS STRING) AS v
+FROM lineitem WHERE l_orderkey % 50 = 0
+"""
+
+
+@gate("cc_components", oracle="""
+WITH RECURSIVE e0 AS (
+  SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS u,
+         'p' || CAST(l_partkey AS VARCHAR) AS v
+  FROM lineitem WHERE l_orderkey % 50 = 0
+), e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+reach(src, dst) AS (
+  SELECT id, id FROM (SELECT DISTINCT u AS id FROM e) t
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u
+)
+SELECT src AS id, min(dst) AS component FROM reach GROUP BY src
+""")
+def q_cc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # large-star/small-star CC vs a transitive-closure oracle
+    from nlp_lib_spark.operators.canonicalize import connected_components
+    register_views(spark, sf_dir)
+    edges = spark.sql(_CC_EDGES_SPARK)
+    return connected_components(edges)
+
+
+# --------------------------------------------------------------------------
 # Relational analogues (SURVEY.md §2.8) — SQL shared verbatim across engines
 # --------------------------------------------------------------------------
 

@@ -107,6 +107,13 @@ def dep_parse(tokens: list[str], pos: list[str]) -> list[Edge]:
                    for b in between):
                 edges.append(("dobj", v, obj))
 
+    # ---- 5b. adverbs attach to the nearest lexical verb (advmod) ----
+    neg_deps = {d for (r, g, d) in edges if r == "neg"}
+    for a in range(n):
+        if pos[a] == "RB" and a not in neg_deps and lexical:
+            gov = min(lexical, key=lambda v: (abs(v - a), v))
+            edges.append(("advmod", gov, a))
+
     # ---- 6. prepositions: collapsed prep_<word>(gov, obj) ----
     for p in range(n):
         if pos[p] not in ("IN", "TO"):

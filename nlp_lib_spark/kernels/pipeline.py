@@ -52,8 +52,14 @@ class KGRuntime:
         self.verb_stems = frozenset(stem(t) for t in cfg.domain_terms)
 
 
-def annotate_sentence(rt: KGRuntime, sentence: str) -> dict:
-    """Full annotation of one raw sentence; returns all layers."""
+def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
+    """Full annotation of one raw sentence; returns all layers.
+
+    ``full=False`` keeps the reference's trivial-sentence short-circuit
+    (skip POS/parse/extract when <2 entities, WBioRelEx.java:310-340).
+    ``full=True`` annotates every layer regardless — the discourse stack
+    consumes POS/edges for every sentence (ExtractHOR.java:104-120).
+    """
     tokens = tokenize(sentence)
     iob = rt.gazetteer.tag_iob(tokens)
     blinded, mapping, entity_count = blind(tokens, iob)
@@ -68,7 +74,13 @@ def annotate_sentence(rt: KGRuntime, sentence: str) -> dict:
         "edges": None,
         "pairs": [],
     }
-    if entity_count <= 1:  # WBioRelEx.java:310-340 trivial skip
+    if entity_count <= 1 and not full:  # trivial skip
+        return out
+    if entity_count <= 1:
+        pos = pos_tag(blinded, rt.verb_stems)
+        domain = rt.domain.tag(blinded)
+        edges = dep_parse(blinded, pos)
+        out.update({"pos": pos, "domain": domain, "edges": edges})
         return out
     blinded = simplify(blinded)
     pos = pos_tag(blinded, rt.verb_stems)

@@ -1,0 +1,76 @@
+"""Entity canonicalization: iterative connected components over joins.
+
+The reference links mentions only by exact dictionary membership
+(``EntityLexicon``, main/WBioRelEx.java:420-476); the north rule extends
+this to canonicalization as connected components over the mention-similarity
+graph. This module implements CC as the alternating large-star/small-star
+join algorithm (Kiveris et al., "Connected Components in MapReduce and
+Beyond" — public literature), which converges in O(log^2 n) rounds and is
+the standard shape for 10^12-edge graphs:
+
+* both steps are groupBy-min + join — map-side partial aggregation absorbs
+  hot vertices (skew), and AQE skew-join handles the join-side tail; an
+  explicit salt is unnecessary for min() aggregates because partial combine
+  already collapses the hot key per-partition (noted in SURVEY.md §4).
+* each round localCheckpoints the edge set: truncates lineage so round k+1
+  doesn't replay rounds 1..k (the loop-in-Spark anti-pattern).
+
+Vertex ids are arbitrary orderable values (we use strings: normalized
+mention surface forms); the component label is the MINIMUM member, which
+makes results engine-comparable (DuckDB oracle = recursive-CTE closure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    e = edges.select(F.col("u"), F.col("v")).filter(F.col("u") != F.col("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def _star(edges: DataFrame, large: bool) -> DataFrame:
+    # m(u) = min over N(u) ∪ {u}
+    mins = (edges.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .withColumn("m", F.least(F.col("u"), F.col("mn")))
+            .select("u", "m"))
+    j = edges.join(mins, "u")
+    if large:  # connect strictly-larger neighbors to m
+        j = j.filter(F.col("v") > F.col("u"))
+    else:      # small-star: connect smaller-or-equal neighbors to m
+        j = j.filter(F.col("v") <= F.col("u"))
+    return (j.select(F.col("v").alias("u"), F.col("m").alias("v"))
+             .filter(F.col("u") != F.col("v"))
+             .union(mins.select(F.col("u"), F.col("m").alias("v"))
+                    .filter(F.col("u") != F.col("v")))
+             .distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """edges(u, v) -> (id, component) with component = min member id."""
+    e = _symmetrize(edges).localCheckpoint()
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _star(e, large=True)
+        e = _star(e, large=False)
+        e = _symmetrize(e).localCheckpoint()
+        sig = (e.select(F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+                        F.count(F.lit(1)).alias("n")).collect()[0])
+        if prev_sig == (sig.s, sig.n):
+            break
+        prev_sig = (sig.s, sig.n)
+    comp = (e.groupBy("u").agg(F.min("v").alias("mn"))
+            .select(F.col("u").alias("id"),
+                    F.least(F.col("u"), F.col("mn")).alias("component")))
+    return comp
+
+
+def components_with_singletons(edges: DataFrame,
+                               vertices: DataFrame) -> DataFrame:
+    """Attach isolated vertices (component = themselves)."""
+    comp = connected_components(edges)
+    return (vertices.select(F.col("id"))
+            .join(comp, "id", "left")
+            .select("id", F.coalesce("component", "id").alias("component")))

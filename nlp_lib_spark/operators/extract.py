@@ -85,7 +85,7 @@ def annotate_turns(df: DataFrame, config: KGConfig) -> DataFrame:
                     continue
                 cleaned = strip_citations(text)
                 for sid, sentence in enumerate(split_sentences(cleaned)):
-                    ann = annotate_sentence(rt, sentence)
+                    ann = annotate_sentence(rt, sentence, full=True)
                     mapping = ann["mapping"]
                     edges = ann["edges"] or []
                     rows.append({

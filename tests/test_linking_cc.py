@@ -1,0 +1,98 @@
+"""Entity linking + connected-components canonicalization."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nlp_lib_spark.operators.canonicalize import (components_with_singletons,
+                                                  connected_components)
+from nlp_lib_spark.operators.graph import canonical_map, materialize_graph
+from nlp_lib_spark.operators.linking import link_mentions
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    return {x: find(x) for x in parent}
+
+
+def test_cc_matches_union_find_random_graph(spark):
+    rng = random.Random(7)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(150)]
+    edges = [(u, v) for u, v in edges if u != v]
+    e = spark.createDataFrame(pd.DataFrame(edges, columns=["u", "v"]))
+    got = {r.id: r.component
+           for r in connected_components(e).collect()}
+    # expected: min-label components via union-find
+    exp = _uf_components(edges)
+    # min-label: relabel each union-find root to min member
+    groups = {}
+    for x, r in exp.items():
+        groups.setdefault(r, []).append(x)
+    exp_min = {}
+    for members in groups.values():
+        m = min(members)
+        for x in members:
+            exp_min[x] = m
+    assert got == exp_min
+
+
+def test_cc_singletons(spark):
+    e = spark.createDataFrame(pd.DataFrame([("a", "b")], columns=["u", "v"]))
+    verts = spark.createDataFrame(
+        pd.DataFrame({"id": ["a", "b", "z"]}))
+    got = {r.id: r.component
+           for r in components_with_singletons(e, verts).collect()}
+    assert got == {"a": "a", "b": "a", "z": "z"}
+
+
+def test_fuzzy_linking_merges_typo(spark):
+    mentions = spark.createDataFrame(pd.DataFrame(
+        {"mention_text": ["hash join", "hash joln", "spark", "zzz qqq"]}))
+    dictionary = spark.createDataFrame(pd.DataFrame(
+        {"entity": ["hash join", "spark"]}))
+    linked = link_mentions(mentions, dictionary).toPandas()
+    by_norm = {r.norm: (r.entity, r.method) for r in linked.itertuples()}
+    assert by_norm["hash join"] == ("hash join", "exact")
+    assert by_norm["hash joln"][0] == "hash join"
+    assert by_norm["hash joln"][1] == "jaccard3"
+    assert by_norm["spark"] == ("spark", "exact")
+    assert by_norm["zzz qqq"][1] == "unlinked"
+
+
+def test_canonical_map_and_graph(spark):
+    mentions = spark.createDataFrame(pd.DataFrame(
+        {"mention_text": ["Hash Join", "hash joln", "spark"]}))
+    dictionary = spark.createDataFrame(pd.DataFrame(
+        {"entity": ["hash join", "spark"]}))
+    cmap = canonical_map(mentions, dictionary).toPandas()
+    ids = {r.norm: r.entity_id for r in cmap.itertuples()}
+    # typo and exact both canonicalize to the same component id
+    assert ids["hash join"] == ids["hash joln"] == "hash join"
+
+    triples = spark.createDataFrame(pd.DataFrame(
+        [("c1", 0, 0, 1, 2, "Hash Join", "binds", "spark"),
+         ("c1", 1, 0, 1, 2, "hash joln", "binds", "spark")],
+        columns=["conv_id", "turn_idx", "sent_id", "e1", "e2",
+                 "subj", "pred", "obj"]))
+    cmap_df = canonical_map(mentions, dictionary)
+    nodes, edges = materialize_graph(triples, cmap_df)
+    ep = edges.toPandas()
+    # the two surface variants collapse into ONE canonical edge, weight 2
+    assert len(ep) == 1
+    assert ep.iloc[0].weight == 2 and ep.iloc[0].subj_id == "hash join"
