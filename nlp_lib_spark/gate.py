@@ -123,6 +123,15 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(t, TESTDATA_CONFIG)
 
 
+@gate("kg_ml_triples")  # MaxEnt-scored extraction (-ex ML path) — rows-only
+def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.kernels.scoring import DEFAULT_MODEL_PATH, load_model
+    from nlp_lib_spark.operators.ml import extract_triples_ml
+    weights, bias = load_model(DEFAULT_MODEL_PATH)
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return extract_triples_ml(t, TESTDATA_CONFIG, weights, bias)
+
+
 @gate("kg_triple_counts")  # aggregation over rule output — rows-only
 def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -296,6 +305,114 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(slice(ids, i + 2, size(ids)), y -> "
         "struct(x AS doc_a, y AS doc_b))))")).alias("p"))
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# ---- SimHash (60-bit, md5-derived bit votes — engine-portable) ----
+
+@gate("simhash", oracle="""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       (list_sum(list_transform(range(0, 60), b ->
+         CASE WHEN list_sum(list_transform(hs, x ->
+                    CASE WHEN ((x >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+              THEN (1::BIGINT << b) ELSE 0::BIGINT END)))::BIGINT AS simhash
+FROM h
+""")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH h AS (
+  SELECT doc_id,
+         transform(split(text, ' '),
+                   t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       aggregate(sequence(0, 59), 0L, (acc, b) ->
+         acc + CASE WHEN aggregate(hs, 0, (v, x) ->
+                         v + CASE WHEN shiftright(x, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(1L, b) ELSE 0L END) AS simhash
+FROM h
+""")
+
+
+@gate("ngram_jaccard_pairs", oracle="""
+WITH g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(2, len(string_split(text,' ')) - 1)),
+                       i -> array_to_string((string_split(text,' '))[i:i+2], ' '))) AS grams
+  FROM documents WHERE doc_id < 80
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jac
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+""")
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH g AS (
+  SELECT doc_id,
+         array_distinct(transform(sequence(1, greatest(1, size(split(text,' ')) - 2)),
+                        i -> array_join(slice(split(text,' '), i, 3), ' '))) AS grams
+  FROM documents WHERE doc_id < 80
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(round(size(array_intersect(a.grams, b.grams)) * 1.0 /
+             (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) AS DOUBLE) AS jac
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE size(array_intersect(a.grams, b.grams)) * 1.0 /
+      (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))) >= 0.2
+""")
+
+
+@gate("token_counts", oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+       (list_sum(list_transform(string_split(text, ' '),
+                 t -> CAST(ceil(len(t) / 4.0) AS BIGINT))))::BIGINT AS n_subword_est
+FROM documents
+""")
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT doc_id,
+       size(split(text, ' ')) AS n_ws_tokens,
+       size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
+       aggregate(split(text, ' '), 0L, (s, t) -> s + CAST(ceil(length(t) / 4.0) AS BIGINT)) AS n_subword_est
+FROM documents
+""")
+
+
+@gate("embedding_neardup_pairs", oracle="""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < 200 AND b.vec_id < 200
+  AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
+""")
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+           FROM embeddings WHERE vec_id < 200),
+sims AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
+               / (sqrt(aggregate(a.emb, 0D, (s, v) -> s + v * v))
+                  * sqrt(aggregate(b.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.35
+""")
 
 
 # ---- embedding similarity search (brute-force cosine top-k baseline) ----

@@ -86,6 +86,34 @@ class DepGraph:
         labels.reverse()
         return labels
 
+    def path_edges(self, src: int, dst: int) -> list[Edge] | None:
+        """Edges along the undirected shortest path (getPathAsRelnList)."""
+        if src == dst:
+            return []
+        prev: dict[int, tuple[int, str]] = {src: (-1, "")}
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            if v == dst:
+                break
+            for (nxt, lab) in sorted(self._adj.get(v, [])):
+                if nxt not in prev:
+                    prev[nxt] = (v, lab)
+                    q.append(nxt)
+        if dst not in prev:
+            return None
+        out: list[Edge] = []
+        v = dst
+        while v != src:
+            p, lab = prev[v]
+            if lab.startswith("-"):
+                out.append((lab[1:], v, p))
+            else:
+                out.append((lab, p, v))
+            v = p
+        out.reverse()
+        return out
+
     # ---- bounded reachability (SimpleDepGraph.java:319-418) ----
     def reachable(self, src: int, directed: bool, max_dist: int,
                   pattern: str | None = None) -> set[int]:

@@ -1,0 +1,110 @@
+"""Corpus-level evaluation: the reference's P/R/F harness as DataFrames.
+
+``rule_eval`` is the distributed analogue of ``RunRelex.test``
+(relx/ppi/RunRelex.java:59-137): read an IOB corpus + pre-parsed deps, run
+the rule union per sentence, join predictions against gold pair ids and
+report micro TP/FP/FN + P/R/F. ``write_ppi_corpus`` emits the reference's
+on-disk layout (iob/ trees/ deps/, ``ppi/PreparePPI2.java:35-132``) so
+corpora round-trip through the readers.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from nlp_lib_spark.kernels.domain import DomainAnnotator
+from nlp_lib_spark.kernels.postag import pos_tag
+from nlp_lib_spark.kernels.rules import predict_interactions
+from nlp_lib_spark.kernels.stem import stem
+
+PRED_SCHEMA = "doc_id string, sent_id int, e1 int, e2 int"
+
+
+def rule_predictions(iob: DataFrame, deps: DataFrame,
+                     domain_terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, sent_id, e1, e2) predicted by the rule union.
+
+    POS comes from the frozen tagger (the reference re-assigns POS from
+    gold trees; pre-blinded corpora carry no usable trees here).
+    """
+    joined = iob.join(deps, ["doc_id", "sent_id"], "left")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dom = DomainAnnotator(domain_terms)
+        verb_stems = frozenset(stem(t) for t in domain_terms)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tokens = list(r.tokens)
+                raw_edges = r.edges if r.edges is not None else []
+                edges = [(e["reln"], e["gov"], e["dep"]) for e in raw_edges]
+                pos = pos_tag(tokens, verb_stems)
+                domain = dom.tag(tokens)
+                for (i, j) in sorted(predict_interactions(tokens, pos,
+                                                          domain, edges)):
+                    rows.append((r.doc_id, int(r.sent_id), i, j))
+            yield pd.DataFrame(rows, columns=["doc_id", "sent_id",
+                                              "e1", "e2"])
+
+    return (joined.select("doc_id", "sent_id", "tokens", "edges")
+            .mapInPandas(fn, schema=PRED_SCHEMA))
+
+
+def rule_eval(iob: DataFrame, deps: DataFrame,
+              domain_terms: tuple[str, ...]) -> DataFrame:
+    """One-row micro P/R/F vs gold pair ids (label=1)."""
+    from nlp_lib_spark.sources.readers import gold_pairs
+    pred = rule_predictions(iob, deps, domain_terms)
+    gold = gold_pairs(iob).filter(F.col("label") == 1) \
+                          .select("doc_id", "sent_id", "e1", "e2")
+    key = ["doc_id", "sent_id", "e1", "e2"]
+    tp = pred.join(gold, key, "inner").count()
+    fp = pred.join(gold, key, "left_anti").count()
+    fn = gold.join(pred, key, "left_anti").count()
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    spark = iob.sparkSession
+    return spark.createDataFrame(
+        [(tp, fp, fn, round(precision, 4), round(recall, 4), round(f1, 4))],
+        "tp long, fp long, fn long, precision_ double, recall_ double, f1 double")
+
+
+def write_ppi_corpus(ann_rows: list[dict], out_dir: str) -> None:
+    """Write the reference corpus layout from annotation dicts.
+
+    Each dict: doc_id, sent_id, tokens(blinded), p1..n2 tag lists, edges.
+    Trees are emitted as ``(ROOT)`` placeholders (PreparePPI2.java:97-99 —
+    the failure marker; this engine stores dependency structure only).
+    """
+    docs: dict[str, list[dict]] = {}
+    for r in ann_rows:
+        docs.setdefault(r["doc_id"], []).append(r)
+    for sub in ("iob", "trees", "deps", "depsCC"):
+        os.makedirs(f"{out_dir}/{sub}", exist_ok=True)
+    for doc_id, rows in docs.items():
+        rows.sort(key=lambda r: r["sent_id"])
+        with open(f"{out_dir}/iob/{doc_id}.txt", "w") as f:
+            for r in rows:
+                for k, tok in enumerate(r["tokens"]):
+                    f.write("\t".join([
+                        tok, r["p1"][k], r["p2"][k], r["n1"][k], r["n2"][k],
+                    ]) + "\n")
+                f.write("\n")
+        with open(f"{out_dir}/trees/{doc_id}.mrg", "w") as f:
+            for _ in rows:
+                f.write("(ROOT)\n")
+        for sub in ("deps", "depsCC"):
+            with open(f"{out_dir}/{sub}/{doc_id}.dep", "w") as f:
+                for r in rows:
+                    parts = []
+                    for (reln, gov, dep) in r["edges"]:
+                        gw = r["tokens"][gov]
+                        dw = r["tokens"][dep]
+                        parts.append(f"{reln}({gw}-{gov + 1}, {dw}-{dep + 1})")
+                    f.write("\t".join(parts) + "\n")

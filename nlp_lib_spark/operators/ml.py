@@ -1,0 +1,92 @@
+"""ML relation extraction: candidate featurize + broadcast MaxEnt scoring.
+
+Distributed analogue of ``WBioRelEx.getMLPredictions``
+(main/WBioRelEx.java:363-380): every ordered PROTEIN pair (i<j) in a
+sentence is a candidate; features via ``kernels.features``; accept when
+sigmoid score > 0.5. The weight dict is broadcast once per job.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.features import pair_features
+from nlp_lib_spark.kernels.pipeline import (KGConfig, _pred_term,
+                                            annotate_sentence)
+from nlp_lib_spark.kernels.scoring import score
+from nlp_lib_spark.kernels.text import split_sentences, strip_citations
+
+ML_TRIPLES_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
+                     "e1 int, e2 int, subj string, pred string, obj string, "
+                     "p double")
+
+_FUSED_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
+
+
+def candidate_pairs_for_sentence(rt, sentence: str):
+    """Yield (ann, i, j, features) for every candidate pair."""
+    ann = annotate_sentence(rt, sentence)
+    if ann["entity_count"] <= 1:
+        return
+    blinded = ann["blinded"]
+    g = DepGraph(ann["edges"])
+    prot = [i for i, t in enumerate(blinded) if "PROTEIN" in t]
+    for a in range(len(prot)):
+        for b in range(a + 1, len(prot)):
+            i, j = prot[a], prot[b]
+            feats = pair_features(blinded, ann["pos"], ann["domain"], g, i, j)
+            yield ann, i, j, feats
+    # fused same-token candidates (PPIPipe2.java:133-151 features them via
+    # the entity1 == entity2 branch; gold-pair joins produce such instances)
+    for i in prot:
+        if _FUSED_RE.fullmatch(blinded[i]):
+            feats = pair_features(blinded, ann["pos"], ann["domain"], g, i, i)
+            yield ann, i, i, feats
+
+
+def extract_triples_ml(df: DataFrame, config: KGConfig,
+                       weights: dict[str, float], bias: float,
+                       threshold: float = 0.5) -> DataFrame:
+    """transcripts -> scored triples via the MaxEnt path (-ex ML)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rt = config.build()
+        cols = ["conv_id", "turn_idx", "sent_id", "e1", "e2",
+                "subj", "pred", "obj", "p"]
+        for pdf in batches:
+            rows = []
+            for conv, ti, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                      pdf["text"]):
+                if not text:
+                    continue
+                cleaned = strip_citations(text)
+                for sid, sentence in enumerate(split_sentences(cleaned)):
+                    for ann, i, j, feats in candidate_pairs_for_sentence(
+                            rt, sentence):
+                        p = score(feats, weights, bias)
+                        if p <= threshold:
+                            continue
+                        m = ann["mapping"]
+                        if i == j:  # fused pair: parts are subj/obj
+                            parts = ann["blinded"][i].split("/")
+                            if len(parts) < 2:
+                                continue
+                            subj = m.get(parts[0], parts[0])
+                            obj = m.get(parts[1], parts[1])
+                        else:
+                            subj = m.get(ann["blinded"][i]) or "/".join(
+                                m.get(x, x) for x in ann["blinded"][i].split("/"))
+                            obj = m.get(ann["blinded"][j]) or "/".join(
+                                m.get(x, x) for x in ann["blinded"][j].split("/"))
+                        pred = _pred_term(ann["domain"], i, j)
+                        rows.append((conv, int(ti), sid, i, j, subj, pred,
+                                     obj, round(p, 4)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (df.select("conv_id", "turn_idx", "text")
+              .mapInPandas(fn, schema=ML_TRIPLES_SCHEMA))

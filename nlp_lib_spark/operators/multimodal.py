@@ -1,0 +1,87 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Design per the build brief: image/audio/video travel as ``binary`` columns
+with typed metadata; decode / feature-extract / resize / frame-sample run as
+Arrow-batched ``mapInPandas`` operators. The actual codecs are NOT available
+in this container, so the decode step is STUBBED: ``mode="fake"`` produces a
+deterministic md5-derived feature vector (stable across runs/partitions, so
+the Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is fully real and testable); ``mode="real"`` raises ``NotImplementedError``
+at the exact seam where PIL/librosa/pyav decoding plugs in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+MEDIA_FEATURES_SCHEMA = ("media_id long, kind string, n_bytes int, "
+                         "features array<float>")
+
+_FEAT_DIM = 16
+
+
+def _fake_features(payload: bytes) -> list[float]:
+    """Deterministic stand-in feature vector: md5 bytes -> [-1, 1] floats."""
+    h = hashlib.md5(payload).digest()
+    return [round((b - 128) / 128.0, 6) for b in h[:_FEAT_DIM]]
+
+
+def extract_media_features(df: DataFrame, mode: str = "fake") -> DataFrame:
+    """media(media_id, kind, payload binary) -> feature vectors.
+
+    Batch shape: one Arrow batch in, one out; payload bytes never leave the
+    executor. Partitioning is inherited — repartition upstream by media_id
+    when payload sizes are skewed.
+    """
+    if mode not in ("fake", "real"):
+        raise ValueError(mode)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                # Plug point: PIL.Image.open / librosa.load / av.open
+                raise NotImplementedError(
+                    "real media decoding requires image/audio libs not "
+                    "present in this environment")
+            rows = []
+            for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
+                                          pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                rows.append((int(mid), kind, len(data),
+                             _fake_features(data)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes",
+                                              "features"])
+
+    return (df.select("media_id", "kind", "payload")
+              .mapInPandas(fn, schema=MEDIA_FEATURES_SCHEMA))
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10,
+                      mode: str = "fake") -> DataFrame:
+    """video -> sampled frame rows (media_id, frame_idx, frame_features).
+
+    Frame decode is stubbed like above; the explode shape (one input row ->
+    K frame rows) is real.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if mode == "real":
+                raise NotImplementedError("video decoding not available")
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload) if payload is not None else b""
+                n_frames = max(1, len(data) // 64)
+                for k in range(0, n_frames, every_n):
+                    rows.append((int(mid), k,
+                                 _fake_features(data + k.to_bytes(4, "big"))))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
+                                              "features"])
+
+    return (df.select("media_id", "payload")
+              .mapInPandas(fn, schema="media_id long, frame_idx int, "
+                                      "features array<float>"))

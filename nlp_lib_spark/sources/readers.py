@@ -1,0 +1,172 @@
+"""Corpus readers: the reference's on-disk formats as DataFrame sources.
+
+Formats (SURVEY.md §2.1 / FIXTURES.md §4):
+
+* IOB corpus — blank-line-separated sentences, one token per line,
+  ``Word\\tP1\\tP2\\tN1\\tN2`` (reader config ``ppi/MLExtractor.java:51``;
+  generic splitter ``io/GenericTextReader.java:24-87``). Entity tokens are
+  pre-blinded ``PROTEIN<k>``; P1/P2 (positives) and N1/N2 (negatives) carry
+  comma-separated pair ids.
+* tree files — one Penn-bracketed tree per sentence line
+  (``corpus/pdtb/PTBFileReader.java``); ``(ROOT)`` marks parse failures.
+* dep files — per sentence one line of tab-separated ``reln(w-G, w-D)``
+  with 1-based indices converted to 0-based, trailing apostrophes on copy
+  indices stripped (``ling/SimpleDependency.java:29-70``).
+* PDTB piped files — one relation per line, ``|``-separated columns
+  (``corpus/pdtb/PDTBPipedFileReader.java``).
+
+Each reader loads whole files (``wholetext``) so record boundaries survive,
+parses in an Arrow batch, and yields one row per sentence keyed by
+``(doc_id, sent_id)`` — the distributed replacement for the reference's
+4-aligned-files document loop (``ppi/MLExtractor.java:58-83``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_DEP_RE = re.compile(r"(.+?)\((.*), (.*)\)$")
+
+
+def _whole_files(spark: SparkSession, path: str) -> DataFrame:
+    return (spark.read.format("text").option("wholetext", "true").load(path)
+            .withColumn("file", F.input_file_name()))
+
+
+def _doc_id(file_uri: str) -> str:
+    return os.path.splitext(os.path.basename(file_uri))[0]
+
+
+IOB_SCHEMA = ("doc_id string, sent_id int, tokens array<string>, "
+              "p1 array<string>, p2 array<string>, "
+              "n1 array<string>, n2 array<string>")
+
+
+def read_iob_corpus(spark: SparkSession, path: str) -> DataFrame:
+    """``iob/*.txt`` -> (doc_id, sent_id, tokens, p1, p2, n1, n2)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for content, file in zip(pdf["value"], pdf["file"]):
+                doc = _doc_id(file)
+                for sid, block in enumerate(
+                        b for b in content.split("\n\n") if b.strip()):
+                    toks, p1, p2, n1, n2 = [], [], [], [], []
+                    for line in block.split("\n"):
+                        if not line.strip():
+                            continue
+                        parts = line.split("\t")
+                        parts += ["O"] * (5 - len(parts))
+                        toks.append(parts[0])
+                        p1.append(parts[1])
+                        p2.append(parts[2])
+                        n1.append(parts[3])
+                        n2.append(parts[4])
+                    rows.append((doc, sid, toks, p1, p2, n1, n2))
+            yield pd.DataFrame(rows, columns=["doc_id", "sent_id", "tokens",
+                                              "p1", "p2", "n1", "n2"])
+
+    return _whole_files(spark, path).mapInPandas(fn, schema=IOB_SCHEMA)
+
+
+def read_trees(spark: SparkSession, path: str) -> DataFrame:
+    """``trees/*.mrg`` -> (doc_id, sent_id, tree) one Penn tree per line."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for content, file in zip(pdf["value"], pdf["file"]):
+                doc = _doc_id(file)
+                for sid, line in enumerate(content.rstrip("\n").split("\n")):
+                    rows.append((doc, sid, line))
+            yield pd.DataFrame(rows, columns=["doc_id", "sent_id", "tree"])
+
+    return _whole_files(spark, path).mapInPandas(
+        fn, schema="doc_id string, sent_id int, tree string")
+
+
+def parse_dep(raw: str) -> tuple[str, int, int] | None:
+    """``reln(w1-G, w2-D)`` -> (reln, G-1, D-1); apostrophed copies kept."""
+    m = _DEP_RE.match(raw.strip())
+    if not m:
+        return None
+    reln, left, right = m.groups()
+
+    def idx(tok: str) -> int:
+        h = tok.rstrip("'")
+        return int(h[h.rindex("-") + 1:]) - 1
+
+    try:
+        return (reln, idx(left), idx(right))
+    except ValueError:
+        return None
+
+
+DEPS_SCHEMA = ("doc_id string, sent_id int, "
+               "edges array<struct<reln string, gov int, dep int>>")
+
+
+def read_deps(spark: SparkSession, path: str) -> DataFrame:
+    """``deps/*.dep`` -> (doc_id, sent_id, edges) per sentence line."""
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for content, file in zip(pdf["value"], pdf["file"]):
+                doc = _doc_id(file)
+                for sid, line in enumerate(content.rstrip("\n").split("\n")):
+                    edges = []
+                    for raw in line.split("\t"):
+                        if not raw.strip():
+                            continue
+                        e = parse_dep(raw)
+                        if e is not None:
+                            edges.append({"reln": e[0], "gov": e[1],
+                                          "dep": e[2]})
+                    rows.append((doc, sid, edges))
+            yield pd.DataFrame(rows, columns=["doc_id", "sent_id", "edges"])
+
+    return _whole_files(spark, path).mapInPandas(fn, schema=DEPS_SCHEMA)
+
+
+def read_pdtb_piped(spark: SparkSession, path: str,
+                    n_cols: int = 48) -> DataFrame:
+    """PDTB v2 piped file -> one row per relation with col_0..col_{n-1}."""
+    df = spark.read.text(path).withColumn("file", F.input_file_name())
+    cols = [F.split(F.col("value"), r"\|").getItem(i).alias(f"col_{i}")
+            for i in range(n_cols)]
+    return df.select(F.col("file"), *cols)
+
+
+def gold_pairs(iob: DataFrame) -> DataFrame:
+    """P1/P2 (label=1) and N1/N2 (label=0) pair-id joins -> gold pairs.
+
+    Distributed form of ``RunRelex.getGoldInteractionPairs``
+    (relx/ppi/RunRelex.java:154-181) / ``MLExtractor.getInteractionPairs``
+    (ppi/MLExtractor.java:336-377): explode comma-separated pair ids per
+    token position, equi-join P1-side to P2-side on (doc, sent, pair id).
+    """
+    def side(col1: str, col2: str, label: int):
+        a = (iob.select("doc_id", "sent_id",
+                        F.posexplode(col1).alias("pos1", "ids1"))
+             .filter(F.col("ids1") != "O")
+             .select("doc_id", "sent_id", "pos1",
+                     F.explode(F.split("ids1", ", ")).alias("pair_id")))
+        b = (iob.select("doc_id", "sent_id",
+                        F.posexplode(col2).alias("pos2", "ids2"))
+             .filter(F.col("ids2") != "O")
+             .select("doc_id", "sent_id", "pos2",
+                     F.explode(F.split("ids2", ", ")).alias("pair_id")))
+        return (a.join(b, ["doc_id", "sent_id", "pair_id"])
+                .select("doc_id", "sent_id",
+                        F.col("pos1").alias("e1"),
+                        F.col("pos2").alias("e2"),
+                        F.lit(label).alias("label")))
+
+    return side("p1", "p2", 1).union(side("n1", "n2", 0)).distinct()

@@ -1,0 +1,46 @@
+"""Structured-Streaming ingest: incremental triple extraction.
+
+The reference is strictly batch (SURVEY.md §2.8: no streaming operators);
+this is the engine's forward-looking ingest path: new transcript files land
+in a directory (Kafka topic in production), the same Arrow kernels run per
+micro-batch, triples append to the sink. Because ``extract_triples`` is a
+stateless per-row transform, it composes with ``readStream`` unchanged —
+watermarks/state only enter with cross-turn operators, which stay batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from nlp_lib_spark.kernels.pipeline import KGConfig
+from nlp_lib_spark.operators.extract import extract_triples
+
+TRANSCRIPTS_SCHEMA = T.StructType([
+    T.StructField("conv_id", T.StringType()),
+    T.StructField("turn_idx", T.IntegerType()),
+    T.StructField("role", T.StringType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("tool", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def stream_triples(spark: SparkSession, input_dir: str,
+                   config: KGConfig) -> DataFrame:
+    src = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+           .parquet(input_dir))
+    return extract_triples(src, config)
+
+
+def run_stream_once(spark: SparkSession, input_dir: str, config: KGConfig,
+                    query_name: str = "triples_stream") -> DataFrame:
+    """Drain all available files into a memory sink; return the result."""
+    q = (stream_triples(spark, input_dir, config)
+         .writeStream.outputMode("append")
+         .format("memory").queryName(query_name)
+         .trigger(availableNow=True)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

@@ -1,0 +1,64 @@
+"""Multimodal stub plumbing + streaming ingest parity with batch."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from nlp_lib_spark.fixtures import FIXTURE_CONFIG, generate_transcripts
+from nlp_lib_spark.operators.extract import extract_triples
+from nlp_lib_spark.operators.multimodal import (extract_media_features,
+                                                frame_sample_stub)
+from nlp_lib_spark.streaming.ingest import run_stream_once
+
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [(i, ["image", "audio", "video"][i % 3],
+             bytes([i % 251] * (64 + 64 * i))) for i in range(9)]
+    return spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+
+def test_media_features_deterministic(spark, media_df):
+    a = extract_media_features(media_df).toPandas().sort_values("media_id")
+    b = extract_media_features(media_df.repartition(4)).toPandas() \
+        .sort_values("media_id")
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+    assert (a.features.map(len) == 16).all()
+    assert (a.n_bytes > 0).all()
+
+
+def test_media_real_mode_is_stubbed(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        extract_media_features(media_df, mode="real").collect()
+    assert "NotImplementedError" in str(ei.value) or \
+        isinstance(ei.value, NotImplementedError)
+
+
+def test_frame_sampling_shape(spark, media_df):
+    out = frame_sample_stub(media_df, every_n=3).toPandas()
+    # one input row explodes into >= 1 frame rows
+    assert out.media_id.nunique() == 9
+    assert (out.frame_idx % 3 == 0).all()
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    turns, _ = generate_transcripts(n_convs=15, seed=3)
+    pdf = pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role",
+                                       "text", "tool", "ts_epoch"])
+    from pyspark.sql import functions as F
+    src = (spark.createDataFrame(pdf)
+           .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+           .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+           .drop("ts_epoch"))
+    in_dir = str(tmp_path / "stream_in")
+    src.write.mode("overwrite").parquet(in_dir)
+
+    streamed = run_stream_once(spark, in_dir, FIXTURE_CONFIG).toPandas()
+    batch = extract_triples(spark.read.parquet(in_dir),
+                            FIXTURE_CONFIG).toPandas()
+    key = ["conv_id", "turn_idx", "sent_id", "e1", "e2"]
+    pd.testing.assert_frame_equal(
+        streamed.sort_values(key).reset_index(drop=True),
+        batch.sort_values(key).reset_index(drop=True))

@@ -1,0 +1,82 @@
+"""Corpus readers round-trip + RunRelex-style rule evaluation."""
+
+from __future__ import annotations
+
+import pytest
+
+from nlp_lib_spark.fixtures import (FIXTURE_CONFIG, FIXTURE_DOMAIN,
+                                    generate_transcripts)
+from nlp_lib_spark.kernels.pipeline import annotate_sentence
+from nlp_lib_spark.kernels.text import split_sentences, strip_citations
+from nlp_lib_spark.operators.evaluate import rule_eval, write_ppi_corpus
+from nlp_lib_spark.sources.readers import (gold_pairs, parse_dep,
+                                           read_deps, read_iob_corpus,
+                                           read_trees)
+
+
+def test_parse_dep_format():
+    assert parse_dep("nsubj(interacts-3, hash-2)") == ("nsubj", 2, 1)
+    assert parse_dep("prep_with(binds-2, p53-5')") == ("prep_with", 1, 4)
+    assert parse_dep("garbage") is None
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    """Synthesize a PPI-corpus-shaped fixture from the generator gold."""
+    out = str(tmp_path_factory.mktemp("ppi_corpus"))
+    turns, gold = generate_transcripts(n_convs=25, seed=21)
+    gold_by_sent = {}
+    for (c, t, s, subj, pred, obj) in gold:
+        gold_by_sent.setdefault((c, t, s), []).append((subj, obj))
+    rt = FIXTURE_CONFIG.build()
+    rows = []
+    pair_seq = 0
+    for (c, t, _role, text, _tool, _ts) in turns:
+        doc_id = f"{c}_{t}"
+        for sid, sentence in enumerate(split_sentences(strip_citations(text))):
+            ann = annotate_sentence(rt, sentence, full=True)
+            toks = ann["blinded"]
+            n = len(toks)
+            p1, p2 = ["O"] * n, ["O"] * n
+            inv = {}
+            for k, tok in enumerate(toks):
+                for pid in tok.split("/"):
+                    if pid in ann["mapping"]:
+                        inv.setdefault(ann["mapping"][pid].lower(), k)
+            for (subj, obj) in gold_by_sent.get((c, t, sid), []):
+                i = inv.get(subj)
+                j = inv.get(obj)
+                if i is None or j is None:
+                    continue
+                pid = f"pr{pair_seq}"
+                pair_seq += 1
+                p1[i] = pid if p1[i] == "O" else p1[i] + ", " + pid
+                p2[j] = pid if p2[j] == "O" else p2[j] + ", " + pid
+            rows.append({
+                "doc_id": doc_id, "sent_id": sid, "tokens": toks,
+                "p1": p1, "p2": p2, "n1": ["O"] * n, "n2": ["O"] * n,
+                "edges": ann["edges"] or [],
+            })
+    write_ppi_corpus(rows, out)
+    return out
+
+
+def test_corpus_round_trip(spark, corpus_dir):
+    iob = read_iob_corpus(spark, f"{corpus_dir}/iob")
+    deps = read_deps(spark, f"{corpus_dir}/depsCC")
+    trees = read_trees(spark, f"{corpus_dir}/trees")
+    assert iob.count() == deps.count() == trees.count() > 0
+    g = gold_pairs(iob)
+    assert g.filter("label = 1").count() > 0
+    # a doc's tokens survive the round trip
+    row = iob.orderBy("doc_id", "sent_id").first()
+    assert row.tokens and all(isinstance(t, str) for t in row.tokens)
+
+
+def test_rule_eval_on_corpus(spark, corpus_dir):
+    iob = read_iob_corpus(spark, f"{corpus_dir}/iob")
+    deps = read_deps(spark, f"{corpus_dir}/depsCC")
+    res = rule_eval(iob, deps, FIXTURE_DOMAIN).collect()[0]
+    # rules must recover the planted gold pairs on the corpus shape too
+    assert res.recall_ >= 0.95, res
+    assert res.precision_ >= 0.90, res
