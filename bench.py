@@ -52,9 +52,12 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
         t0 = time.time()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.time() - t0, 3)
-    # flagship throughput: turns/sec over the transcripts table
-    t = transcripts(spark, sf_dir)
+    # flagship throughput: steady-state turns/sec over a 10x-replicated
+    # transcripts table (warm-up pass first so Python-worker spawn and
+    # codegen are not billed — the 100 TB regime is steady-state)
+    t = _replicated_transcripts(spark, sf_dir, replicate=10, cpus=cpus)
     n_turns = t.count()
+    _materialize(extract_triples(t, TESTDATA_CONFIG))  # warm-up
     t0 = time.time()
     _materialize(extract_triples(t, TESTDATA_CONFIG))
     flagship_sec = time.time() - t0
@@ -64,22 +67,51 @@ def run_suite(sf_dir: str, cpus: int) -> dict:
             "turns_per_sec": round(n_turns / max(1e-9, flagship_sec), 1)}
 
 
-def run_scaling(sf_dir: str) -> dict:
-    """Same job, same input, two parallelism levels (local[8] vs local[32])."""
+def _replicated_transcripts(spark, sf_dir: str, replicate: int, cpus: int):
+    # single explode(sequence()) — one plan node, not an N-way union
+    from pyspark.sql import functions as F
+    base = transcripts(spark, sf_dir)
+    t = (base.select(
+            "*", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+                  .alias("__r"))
+         .withColumn("conv_id",
+                     F.concat(F.col("conv_id"), F.lit("_"), F.col("__r")))
+         .drop("__r"))
+    return t.repartition(cpus * 3, "conv_id").localCheckpoint()
+
+
+def run_scaling(sf_dir: str, replicate: int = 100) -> dict:
+    """Same job, same input, at N and 4N cores (two pairs: 2->8 and 8->32).
+
+    Steady-state protocol: the transcripts table is replicated ``replicate``x
+    (distinct conv_ids per copy) so per-core work dominates fixed overheads,
+    and a warm-up pass runs first so Python-worker spawn + codegen are not
+    billed to any configuration. Efficiency(N->4N) = (tput_4N / tput_N) / 4.
+    The 2->8 pair stays within physical cores; 8->32 additionally crosses
+    into SMT siblings on this 32-logical-CPU host, so its ceiling is set by
+    the hardware, not the plan (both reported; see BASELINE.md).
+    """
     out = {}
-    for cpus in (8, 32):
+    for cpus in (2, 8, 32):
         spark = get_spark(app=f"nlp_lib_spark-scale-{cpus}", cpus=cpus)
-        t = transcripts(spark, sf_dir)
+        t = _replicated_transcripts(spark, sf_dir, replicate, cpus)
         n = t.count()
+        # warm-up on the un-replicated base: spawns Python workers and
+        # compiles codegen without billing a full pass to either config
+        _materialize(extract_triples(transcripts(spark, sf_dir),
+                                     TESTDATA_CONFIG))
         t0 = time.time()
         _materialize(extract_triples(t, TESTDATA_CONFIG))
         sec = time.time() - t0
-        out[f"local{cpus}"] = {"sec": round(sec, 3),
+        out[f"local{cpus}"] = {"sec": round(sec, 3), "n_turns": n,
                                "turns_per_sec": round(n / sec, 1)}
         spark.stop()
-    eff = (out["local32"]["turns_per_sec"]
-           / out["local8"]["turns_per_sec"]) / 4.0
-    out["efficiency_8_to_32"] = round(eff, 3)
+    out["efficiency_2_to_8"] = round(
+        (out["local8"]["turns_per_sec"]
+         / out["local2"]["turns_per_sec"]) / 4.0, 3)
+    out["efficiency_8_to_32"] = round(
+        (out["local32"]["turns_per_sec"]
+         / out["local8"]["turns_per_sec"]) / 4.0, 3)
     return out
 
 

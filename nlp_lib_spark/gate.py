@@ -132,6 +132,20 @@ def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_ml(t, TESTDATA_CONFIG, weights, bias)
 
 
+@gate("kg_clauses")  # clause/discourse segmentation — rows-only
+def q_kg_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.clauses import with_clauses
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return with_clauses(annotate_turns(t, TESTDATA_CONFIG))
+
+
+@gate("kg_entity_spans")  # BIO span decode over the gazetteer layer
+def q_kg_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.clauses import entity_spans
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return entity_spans(annotate_turns(t, TESTDATA_CONFIG))
+
+
 @gate("kg_triple_counts")  # aggregation over rule output — rows-only
 def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -253,6 +267,31 @@ def _minhash_cols(dialect: str) -> str:
     return ",\n       ".join(tmpl.format(sh=sh, h=h) for h in range(_N_HASHES))
 
 
+def _spark_minhash_sig(spark: SparkSession) -> DataFrame:
+    """Single-pass minhash: one aggregate computes all 8 signature slots.
+
+    One small expression tree (one md5 call site) instead of 8 copies of
+    the shingle pipeline — whole-stage codegen compiles in milliseconds
+    and each shingle is hashed exactly _N_HASHES times in one array pass.
+    """
+    mh_cols = ", ".join(f"mhs[{h}] AS mh{h}" for h in range(_N_HASHES))
+    return spark.sql(f"""
+WITH sh AS (
+  SELECT doc_id,
+         transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)),
+                   i -> array_join(slice(split(text, ' '), i, 3), ' ')) AS shingles
+  FROM documents
+), sig AS (
+  SELECT doc_id,
+         aggregate(shingles, array_repeat(repeat('g', 33), {_N_HASHES}),
+                   (acc, s) -> zip_with(acc, sequence(0, {_N_HASHES - 1}),
+                       (a, h) -> least(a, md5(concat(cast(h AS STRING), '|', s))))) AS mhs
+  FROM sh
+)
+SELECT doc_id, {mh_cols} FROM sig
+""")
+
+
 @gate("minhash_signatures", oracle=f"""
 SELECT doc_id,
        {_minhash_cols('duckdb')}
@@ -260,11 +299,7 @@ FROM documents
 """)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(f"""
-SELECT doc_id,
-       {_minhash_cols('spark')}
-FROM documents
-""")
+    return _spark_minhash_sig(spark)
 
 
 def _band_sql(table: str, dialect: str) -> str:
@@ -290,7 +325,7 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and shuffle the full band table twice.
     from pyspark.sql import functions as F
     register_views(spark, sf_dir)
-    sig = spark.sql(f"SELECT doc_id, {_minhash_cols('spark')} FROM documents")
+    sig = _spark_minhash_sig(spark)
     band_structs = ", ".join(
         f"named_struct('band_idx', {b}, 'band_val', md5(mh{2*b} || mh{2*b+1}))"
         for b in range(_N_HASHES // 2))
@@ -448,6 +483,67 @@ SELECT query_id, neighbor_id, sim FROM (
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
   FROM sims
 ) WHERE rnk <= 5
+""")
+
+
+# ---- LSH-bucketed ANN (scale path): random-hyperplane signs from md5 ----
+
+_N_PLANES = 8
+_EMB_DIM = 64
+
+
+@gate("ann_topk_lsh", oracle=f"""
+WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+b AS (
+  SELECT vec_id, emb,
+         array_to_string(list_transform(range(0, {_N_PLANES}), k ->
+           CASE WHEN list_sum(list_transform(range(0, {_EMB_DIM}), d ->
+                  emb[d + 1] * (CASE WHEN substr(md5(k || '_' || d), 1, 1) < '8'
+                                THEN 1.0 ELSE -1.0 END))) >= 0
+                THEN '1' ELSE '0' END), '') AS bucket
+  FROM e
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
+  FROM cand
+) WHERE rnk <= 3
+""")
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(f"""
+WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+           FROM embeddings),
+b AS (
+  SELECT vec_id, emb,
+         concat_ws('', transform(sequence(0, {_N_PLANES - 1}), k ->
+           CASE WHEN aggregate(sequence(0, {_EMB_DIM - 1}), 0D, (s, d) ->
+                  s + element_at(emb, d + 1) *
+                      (CASE WHEN substring(md5(concat(cast(k AS STRING), '_',
+                                                      cast(d AS STRING))), 1, 1) < '8'
+                       THEN 1.0D ELSE -1.0D END)) >= 0
+                THEN '1' ELSE '0' END)) AS bucket
+  FROM e
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
+               / (sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
+                  * sqrt(aggregate(c.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
+  FROM cand
+) WHERE rnk <= 3
 """)
 
 

@@ -20,6 +20,16 @@ from collections import deque
 
 Edge = tuple[str, int, int]  # (reln, gov, dep)
 
+_PAT_CACHE: dict[str, "re.Pattern[str]"] = {}
+
+
+def _pat(pattern: str) -> "re.Pattern[str]":
+    p = _PAT_CACHE.get(pattern)
+    if p is None:
+        p = re.compile(pattern)
+        _PAT_CACHE[pattern] = p
+    return p
+
 
 class DepGraph:
     __slots__ = ("edges", "_by_gov", "_by_dep", "_adj")
@@ -41,16 +51,19 @@ class DepGraph:
         es = self._by_gov.get(gov, [])
         if pattern is None:
             return es
-        return [e for e in es if re.fullmatch(pattern, e[0])]
+        p = _pat(pattern)
+        return [e for e in es if p.fullmatch(e[0])]
 
     def dep_edges(self, dep: int, pattern: str | None = None) -> list[Edge]:
         es = self._by_dep.get(dep, [])
         if pattern is None:
             return es
-        return [e for e in es if re.fullmatch(pattern, e[0])]
+        p = _pat(pattern)
+        return [e for e in es if p.fullmatch(e[0])]
 
     def edges_matching(self, pattern: str) -> list[Edge]:
-        return [e for e in self.edges if re.fullmatch(pattern, e[0])]
+        p = _pat(pattern)
+        return [e for e in self.edges if p.fullmatch(e[0])]
 
     def dependents(self, gov: int) -> list[int]:
         return [e[2] for e in self._by_gov.get(gov, [])]
@@ -85,6 +98,32 @@ class DepGraph:
             v = p
         labels.reverse()
         return labels
+
+    def lcs(self, a: int, b: int) -> int:
+        """Least common subsumer of two tokens by root-paths, cycle-guarded
+        (SimpleDepGraph.java:639-670). -1 when no common ancestor."""
+
+        def root_path(x: int) -> list[int]:
+            out = [x]
+            seen = {x}
+            cur = x
+            while True:
+                p = self.parent(cur)
+                if p == -1 or p in seen:
+                    break
+                out.append(p)
+                seen.add(p)
+                cur = p
+            return out
+
+        pa = root_path(a)
+        pb_set = {}
+        for k, n in enumerate(root_path(b)):
+            pb_set[n] = k
+        for n in pa:
+            if n in pb_set:
+                return n
+        return -1
 
     def path_edges(self, src: int, dst: int) -> list[Edge] | None:
         """Edges along the undirected shortest path (getPathAsRelnList)."""
@@ -127,8 +166,9 @@ class DepGraph:
                 nbrs = [(e[2], e[0]) for e in self._by_gov.get(v, [])]
             else:
                 nbrs = self._adj.get(v, [])
+            p = _pat(pattern) if pattern is not None else None
             for nxt, lab in nbrs:
-                if pattern is not None and not re.fullmatch(pattern, lab.lstrip("-")):
+                if p is not None and not p.fullmatch(lab.lstrip("-")):
                     continue
                 if nxt not in seen:
                     seen.add(nxt)

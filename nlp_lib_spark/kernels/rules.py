@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import re
 
-from nlp_lib_spark.kernels.depgraph import DepGraph, Edge
+from nlp_lib_spark.kernels.depgraph import DepGraph, Edge, _pat
 
 # RelexRule1.java:26-28
 _R1_PATH = r"dep|agent|.*comp|.*obj|advcl|(inf|part|rc)mod|prep.*|abbrev|parataxis"
@@ -31,6 +31,10 @@ _R2B_RE = re.compile(r"(PREP|REL|N)+(PREP)(REL|PREP|N)*PROT1(REL|N|PREP|PROT)+PR
 _R3_REACH = r"agent|prep_(of|by|to|on|for|in|through|with|between)|nn|amod"
 # RelexRule5.java:20
 _R5_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
+_R1_PREP_AGENT_RE = re.compile(r"prep_(of|from|like|including|in)")
+_R1_RCHEAD_RE = re.compile(r"similar|include(s|d)?|members?|identical|involve(s|d)?")
+_R2B_PREP_WORDS = frozenset(("of", "by", "to", "on", "for", "in", "through", "with"))
+_R5_GOV_RELNS = frozenset(("nn", "amod", "abbrev", "appos"))
 
 Pair = tuple[int, int]
 
@@ -184,7 +188,7 @@ def _r1_agents(subj: int, s: Sent, g: DepGraph, path: list[Edge]) -> set[int]:
     for path2 in prep_paths:
         prep_head = -1
         for reln, gv, dp in path2:
-            if re.fullmatch(r"prep_(of|from|like|including|in)", reln):
+            if _R1_PREP_AGENT_RE.fullmatch(reln):
                 prep_head = max(prep_head, dp)
         if prep_head != -1:
             agents.update(_entities_from_np(prep_head, s, g, _R1_AGENT_NP))
@@ -193,7 +197,7 @@ def _r1_agents(subj: int, s: Sent, g: DepGraph, path: list[Edge]) -> set[int]:
     for e in g.gov_edges(subj, r"rcmod"):
         dep = e[2]
         rc_head = s.tokens[dep].lower()
-        if dep != main_head and re.fullmatch(_R1_RCHEAD, rc_head):
+        if dep != main_head and _R1_RCHEAD_RE.fullmatch(rc_head):
             for rp in _paths_from_src(s, dep, r".*obj|prep.*", g, r".*obj|prep.*"):
                 for t in rp:
                     tmp = _entities_from_np(t[2], s, g, _R1_AGENT_NP)
@@ -214,9 +218,9 @@ def rule1(s: Sent, g: DepGraph) -> set[Pair]:
         targets: set[Pair] = set()
         for i in range(1, len(path)):
             reln, gv, head = path[i][0], path[i][1], path[i][2]
-            if re.fullmatch(r"rcmod", reln):
+            if reln == "rcmod":
                 rc_head = s.tokens[head].lower()
-                if not re.fullmatch(_R1_RCHEAD, rc_head) and s.domain[head] is None:
+                if not _R1_RCHEAD_RE.fullmatch(rc_head) and s.domain[head] is None:
                     break
             if not s.pos[head].startswith("NN"):
                 continue
@@ -236,7 +240,7 @@ def _r2_is_domain_specific(s: Sent, g: DepGraph, path: list[Edge]) -> bool:
     # *path index* i — a reference quirk we replicate)
     for i, (reln, gov, dep) in enumerate(path):
         gov_pos = s.pos[gov]
-        if re.fullmatch(r"N.*", gov_pos):
+        if gov_pos.startswith("N"):
             lo, hi = _np_chunk(gov, s, g)
             for j in range(lo, hi + 1):
                 if s.domain[j] is not None:
@@ -250,8 +254,8 @@ def rule2(s: Sent, g: DepGraph) -> set[Pair]:
     out: set[Pair] = set()
     for path in _all_paths_from_dep(s, g, _R2_PREP, _R2_PREP):
         for i, (reln, gov, dep) in enumerate(path):
-            if not re.fullmatch(r"NN.*", s.pos[gov]) or \
-               not re.fullmatch(r"NN.*", s.pos[dep]):
+            if not s.pos[gov].startswith("NN") or \
+               not s.pos[dep].startswith("NN"):
                 continue
             agents = set(_entities_from_np(gov, s, g, _R2_NP))
             targets = set(_entities_from_np(dep, s, g, _R2_NP))
@@ -279,12 +283,11 @@ def _r2b_sent_pattern(s: Sent, e1: int, e2: int) -> str:
             parts.append("PROT")
         elif s.domain[i] is not None:
             parts.append("REL")
-        elif re.fullmatch(r"[/,-]", tok):
+        elif len(tok) == 1 and tok in "/,-":
             parts.append(tok)
-        elif re.fullmatch(r"IN|TO", s.pos[i]) and \
-                re.fullmatch(r"of|by|to|on|for|in|through|with", tok):
+        elif s.pos[i] in ("IN", "TO") and tok in _R2B_PREP_WORDS:
             parts.append("PREP")
-        elif re.fullmatch(r"and|or", tok):
+        elif tok in ("and", "or"):
             parts.append("CONJ")
         elif s.pos[i].startswith("N"):
             parts.append("N")
@@ -316,8 +319,9 @@ def _r3_reachables(s: Sent, g: DepGraph, idx: int, domain_specific: bool,
         targets.add(idx)
     if not domain_specific and s.domain[idx] is not None:
         domain_specific = True
+    cp = None if pat == "*" else _pat(pat)
     for reln, gv, dp in g.gov_edges(idx):
-        if pat == "*" or re.fullmatch(pat, reln):
+        if cp is None or cp.fullmatch(reln):
             _r3_reachables(s, g, dp, domain_specific, pat, visited, targets)
 
 
@@ -333,15 +337,15 @@ def rule3(s: Sent, g: DepGraph) -> set[Pair]:
                     labels = g.path_labels(i, j)
                     if labels:
                         for k in range(1, len(labels)):
-                            if re.fullmatch(r"-?prep_between", labels[k]) and \
-                               re.fullmatch(r"-?prep_between", labels[k - 1]):
+                            if labels[k] in ("prep_between", "-prep_between") and \
+                               labels[k - 1] in ("prep_between", "-prep_between"):
                                 out.add((i, j))
                                 break
         if s.domain[i] is not None:
             domain_term_pos = i
     # (b) domain noun fan-out (java:44-55)
     for i in range(n):
-        if re.fullmatch(r"N.*", s.pos[i]) and s.domain[i] is not None:
+        if s.pos[i].startswith("N") and s.domain[i] is not None:
             targets: set[int] = set()
             _r3_reachables(s, g, i, True, _R3_REACH, set(), targets)
             for e1 in targets:
@@ -372,7 +376,7 @@ def rule5(s: Sent, g: DepGraph) -> set[Pair]:
                 out.add((i, i))
             elif _R5_RE.fullmatch(s.tokens[i]):
                 for reln, gov, dep in g.dep_edges(i):
-                    if re.fullmatch(r"nn|amod|abbrev|appos", reln) and \
+                    if reln in _R5_GOV_RELNS and \
                        s.domain[gov] is not None:
                         out.add((i, i))
                         break

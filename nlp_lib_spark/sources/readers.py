@@ -144,6 +144,54 @@ def read_pdtb_piped(spark: SparkSession, path: str,
     return df.select(F.col("file"), *cols)
 
 
+LLL_SCHEMA = ("record_id string, sentence string, "
+              "interactions array<struct<agent int, target int>>")
+
+
+def read_lll(spark: SparkSession, path: str) -> DataFrame:
+    """LLL-challenge records -> one row per instance.
+
+    Format (``relx/LLLDataReader.java:18-40`` / ``relx/LLLDataInstance.java``):
+    6-line records separated by blank/%-comment lines; ``ID\\t...``,
+    ``sentence\\t...``, ``genic_interactions\\tgenic_interaction(a,t)...``.
+    """
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for content, _file in zip(pdf["value"], pdf["file"]):
+                count = 0
+                buf: list[str] = []
+                for line in content.split("\n") + [""]:
+                    if line.startswith("%") or not line:
+                        if count == 6:
+                            rows.append(_parse_lll_record(buf))
+                        buf, count = [], 0
+                        continue
+                    buf.append(line)
+                    count += 1
+            yield pd.DataFrame(rows, columns=["record_id", "sentence",
+                                              "interactions"])
+
+    return _whole_files(spark, path).mapInPandas(fn, schema=LLL_SCHEMA)
+
+
+def _parse_lll_record(lines: list[str]) -> tuple:
+    rid, sentence, inters = "", "", []
+    for line in lines:
+        if line.startswith("ID"):
+            rid = line.split("\t")[1]
+        elif line.startswith("sentence"):
+            sentence = line.split("\t", 1)[1]
+        elif line.startswith("genic_interactions"):
+            for token in line.split("\t")[1:]:
+                lb, rb = token.index("("), token.index(")")
+                comma = token.index(",")
+                inters.append({"agent": int(token[lb + 1:comma]),
+                               "target": int(token[comma + 1:rb])})
+    return (rid, sentence, inters)
+
+
 def gold_pairs(iob: DataFrame) -> DataFrame:
     """P1/P2 (label=1) and N1/N2 (label=0) pair-id joins -> gold pairs.
 

@@ -1,0 +1,111 @@
+"""Golden tests: BIO decode, Penn-tree utilities, clause spans, dep LCS, LLL."""
+
+from __future__ import annotations
+
+from nlp_lib_spark.kernels.bio import decode_bio
+from nlp_lib_spark.kernels.clauses import clause_spans
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.postag import pos_tag
+from nlp_lib_spark.kernels.tree import (gorn_address, gorn_node, head_leaf,
+                                        label_path, lca, leaf_position,
+                                        leaves, parse_penn)
+
+PENN = "(ROOT (S (NP (DT the) (NN dog)) (VP (VBZ chases) (NP (DT a) (NN cat)))))"
+
+
+def test_decode_bio():
+    assert decode_bio(["B-NP", "I-NP", "O", "B-VP"]) == \
+        [(0, 1, "NP"), (3, 3, "VP")]
+    # lenient orphan I- opens a span (Chunk.java:56-84 behavior)
+    assert decode_bio(["I-NP", "O"]) == [(0, 0, "NP")]
+    assert decode_bio(["B-NP", "I-VP"]) == [(0, 0, "NP"), (1, 1, "VP")]
+    assert decode_bio(["O", "O"]) == []
+    assert decode_bio(["B-X", "I-X"]) == [(0, 1, "X")]
+
+
+def test_parse_penn_and_leaves():
+    root = parse_penn(PENN)
+    assert root is not None and root.label == "ROOT"
+    lv = leaves(root)
+    assert [l.word for l in lv] == ["the", "dog", "chases", "a", "cat"]
+    assert [l.label for l in lv] == ["DT", "NN", "VBZ", "DT", "NN"]
+    # parse-failure marker parses to childless root
+    assert parse_penn("(ROOT)").label == "ROOT"
+    assert parse_penn("((broken") is None
+
+
+def test_gorn_round_trip():
+    root = parse_penn(PENN)
+    for node in leaves(root):
+        addr = gorn_address(root, node)
+        assert gorn_node(root, addr) is node
+
+
+def test_lca_and_path():
+    root = parse_penn(PENN)
+    node = lca(root, 0, 1)
+    assert node.label == "NP"
+    node2 = lca(root, 1, 4)
+    assert node2.label == "S"
+    lv = leaves(root)
+    path = label_path(root, lv[1], lv[4])
+    assert path[0] == "NN" and path[-1] == "NN" and "S" in path
+
+
+def test_head_rules():
+    root = parse_penn(PENN)
+    lv = leaves(root)
+    # S head -> VP -> chases
+    s_node = root.children[0]
+    assert head_leaf(s_node).word == "chases"
+    np = s_node.children[0]
+    assert head_leaf(np).word == "dog"
+    assert leaf_position(root, lv[2]) == 2
+
+
+def test_clause_spans():
+    toks = "the deal closed because the price was right .".split()
+    pos = pos_tag(toks)
+    spans = clause_spans(toks, pos)
+    assert spans[0][0] == 0
+    assert any(s == 3 for s, _ in spans)  # clause at 'because'
+    assert spans[-1][1] == len(toks) - 1
+    assert clause_spans([], []) == []
+    # bare NP coordination does NOT split
+    toks2 = "the cat and the dog slept .".split()
+    spans2 = clause_spans(toks2, pos_tag(toks2))
+    assert len(spans2) == 1
+
+
+def test_dep_lcs():
+    g = DepGraph([("nsubj", 2, 0), ("dobj", 2, 4), ("det", 4, 3)])
+    assert g.lcs(0, 3) == 2
+    assert g.lcs(3, 4) == 4
+    assert g.lcs(0, 5) == -1
+
+
+def test_read_lll(spark, tmp_path):
+    content = """ID\tabc-1
+sentence\tGerE binds to cotD .
+words\tword(0,'GerE',0,3)
+lemmas\tlemma(0,'gere')
+syntactic_relations\trel
+genic_interactions\tgenic_interaction(0,3)
+
+% comment
+ID\tabc-2
+sentence\tnothing here .
+words\tw
+lemmas\tl
+syntactic_relations\tr
+genic_interactions\tgenic_interaction(1,2)\tgenic_interaction(2,4)
+"""
+    p = tmp_path / "lll.txt"
+    p.write_text(content)
+    from nlp_lib_spark.sources.readers import read_lll
+    df = read_lll(spark, str(p)).orderBy("record_id").collect()
+    assert len(df) == 2
+    assert df[0].record_id == "abc-1"
+    assert df[0].interactions == [{"agent": 0, "target": 3}] or \
+        [(i.agent, i.target) for i in df[0].interactions] == [(0, 3)]
+    assert len(df[1].interactions) == 2
