@@ -110,11 +110,217 @@ FROM __t
 """)
 
 
-@gate("kg_mentions")  # sequential gazetteer scan — pytest-oracled, rows-only here
+def _mention_oracle_sql() -> str:
+    """DuckDB recursive-CTE replica of the gazetteer scan.
+
+    The prefix-extension match with the consume quirk
+    (EntityLexicon.tagIOB, main/WBioRelEx.java:446-476) is a sequential
+    state machine; with a <=2-word lexicon the transition from position i
+    depends only on membership of token i and bigram (i, i+1):
+    no match -> i+1; B only -> mention (i,i), consume i+1, resume i+2;
+    B+I -> mention (i,i+1), consume i+2, resume i+3. That linear chain is
+    exactly a recursive CTE — giving the signature NLP operator a full
+    value-hash oracle.
+    """
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    prefix: set[str] = set()
+    for e in TESTDATA_ENTITIES:
+        toks = e.lower().split()
+        w = toks[0]
+        prefix.add(w)
+        for t in toks[1:]:
+            w = w + " " + t
+            prefix.add(w)
+    lex_vals = ", ".join(f"('{w}')" for w in sorted(prefix))
+    return f"""
+WITH RECURSIVE lex(word) AS (VALUES {lex_vals}),
+t0 AS ({_DUCK_TRANSCRIPTS}),
+t AS (  -- citation strip (WBioRelEx.java:293) before sentence split
+  SELECT conv_id, turn_idx,
+         regexp_replace(text, '\\[[\\s\\d,;-]+\\]', '', 'g') AS text
+  FROM t0
+),
+s AS (
+  SELECT conv_id, turn_idx,
+         generate_subscripts(regexp_extract_all(text, '{SENT_PAT}'), 1) - 1 AS sent_id,
+         trim(unnest(regexp_extract_all(text, '{SENT_PAT}'))) AS sentence
+  FROM t
+),
+tok AS (
+  SELECT conv_id, turn_idx, sent_id,
+         generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w, len(toks) AS n
+  FROM (SELECT conv_id, turn_idx, sent_id,
+               regexp_extract_all(sentence, '{TOK_PAT_DUCK}') AS toks FROM s)
+),
+step(conv_id, turn_idx, sent_id, i, ms, me, mtext) AS (
+  SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT, NULL::VARCHAR
+  FROM (SELECT DISTINCT conv_id, turn_idx, sent_id FROM tok) anchors
+  UNION ALL
+  SELECT q.conv_id, q.turn_idx, q.sent_id,
+         CASE WHEN NOT q.m1 THEN q.i + 1 WHEN q.m2 THEN q.i + 3 ELSE q.i + 2 END,
+         CASE WHEN q.m1 THEN q.i ELSE NULL END,
+         CASE WHEN NOT q.m1 THEN NULL WHEN q.m2 THEN q.i + 1 ELSE q.i END,
+         CASE WHEN NOT q.m1 THEN NULL WHEN q.m2 THEN q.w1 || ' ' || q.w2 ELSE q.w1 END
+  FROM (
+    SELECT st.conv_id, st.turn_idx, st.sent_id, st.i, t1.n,
+           t1.w AS w1, t2.w AS w2,
+           EXISTS (SELECT 1 FROM lex WHERE word = lower(t1.w)) AS m1,
+           (t2.w IS NOT NULL AND EXISTS (
+              SELECT 1 FROM lex WHERE word = lower(t1.w) || ' ' || lower(t2.w))) AS m2
+    FROM step st
+    JOIN tok t1 ON t1.conv_id = st.conv_id AND t1.turn_idx = st.turn_idx
+                AND t1.sent_id = st.sent_id AND t1.pos = st.i
+    LEFT JOIN tok t2 ON t2.conv_id = st.conv_id AND t2.turn_idx = st.turn_idx
+                AND t2.sent_id = st.sent_id AND t2.pos = st.i + 1
+  ) q
+)
+SELECT conv_id, turn_idx, sent_id,
+       'PROTEIN' || CAST(row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
+                                            ORDER BY ms) - 1 AS VARCHAR) AS mention_id,
+       mtext AS mention_text
+FROM step WHERE ms IS NOT NULL
+"""
+
+
+@gate("kg_mentions", oracle=_mention_oracle_sql())
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir, with_ts=False)
     ann = annotate_turns(t, TESTDATA_CONFIG)
     return mentions_from_annotations(ann)
+
+
+def _blinded_oracle_sql() -> str:
+    """Entity blinding (prepare, WBioRelEx.java:248-284) as SQL: rebuild the
+    blinded token string from the gazetteer state machine's mention spans."""
+    base = _mention_oracle_sql()
+    head, _tail = base.rsplit("SELECT conv_id, turn_idx, sent_id,", 1)
+    return head.rstrip() + """,
+mention AS (
+  SELECT conv_id, turn_idx, sent_id, ms, me,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
+                            ORDER BY ms) - 1 AS k
+  FROM step WHERE ms IS NOT NULL
+),
+-- simplify (WBioRelEx.java:103-128): drop a paren span containing no
+-- PROTEIN placeholder, applied only when >=2 entities (java:310-311).
+-- This corpus has at most one paren pair per sentence.
+paren AS (
+  SELECT ss.conv_id, ss.turn_idx, ss.sent_id, ss.lb,
+         coalesce((SELECT min(t2.pos) FROM tok t2
+                   WHERE t2.conv_id = ss.conv_id AND t2.turn_idx = ss.turn_idx
+                     AND t2.sent_id = ss.sent_id AND t2.w = ')'
+                     AND t2.pos > ss.lb), ss.mx) AS rb
+  FROM (SELECT conv_id, turn_idx, sent_id,
+               min(CASE WHEN w = '(' THEN pos END) AS lb, max(pos) AS mx
+        FROM tok GROUP BY 1, 2, 3) ss
+  WHERE ss.lb IS NOT NULL
+),
+drop_span AS (
+  SELECT p.conv_id, p.turn_idx, p.sent_id, p.lb, p.rb
+  FROM paren p
+  WHERE NOT EXISTS (SELECT 1 FROM mention m
+                    WHERE m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx
+                      AND m.sent_id = p.sent_id
+                      AND m.ms > p.lb AND m.ms < p.rb)
+    AND (SELECT count(*) FROM mention m2
+         WHERE m2.conv_id = p.conv_id AND m2.turn_idx = p.turn_idx
+           AND m2.sent_id = p.sent_id) >= 2
+)
+SELECT t.conv_id, t.turn_idx, t.sent_id,
+       string_agg(CASE WHEN m1.ms IS NOT NULL THEN 'PROTEIN' || CAST(m1.k AS VARCHAR)
+                       ELSE t.w END, ' ' ORDER BY t.pos) AS blinded_text,
+       CAST(count(m1.ms) AS INT) AS entity_count
+FROM tok t
+LEFT JOIN mention m1 ON m1.conv_id = t.conv_id AND m1.turn_idx = t.turn_idx
+     AND m1.sent_id = t.sent_id AND m1.ms = t.pos
+LEFT JOIN mention m2 ON m2.conv_id = t.conv_id AND m2.turn_idx = t.turn_idx
+     AND m2.sent_id = t.sent_id AND t.pos > m2.ms AND t.pos <= m2.me
+LEFT JOIN drop_span d ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+     AND d.sent_id = t.sent_id AND t.pos BETWEEN d.lb AND d.rb
+WHERE m2.ms IS NULL AND d.lb IS NULL
+GROUP BY t.conv_id, t.turn_idx, t.sent_id
+"""
+
+
+@gate("kg_blinded", oracle=None)
+def q_kg_blinded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+    return ann.select(
+        "conv_id", "turn_idx", "sent_id",
+        F.array_join("blinded", " ").alias("blinded_text"),
+        F.col("entity_count"))
+
+
+ORACLES["kg_blinded"] = _blinded_oracle_sql()
+
+
+def _stem_sql(col: str) -> str:
+    """SQL replica of kernels/stem.stem (ordered longest-suffix strip)."""
+    from nlp_lib_spark.kernels.stem import _MIN_STEM, _SUFFIXES
+    whens = []
+    for suf in _SUFFIXES:
+        n = len(suf)
+        whens.append(
+            f"WHEN {col} LIKE '%{suf}' AND length({col}) - {n} >= {_MIN_STEM} "
+            f"THEN substr({col}, 1, length({col}) - {n})")
+    return "CASE " + " ".join(whens) + f" ELSE {col} END"
+
+
+def _domain_oracle_sql() -> str:
+    """DOMAIN annotation (BioDomainAnnotator.java:62-95) over the blinded
+    stream: exact dict hit -> token, else stem hit -> stem, else hyphen
+    parts (last matching wins). Aggregated (token, domain_val, n)."""
+    from nlp_lib_spark.kernels.domain import DomainAnnotator
+    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
+    terms = sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms)
+    vals = ", ".join(f"('{t}')" for t in terms)
+    base = _blinded_oracle_sql()
+    head, _tail = base.rsplit("SELECT t.conv_id, t.turn_idx, t.sent_id,", 1)
+    w = "lower(t.w)"
+    stem_w = _stem_sql(w)
+    # NOTE: the hyphen-part fallback branch (java:73-84) is dead on this
+    # corpus (the derived vocabulary has no hyphenated tokens); the kernel's
+    # hyphen logic is pytest-covered (tests/test_kernels.py).
+    return head.rstrip() + f""",
+dterms(term) AS (VALUES {vals}),
+stream AS (
+  SELECT t.conv_id, t.turn_idx, t.sent_id, t.w
+  FROM tok t
+  LEFT JOIN mention m2 ON m2.conv_id = t.conv_id AND m2.turn_idx = t.turn_idx
+       AND m2.sent_id = t.sent_id AND t.pos > m2.ms AND t.pos <= m2.me
+  LEFT JOIN mention m1 ON m1.conv_id = t.conv_id AND m1.turn_idx = t.turn_idx
+       AND m1.sent_id = t.sent_id AND m1.ms = t.pos
+  LEFT JOIN drop_span d ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+       AND d.sent_id = t.sent_id AND t.pos BETWEEN d.lb AND d.rb
+  WHERE m2.ms IS NULL AND d.lb IS NULL AND m1.ms IS NULL
+)
+SELECT w AS token, dval AS domain_val, count(*) AS n FROM (
+  SELECT t.w,
+    CASE WHEN EXISTS (SELECT 1 FROM dterms WHERE term = {w}) THEN {w}
+         WHEN EXISTS (SELECT 1 FROM dterms WHERE term = {stem_w}) THEN {stem_w}
+         ELSE NULL END AS dval
+  FROM stream t
+) z WHERE dval IS NOT NULL
+GROUP BY w, dval
+"""
+
+
+@gate("kg_domain_tags")
+def q_kg_domain_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+    z = (ann.select(F.explode(F.arrays_zip("blinded", "domain")).alias("p"))
+         .select(F.col("p.blinded").alias("token"),
+                 F.col("p.domain").alias("domain_val"))
+         .filter(F.col("domain_val") != ""))
+    return z.groupBy("token", "domain_val").agg(
+        F.count(F.lit(1)).alias("n"))
+
+
+ORACLES["kg_domain_tags"] = _domain_oracle_sql()
 
 
 @gate("kg_triples")  # rule engine — pytest-oracled, rows-only here

@@ -1,0 +1,130 @@
+"""Hypothesis property tests for the pure-Python kernels (no Spark)."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nlp_lib_spark.kernels.bio import decode_bio
+from nlp_lib_spark.kernels.blind import blind
+from nlp_lib_spark.kernels.clauses import clause_spans
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.gazetteer import Gazetteer
+from nlp_lib_spark.kernels.postag import pos_tag
+from nlp_lib_spark.kernels.simplify import simplify
+from nlp_lib_spark.kernels.stem import stem
+from nlp_lib_spark.kernels.text import split_sentences, tokenize
+
+WORDS = st.sampled_from(
+    ["the", "a", "spark", "hash", "join", "table", "scan", "binds", "to",
+     "interacts", "with", "(", ")", ".", ",", "because", "however", "p53",
+     "raf", "kinase", "not", "and", "x-y", "a/b"])
+TOKEN_LISTS = st.lists(WORDS, min_size=0, max_size=30)
+
+GAZ = Gazetteer(["spark", "hash join", "raf kinase", "p53", "a", "b"])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" abcdehijk.!?()[]/-'", max_size=120))
+def test_sentences_cover_nonspace(text):
+    sents = split_sentences(text)
+    # every non-space, non-terminal char is preserved in order (runs made
+    # only of .!? are dropped by design — matching the SQL-oracle regex)
+    def clean(s: str) -> str:
+        return "".join(c for c in s if not c.isspace() and c not in ".!?")
+    assert "".join(clean(s) for s in sents) == clean(text)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=" abcde0-/'().", max_size=80))
+def test_tokenize_preserves_nonspace(text):
+    toks = tokenize(text)
+    assert "".join(toks) == "".join(text.split())
+
+
+@settings(max_examples=300, deadline=None)
+@given(TOKEN_LISTS)
+def test_gazetteer_shape_and_membership(tokens):
+    tags = GAZ.tag_iob(tokens)
+    assert len(tags) == len(tokens)
+    for i, t in enumerate(tags):
+        if t == "B-PROTEIN":
+            assert tokens[i].lower() in GAZ.prefix_set
+        if t == "I-PROTEIN":
+            assert i > 0 and tags[i - 1] in ("B-PROTEIN", "I-PROTEIN")
+
+
+@settings(max_examples=300, deadline=None)
+@given(TOKEN_LISTS)
+def test_blind_reconstruction(tokens):
+    tags = GAZ.tag_iob(tokens)
+    blinded, mapping, count = blind(tokens, tags)
+    # every mapping surface is a space-join of contiguous input tokens
+    src = " ".join(tokens)
+    for surface in mapping.values():
+        assert surface in src
+    n_b = sum(1 for t in tags if t in ("B-PROTEIN",))
+    n_fused = sum(len(tokens[i].split("/")) for i, t in enumerate(tags)
+                  if t == "B-FUSED")
+    assert count == n_b + n_fused
+    assert len(mapping) == count
+
+
+@settings(max_examples=300, deadline=None)
+@given(TOKEN_LISTS)
+def test_simplify_subsequence(tokens):
+    out = simplify(tokens)
+    it = iter(tokens)
+    assert all(any(tok == x for x in it) for tok in out)  # subsequence
+
+
+@settings(max_examples=300, deadline=None)
+@given(TOKEN_LISTS.filter(lambda t: len(t) > 0))
+def test_clause_spans_partition(tokens):
+    pos = pos_tag(tokens)
+    spans = clause_spans(tokens, pos)
+    assert spans[0][0] == 0
+    assert spans[-1][1] == len(tokens) - 1
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert e1 + 1 == s2  # contiguous, non-overlapping
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                max_size=25))
+def test_depgraph_path_symmetry(pairs):
+    edges = [("r", a, b) for a, b in pairs if a != b]
+    g = DepGraph(edges)
+    for (a, b) in pairs[:5]:
+        p1 = g.path_labels(a, b)
+        p2 = g.path_labels(b, a)
+        assert (p1 is None) == (p2 is None)
+        if p1 is not None:
+            assert len(p1) == len(p2)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="abcdefgrstion", min_size=1, max_size=20))
+def test_stem_contracts(w):
+    s = stem(w)
+    assert len(s) <= len(w)
+    assert s == s.lower()
+    assert w.lower().startswith(s) or s == w.lower()
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.lists(st.sampled_from(["O", "B-NP", "I-NP", "B-VP", "I-VP"]),
+                max_size=25))
+def test_decode_bio_wellformed(tags):
+    spans = decode_bio(tags)
+    covered = set()
+    for (s, e, typ) in spans:
+        assert 0 <= s <= e < len(tags)
+        assert typ in ("NP", "VP")
+        for k in range(s, e + 1):
+            assert k not in covered  # non-overlapping
+            covered.add(k)
+    # every tagged position is covered
+    for i, t in enumerate(tags):
+        if t != "O":
+            assert i in covered
