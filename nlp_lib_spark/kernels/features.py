@@ -81,4 +81,10 @@ def pair_features(tokens: list[str], pos: list[str],
             cpath.append("o:")
     f.append(f"DEP_PATH_LEN={min(len(path), 10)}")
     f.append("CPATH=" + "".join(cpath))
+
+    # FORM-TYPE (PPIPipe v1, ppi/PPIPipe.java:44-73 via RuleExtractor.check)
+    from nlp_lib_spark.kernels.rules import form_type
+    ft = form_type(tokens, pos, domain, g.edges, e1, e2)
+    if ft != -1:
+        f.append(f"FORM-TYPE={ft}")
     return sorted(set(f))

@@ -383,6 +383,122 @@ def rule5(s: Sent, g: DepGraph) -> set[Pair]:
     return out
 
 
+# ------------------------------------------------- surface form typing
+# ppi/RuleExtractor.java:39-43 — the five surface-form patterns over the
+# RELV/RELN-distinguished token-class string (getSentPattern, java:236-255).
+_FORM1_RE = re.compile(r"PROTEIN[0-9]+.*RELV.*PROTEIN[0-9]+")
+_FORM2_RE = re.compile(r"PROTEIN[0-9]+.*REL.*PROTEIN[0-9]+")
+_FORM3_RE = re.compile(r"RELN\.PREP.*PROTEIN[0-9]+.*PROTEIN[0-9]+")
+_FORM4_RE = re.compile(r"PROTEIN[0-9]+([/-])?PROTEIN[0-9]+")
+_FORM5_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+.*REL")
+_FORM3_REACH = r"agent|prep.*|appos|abbrev|nn|amod|dep"
+
+
+def _form_sent_pattern(s: Sent, e1: int, e2: int) -> str:
+    # RuleExtractor.getSentPattern (java:236-255): '.'-joined classes,
+    # entity tokens verbatim, DOMAIN tokens as RELV/RELN by POS initial
+    parts: list[str] = []
+    for i in range(len(s)):
+        tok = s.tokens[i]
+        if i == e1 or i == e2:
+            parts.append(tok)
+        elif s.domain[i] is not None:
+            parts.append("REL" + (s.pos[i][:1] or "W"))
+        elif len(tok) == 1 and tok in "/,-":
+            parts.append(tok)
+        elif s.pos[i] in ("IN", "TO"):
+            parts.append("PREP")
+        elif tok in ("and", "or"):
+            parts.append("CONJ")
+        else:
+            parts.append("W")
+        parts.append(".")
+    return "".join(parts)
+
+
+def _form_negated(idx: int, g: DepGraph) -> bool:
+    return bool(g.gov_edges(idx, r"neg"))
+
+
+def form_type(tokens: list[str], pos: list[str], domain: list[str | None],
+              edges: list[Edge], e1: int, e2: int) -> int:
+    """Surface form 1-5 of a candidate pair, -1 when none
+    (RuleExtractor.check, java:46-54; first match wins)."""
+    s = Sent(tokens, pos, domain)
+    g = DepGraph(edges)
+    sp = _form_sent_pattern(s, e1, e2)
+    path = g.path_edges(e1, e2) if e1 != e2 else None
+    # form 1 (java:55-92): verbal REL + subj edge with mid-pair DOMAIN end
+    if _FORM1_RE.search(sp) and path is not None:
+        for (reln, gov, dep) in path:
+            if reln in ("nsubj", "nsubjpass"):
+                if _form_negated(gov, g) or _form_negated(dep, g):
+                    break
+                if e1 < gov < e2 and s.domain[gov] is not None:
+                    return 1
+                if e1 < dep < e2 and s.domain[dep] is not None:
+                    return 1
+    # form 2 (java:94-131): relaxed — any REL; flag after subj/rcmod edge
+    if _FORM2_RE.search(sp) and path is not None:
+        flg = False
+        neg = False
+        for (reln, gov, dep) in path:
+            if reln in ("nsubj", "nsubjpass", "rcmod"):
+                flg = True
+            if _form_negated(gov, g) or _form_negated(dep, g):
+                neg = True
+                break
+            if flg and e1 < gov < e2 and s.domain[gov] is not None:
+                return 2
+            if flg and e1 < dep < e2 and s.domain[dep] is not None:
+                return 2
+        del neg
+    # form 3 (java:132-172): nominal REL + PREP, reachability to both
+    if _FORM3_RE.search(sp):
+        for i in range(e1):
+            if s.pos[i].startswith("N") and s.domain[i] is not None:
+                targets: set[int] = set()
+                _r3_reachables(s, g, i, True, _FORM3_REACH, set(), targets)
+                if e1 in targets and e2 in targets:
+                    return 3
+    # form 4 (java:208-224): fused token with DOMAIN right neighbor
+    if e1 == e2 and e1 < len(s) - 1:
+        if _FORM4_RE.fullmatch(s.tokens[e1]) and s.domain[e1 + 1] is not None:
+            return 4
+    # form 5 (java:225-235): trailing REL within 6 tokens of e1
+    if _FORM5_RE.search(sp):
+        for i in range(e1 + 1, min(len(s), e1 + 6)):
+            if s.domain[i] is not None:
+                return 5
+    return -1
+
+
+# --------------------------------- candidate generation (experimental path)
+def rel_candidates(tokens: list[str], pos: list[str],
+                   domain: list[str | None],
+                   edges: list[Edge]) -> set[Pair]:
+    """RelCandidateExtractor (ppi/RelCandidateExtractor.java:28-146):
+    seeds = rcmod|.*subj|.*subjpass edges; BFS reachable sets from gov and
+    dep; all cross pairs of PROTEIN tokens, form-checked. Used as a recall
+    filter ahead of the classifier."""
+    s = Sent(tokens, pos, domain)
+    g = DepGraph(edges)
+    out: set[Pair] = set()
+    for (reln, gov, dep) in g.edges_matching(r"rcmod|.*subj|.*subjpass"):
+        left = {i for i in g.reachable(dep, False, 10) | {dep}
+                if s.is_protein(i)}
+        right = {i for i in g.reachable(gov, False, 100) | {gov}
+                 if s.is_protein(i)}
+        for a in left:
+            for b in right:
+                if a == b:
+                    continue
+                i, j = (a, b) if a < b else (b, a)
+                if form_type(tokens, pos, domain, edges, i, j) != -1:
+                    out.add((i, j))
+    return out
+
+
 # -------------------------------------------------------------------- union
 def predict_interactions(tokens: list[str], pos: list[str],
                          domain: list[str | None],

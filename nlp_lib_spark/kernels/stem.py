@@ -8,6 +8,8 @@ distributed pipeline, which is all parity requires.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 _SUFFIXES = (
     "ations", "ation", "ities", "ingly", "ings", "ions", "ion", "ies",
     "ing", "ed", "es", "e", "s", "ly",
@@ -16,6 +18,7 @@ _SUFFIXES = (
 _MIN_STEM = 3
 
 
+@lru_cache(maxsize=65536)
 def stem(word: str) -> str:
     w = word.lower()
     for suf in _SUFFIXES:

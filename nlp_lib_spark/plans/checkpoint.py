@@ -123,3 +123,46 @@ def kg_stages(sf_dir: str, config) -> list[Stage]:
     return [Stage("transcripts", s_transcripts),
             Stage("annotations", s_annotations, deps=("transcripts",)),
             Stage("triples", s_triples, deps=("transcripts",))]
+
+
+def full_kg_stages(sf_dir: str, config, dictionary: tuple[str, ...]) -> list[Stage]:
+    """The complete KG-construction DAG (SURVEY.md §7 stage list):
+
+    transcripts -> annotations -> triples -> discourse -> hor_edges
+    -> entity canonical map -> nodes + edges. Every stage checkpoints with
+    per-partition lineage, so a kill anywhere resumes exactly.
+    """
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.discourse import (discourse_relations,
+                                                   hor_edges)
+    from nlp_lib_spark.operators.extract import mentions_from_annotations
+    from nlp_lib_spark.operators.graph import canonical_map, materialize_graph
+
+    def s_discourse(spark, outs):
+        return discourse_relations(outs["annotations"])
+
+    def s_hor(spark, outs):
+        return hor_edges(outs["discourse"], outs["triples"])
+
+    def s_cmap(spark, outs):
+        mentions = mentions_from_annotations(outs["annotations"])
+        ddf = spark.createDataFrame([(e,) for e in dictionary],
+                                    "entity string")
+        return canonical_map(mentions, ddf)
+
+    def s_nodes(spark, outs):
+        nodes, _edges = materialize_graph(outs["triples"], outs["cmap"])
+        return nodes
+
+    def s_edges(spark, outs):
+        _nodes, edges = materialize_graph(outs["triples"], outs["cmap"])
+        return edges.withColumn("weight", F.col("weight").cast("long"))
+
+    return kg_stages(sf_dir, config) + [
+        Stage("discourse", s_discourse, deps=("annotations",)),
+        Stage("hor_edges", s_hor, deps=("discourse", "triples")),
+        Stage("cmap", s_cmap, deps=("annotations",)),
+        Stage("nodes", s_nodes, deps=("triples", "cmap")),
+        Stage("edges", s_edges, deps=("triples", "cmap")),
+    ]
