@@ -26,15 +26,21 @@ from nlp_lib_spark.operators.extract import extract_triples  # noqa: E402
 from nlp_lib_spark.operators.transcripts import transcripts  # noqa: E402
 from nlp_lib_spark.session import get_spark  # noqa: E402
 
+# Iterative/stateful queries (CC rounds hold localCheckpoint blocks while
+# running) go LAST so they cannot inflate the stateless measurements.
 HEADLINE = (
     "kg_triples",          # flagship: full annotate->extract chain
     "kg_mentions",         # staged annotation + mention explode
+    "kg_conversations",    # conversation assembly (ordering invariant)
+    "kg_discourse",        # connective stack + cross-turn window
     "kg_token_stats",      # JVM-side regex token/sentence stats
     "minhash_lsh_pairs",   # MinHash+LSH near-dup candidate pairs
     "dedup_exact",         # exact dedup by content hash
     "ann_topk",            # brute-force cosine top-k
     "doc_quality",         # text quality scoring
     "tpch_q1",             # relational aggregate baseline
+    "kg_edges",            # linking + CC + graph materialization
+    "cc_components",       # large-star/small-star connected components
 )
 
 

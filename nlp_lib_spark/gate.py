@@ -182,6 +182,18 @@ FROM step WHERE ms IS NOT NULL
 """
 
 
+@gate("kg_conversations", oracle=f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT conv_id, count(*) AS n_turns,
+       arg_min(role, turn_idx) AS first_role,
+       string_agg(text, ' | ' ORDER BY turn_idx) AS conversation_text
+FROM t GROUP BY conv_id
+""")
+def q_kg_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.conversations import assemble_conversations
+    return assemble_conversations(transcripts(spark, sf_dir, with_ts=False))
+
+
 @gate("kg_mentions", oracle=_mention_oracle_sql())
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir, with_ts=False)

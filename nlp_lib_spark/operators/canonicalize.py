@@ -53,9 +53,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     e = _symmetrize(edges).localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
+        prev = e
         e = _star(e, large=True)
         e = _star(e, large=False)
         e = _symmetrize(e).localCheckpoint()
+        prev.unpersist()  # drop the superseded round's checkpoint blocks
         sig = (e.select(F.expr("bit_xor(xxhash64(u, v))").alias("s"),
                         F.count(F.lit(1)).alias("n")).collect()[0])
         if prev_sig == (sig.s, sig.n):

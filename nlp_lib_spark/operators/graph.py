@@ -18,8 +18,14 @@ from nlp_lib_spark.operators.linking import link_edges_for_cc, link_mentions
 
 
 def canonical_map(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
-    """mention norm -> canonical entity id (component min-label)."""
-    linked = link_mentions(mentions, dictionary)
+    """mention norm -> canonical entity id (component min-label).
+
+    The mention stream is consumed by several joins and the CC loop —
+    localCheckpoint it once so the upstream Arrow annotation chain runs
+    exactly once, not once per consumer.
+    """
+    mentions = mentions.localCheckpoint()
+    linked = link_mentions(mentions, dictionary).localCheckpoint()
     edges = link_edges_for_cc(linked)
     verts = (linked.select(F.col("norm").alias("id"))
              .union(linked.select(F.col("entity").alias("id")))
@@ -47,7 +53,8 @@ def materialize_graph(triples: DataFrame, cmap: DataFrame
                   .withColumnRenamed("entity_id", "obj_id"),
                 "obj_norm", "left")
           .withColumn("subj_id", F.coalesce("subj_id", "subj_norm"))
-          .withColumn("obj_id", F.coalesce("obj_id", "obj_norm")))
+          .withColumn("obj_id", F.coalesce("obj_id", "obj_norm"))
+          .localCheckpoint())  # consumed by both nodes and edges aggs
 
     edges = (t.groupBy("subj_id", "pred", "obj_id")
              .agg(F.count(F.lit(1)).alias("weight"),

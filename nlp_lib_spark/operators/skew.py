@@ -1,0 +1,58 @@
+"""Explicit skew-handling utilities (hot keys at 10^12-turn scale).
+
+AQE's skew-join handles join-side imbalance; these helpers cover the two
+aggregation shapes AQE does not fix:
+
+* ``salted_agg`` — two-phase aggregation for ALGEBRAIC aggregates over a
+  skewed key: phase 1 aggregates on (key, salt) so a hot key's rows spread
+  over ``n_salts`` reducers, phase 2 merges the partials per key. Results
+  are identical to the direct aggregation (tests prove it); use when a
+  handful of keys dominate (hot entities in edge aggregation).
+* ``capped_collect`` — bounded collect_list for bucket-style operators
+  (LSH buckets, conversation assembly of adversarially long convs): hot
+  buckets are truncated to ``cap`` elements by a deterministic order and
+  flagged, instead of OOMing an executor. The cap is a safety valve sized
+  far above organic bucket sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column, functions as F
+
+
+def salted_agg(df: DataFrame, key_cols: list[str],
+               agg_exprs: dict[str, str], n_salts: int = 16) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``agg_exprs``: output_name -> one of 'count', 'sum:<col>', 'min:<col>',
+    'max:<col>' (algebraic aggregates that merge associatively).
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*key_cols, F.spark_partition_id(),
+                                    F.monotonically_increasing_id()),
+                         F.lit(n_salts)))
+    phase1 = []
+    phase2 = []
+    for name, spec in agg_exprs.items():
+        if spec == "count":
+            phase1.append(F.count(F.lit(1)).alias(f"__p_{name}"))
+            phase2.append(F.sum(f"__p_{name}").alias(name))
+        else:
+            op, col = spec.split(":", 1)
+            fn = {"sum": F.sum, "min": F.min, "max": F.max}[op]
+            phase1.append(fn(col).alias(f"__p_{name}"))
+            merge = {"sum": F.sum, "min": F.min, "max": F.max}[op]
+            phase2.append(merge(f"__p_{name}").alias(name))
+    part = salted.groupBy(*key_cols, "__salt").agg(*phase1)
+    return part.groupBy(*key_cols).agg(*phase2)
+
+
+def capped_collect(df: DataFrame, key_cols: list[str], value_col: str,
+                   cap: int = 10000) -> DataFrame:
+    """groupBy key -> sorted list of values truncated at ``cap`` + flag."""
+    out = (df.groupBy(*key_cols)
+           .agg(F.sort_array(F.collect_list(value_col)).alias("values"),
+                F.count(F.lit(1)).alias("n_total")))
+    return (out
+            .withColumn("truncated", F.col("n_total") > F.lit(cap))
+            .withColumn("values", F.slice("values", 1, cap)))

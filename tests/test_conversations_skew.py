@@ -1,0 +1,73 @@
+"""Conversation assembly (ordering invariant) + skew utilities."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from nlp_lib_spark.fixtures import generate_transcripts
+from nlp_lib_spark.operators.conversations import (assemble_conversations,
+                                                   with_turn_order)
+from nlp_lib_spark.operators.skew import capped_collect, salted_agg
+
+
+def _turns_df(spark, n=25, seed=13):
+    turns, _ = generate_transcripts(n_convs=n, seed=seed)
+    pdf = pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role",
+                                       "text", "tool", "ts_epoch"])
+    return (spark.createDataFrame(pdf)
+            .withColumn("ts", F.timestamp_seconds("ts_epoch")))
+
+
+def test_assembly_order_stable_under_shuffle(spark):
+    t = _turns_df(spark)
+    a = assemble_conversations(t).toPandas()
+    b = assemble_conversations(t.repartition(17).sortWithinPartitions("text")) \
+        .toPandas()
+    key = "conv_id"
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # text order inside a conversation follows turn_idx
+    row = a[a.n_turns > 2].iloc[0]
+    texts = row.conversation_text.split(" | ")
+    src = t.filter(F.col("conv_id") == row.conv_id) \
+           .orderBy("turn_idx").select("text").toPandas().text.tolist()
+    assert texts == src
+
+
+def test_with_turn_order_gaps(spark):
+    t = _turns_df(spark)
+    o = with_turn_order(t).toPandas()
+    g = o[o.conv_id == o.conv_id.iloc[0]].sort_values("turn_idx")
+    assert (g.rn.values == range(1, len(g) + 1)).all()
+    assert pd.isna(g.gap_sec.iloc[0])
+    assert (g.gap_sec.iloc[1:] == 7).all()  # generator spacing
+
+
+def test_salted_agg_matches_direct(spark):
+    # heavily skewed key: 'hot' carries 90% of rows
+    rows = [("hot" if i % 10 else f"k{i}", float(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    direct = {(r.key): (r.n, r.s, r.mn, r.mx)
+              for r in df.groupBy("key")
+              .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
+                   F.min("v").alias("mn"), F.max("v").alias("mx"))
+              .collect()}
+    salted = {(r.key): (r.n, r.s, r.mn, r.mx)
+              for r in salted_agg(df, ["key"],
+                                  {"n": "count", "s": "sum:v",
+                                   "mn": "min:v", "mx": "max:v"},
+                                  n_salts=8).collect()}
+    assert direct == salted
+
+
+def test_capped_collect(spark):
+    rows = [("b1", i) for i in range(50)] + [("b2", 1)]
+    df = spark.createDataFrame(rows, "key string, v int")
+    out = {r.key: r for r in
+           capped_collect(df, ["key"], "v", cap=10).collect()}
+    assert out["b1"].truncated and len(out["b1"].values) == 10
+    assert out["b1"].n_total == 50
+    assert out["b1"].values == sorted(out["b1"].values)
+    assert not out["b2"].truncated and out["b2"].values == [1]

@@ -147,3 +147,11 @@ def test_rule5_fused():
         ["the", "PROTEIN0/PROTEIN1", "interaction", "was", "strong", "."],
         [], ["interaction", "interact"])
     assert (1, 1) in pairs
+
+
+def test_domain_pos_specific_terms():
+    # ExBioDomainAnnotator variant: 'term|POS' matches only that POS family
+    d = DomainAnnotator(["interact", "sort|VB"])
+    assert d.tag(["sorts", "sort", "interaction"], ["VBZ", "NN", "NN"]) == \
+        ["sort", None, "interact"]
+    assert d.tag(["sorts"], ["NNS"]) == [None]
