@@ -335,6 +335,184 @@ def q_kg_domain_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kg_domain_tags"] = _domain_oracle_sql()
 
 
+def _sql_set(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
+def _pos_oracle_sql() -> str:
+    """The frozen POS tagger (kernels/postag.pos_tag) as generated SQL over
+    the blinded token stream — with it, the entire pre-parse annotation
+    chain (sentences -> tokens -> mentions -> blinding -> POS -> DOMAIN)
+    is value-hash-verified across engines."""
+    from nlp_lib_spark.kernels import postag as P
+    from nlp_lib_spark.kernels.stem import stem
+    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
+    verb_stems = set(P.VERB_STEMS) | {stem(t) for t in TESTDATA_DOMAIN_TERMS}
+    base = _blinded_oracle_sql()
+    head, _tail = base.rsplit("SELECT t.conv_id, t.turn_idx, t.sent_id,", 1)
+    lw = "lower(bw)"
+    stem_lw = _stem_sql(lw)
+    aux = _sql_set(P.BE_FORMS | P.HAVE_FORMS | P.DO_FORMS)
+    be = _sql_set(P.BE_FORMS)
+    noun_sufs = " OR ".join(f"{lw} LIKE '%{s}'" for s in
+                            ("tion", "sion", "ment", "ance", "ence", "ness",
+                             "ship", "ity", "tions", "sions", "ments"))
+    return head.rstrip() + f""",
+stream AS (
+  SELECT t.conv_id, t.turn_idx, t.sent_id, t.pos,
+         CASE WHEN m1.ms IS NOT NULL THEN 'PROTEIN' || CAST(m1.k AS VARCHAR)
+              ELSE t.w END AS bw
+  FROM tok t
+  LEFT JOIN mention m1 ON m1.conv_id = t.conv_id AND m1.turn_idx = t.turn_idx
+       AND m1.sent_id = t.sent_id AND m1.ms = t.pos
+  LEFT JOIN mention m2 ON m2.conv_id = t.conv_id AND m2.turn_idx = t.turn_idx
+       AND m2.sent_id = t.sent_id AND t.pos > m2.ms AND t.pos <= m2.me
+  LEFT JOIN drop_span d ON d.conv_id = t.conv_id AND d.turn_idx = t.turn_idx
+       AND d.sent_id = t.sent_id AND t.pos BETWEEN d.lb AND d.rb
+  WHERE m2.ms IS NULL AND d.lb IS NULL
+),
+seq AS (
+  SELECT conv_id, turn_idx, sent_id, bw,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id ORDER BY pos) - 1 AS idx,
+         lag(lower(bw), 1) OVER (PARTITION BY conv_id, turn_idx, sent_id ORDER BY pos) AS prior1,
+         lag(lower(bw), 2) OVER (PARTITION BY conv_id, turn_idx, sent_id ORDER BY pos) AS prior2,
+         lag(lower(bw), 3) OVER (PARTITION BY conv_id, turn_idx, sent_id ORDER BY pos) AS prior3
+  FROM stream
+)
+SELECT conv_id, turn_idx, sent_id, idx, bw AS token,
+  CASE
+    WHEN bw LIKE '%PROTEIN%' THEN 'NN'
+    WHEN NOT regexp_matches(substr(bw, 1, 1), '[a-zA-Z0-9]') THEN bw
+    WHEN {lw} = 'to' THEN 'TO'
+    WHEN {lw} IN ({_sql_set(P.PREPOSITIONS)}) THEN 'IN'
+    WHEN {lw} IN ({_sql_set(P.DETERMINERS)}) THEN 'DT'
+    WHEN {lw} IN ({_sql_set(P.CONJUNCTIONS)}) THEN 'CC'
+    WHEN {lw} IN ({_sql_set(P.MODALS)}) THEN 'MD'
+    WHEN {lw} IN ({_sql_set(P.PRONOUNS)}) THEN 'PRP'
+    WHEN {lw} IN ({aux}) THEN (CASE WHEN {lw} LIKE '%s' THEN 'VBZ' ELSE 'VB' END)
+    WHEN {lw} IN ({_sql_set(P.NEGATIONS | P.ADVERBS)}) THEN 'RB'
+    WHEN {lw} IN ({_sql_set(P.ADJECTIVES)}) THEN 'JJ'
+    WHEN regexp_matches(bw, '^[0-9]+$') THEN 'CD'
+    WHEN ({noun_sufs})
+      THEN (CASE WHEN {lw} LIKE '%s' THEN 'NNS' ELSE 'NN' END)
+    WHEN ({stem_lw}) IN ({_sql_set(verb_stems)}) THEN (
+      CASE
+        WHEN {lw} LIKE '%ing' THEN (
+          CASE WHEN coalesce(prior1 IN ({be}), false) OR coalesce(prior2 IN ({be}), false)
+               THEN 'VBG' ELSE 'NN' END)
+        WHEN {lw} LIKE '%ed' THEN (
+          CASE WHEN coalesce(prior1 IN ({be}), false) OR coalesce(prior2 IN ({be}), false)
+                    OR coalesce(prior3 IN ({be}), false)
+               THEN 'VBN' ELSE 'VBD' END)
+        WHEN {lw} LIKE '%s' THEN 'VBZ'
+        ELSE 'VB' END)
+    WHEN {lw} LIKE '%ly' THEN 'RB'
+    WHEN {lw} LIKE '%s' THEN 'NNS'
+    ELSE 'NN'
+  END AS pos_tag
+FROM seq
+"""
+
+
+@gate("kg_pos_tags", oracle=_pos_oracle_sql())
+def q_kg_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+    return (ann.select("conv_id", "turn_idx", "sent_id",
+                       F.posexplode(F.arrays_zip("blinded", "pos"))
+                        .alias("idx", "p"))
+            .select("conv_id", "turn_idx", "sent_id", "idx",
+                    F.col("p.blinded").alias("token"),
+                    F.col("p.pos").alias("pos_tag")))
+
+
+def _rule2b_oracle_sql() -> str:
+    """RelexRule2b (the pure token-class-regex rule, RelexRule2b.java:19-64)
+    as SQL over the oracled annotation chain: the class string derives from
+    blinded tokens + the SQL POS replica + the SQL domain replica, pairs
+    from placeholder positions, acceptance via the exact reference regex —
+    the first rule-layer operator with a cross-engine value check."""
+    from nlp_lib_spark.kernels.domain import DomainAnnotator
+    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
+    terms = _sql_set(sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms))
+    base = _pos_oracle_sql()
+    head, tail = base.rsplit("SELECT conv_id, turn_idx, sent_id, idx, bw AS token,", 1)
+    case_expr = tail.rsplit("FROM seq", 1)[0].strip()
+    case_expr = case_expr[: -len("AS pos_tag")].strip()
+    lw = "lower(bw)"
+    stem_lw = _stem_sql(lw)
+    return head.rstrip().rstrip(",") + f""",
+seq2 AS (
+  SELECT conv_id, turn_idx, sent_id, idx, bw,
+         {case_expr} AS pos_tag,
+         (({lw}) IN ({terms}) OR ({stem_lw}) IN ({terms})) AS is_dom
+  FROM seq
+),
+cls AS (
+  SELECT conv_id, turn_idx, sent_id, idx, bw, pos_tag, is_dom,
+    CASE
+      WHEN bw LIKE '%PROTEIN%' THEN 'PROT'
+      WHEN is_dom THEN 'REL'
+      WHEN length(bw) = 1 AND bw IN ('/', ',', '-') THEN bw
+      WHEN pos_tag IN ('IN', 'TO')
+           AND lower(bw) IN ('of','by','to','on','for','in','through','with') THEN 'PREP'
+      WHEN lower(bw) IN ('and', 'or') THEN 'CONJ'
+      WHEN pos_tag LIKE 'N%' THEN 'N'
+      ELSE 'W'
+    END AS cls
+  FROM seq2
+),
+pairs AS (
+  SELECT a.conv_id, a.turn_idx, a.sent_id, a.idx AS e1, b.idx AS e2
+  FROM cls a JOIN cls b
+    ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+   AND a.sent_id = b.sent_id AND a.idx < b.idx
+  WHERE a.bw LIKE '%PROTEIN%' AND b.bw LIKE '%PROTEIN%'
+)
+SELECT p.conv_id, p.turn_idx, p.sent_id, p.e1, p.e2
+FROM pairs p
+WHERE regexp_matches(
+  (SELECT string_agg(CASE WHEN s.idx = p.e1 THEN 'PROT1'
+                          WHEN s.idx = p.e2 THEN 'PROT2'
+                          ELSE s.cls END, '' ORDER BY s.idx)
+   FROM cls s
+   WHERE s.conv_id = p.conv_id AND s.turn_idx = p.turn_idx
+     AND s.sent_id = p.sent_id AND s.idx <= p.e2),
+  '(PREP|REL|N)+(PREP)(REL|PREP|N)*PROT1(REL|N|PREP|PROT)+PROT2')
+"""
+
+
+@gate("kg_rule2b_pairs", oracle=_rule2b_oracle_sql())
+def q_kg_rule2b_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule2b
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        empty = DepGraph([])
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dom = [d if d else None for d in r.domain]
+                s = Sent(list(r.blinded), list(r.pos), dom)
+                for (i, j) in sorted(rule2b(s, empty)):
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 i, j))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "e1", "e2"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded", "pos",
+                       "domain")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, e1 int, e2 int"))
+
+
 @gate("kg_triples")  # rule engine — pytest-oracled, rows-only here
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir, with_ts=False)
