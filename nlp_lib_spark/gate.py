@@ -528,6 +528,25 @@ def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_ml(t, TESTDATA_CONFIG, weights, bias)
 
 
+@gate("kg_kernel_triples")  # LCS dep-path kernel scoring vs broadcast
+def q_kg_kernel_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kernel-inspired scoring path (libsvm/LCSDepPathKernel.java
+    runtime shape): candidates scored by best alignment against a
+    broadcast prototype set. The LCS dynamic program is not
+    SQL-expressible — rows-only check; value parity is pytest-oracled
+    (tests/test_kernelscore.py distribution-invariance test)."""
+    from nlp_lib_spark.operators.kernel_score import (build_prototypes,
+                                                      extract_triples_kernel)
+    protos = build_prototypes(TESTDATA_CONFIG, [
+        "the spark activates the table.",
+        "a vector binds the stream.",
+        "the column regulates a row.",
+    ])
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return extract_triples_kernel(t, TESTDATA_CONFIG, protos,
+                                  threshold=0.5)
+
+
 @gate("kg_clauses")  # clause/discourse segmentation — rows-only
 def q_kg_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.clauses import with_clauses

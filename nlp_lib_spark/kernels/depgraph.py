@@ -125,8 +125,12 @@ class DepGraph:
                 return n
         return -1
 
-    def path_edges(self, src: int, dst: int) -> list[Edge] | None:
-        """Edges along the undirected shortest path (getPathAsRelnList)."""
+    def path_edges(self, src: int, dst: int,
+                   directed: bool = False) -> list[Edge] | None:
+        """Edges along the BFS shortest path (getPathAsRelnList,
+        SimpleDepGraph.java:483-546).  ``directed=True`` walks gov->dep
+        edges only; neighbor expansion is ascending-node-index, matching
+        the reference's ``for i in 0..size`` adjacency-matrix sweep."""
         if src == dst:
             return []
         prev: dict[int, tuple[int, str]] = {src: (-1, "")}
@@ -135,7 +139,11 @@ class DepGraph:
             v = q.popleft()
             if v == dst:
                 break
-            for (nxt, lab) in sorted(self._adj.get(v, [])):
+            if directed:
+                nbrs = sorted((e[2], e[0]) for e in self._by_gov.get(v, []))
+            else:
+                nbrs = sorted(self._adj.get(v, []))
+            for (nxt, lab) in nbrs:
                 if nxt not in prev:
                     prev[nxt] = (v, lab)
                     q.append(nxt)
@@ -155,7 +163,17 @@ class DepGraph:
 
     # ---- bounded reachability (SimpleDepGraph.java:319-418) ----
     def reachable(self, src: int, directed: bool, max_dist: int,
-                  pattern: str | None = None) -> set[int]:
+                  skip_pattern: str | None = None) -> set[int]:
+        """Nodes reachable from ``src`` within ``max_dist`` hops.
+
+        ``skip_pattern`` EXCLUDES matching edges from the graph before
+        the walk — the reference's 4-arg getReachableIndices drops any
+        edge whose reln matches the filter (SimpleDepGraph.java:387:
+        ``if (sd.reln().matches(relnFilter)) continue``), it does not
+        restrict traversal to matching edges.  The source node itself is
+        not returned (the reference includes it; callers needing it add
+        ``| {src}``)."""
+        p = _pat(skip_pattern) if skip_pattern is not None else None
         seen = {src}
         q = deque([(src, 0)])
         while q:
@@ -166,9 +184,8 @@ class DepGraph:
                 nbrs = [(e[2], e[0]) for e in self._by_gov.get(v, [])]
             else:
                 nbrs = self._adj.get(v, [])
-            p = _pat(pattern) if pattern is not None else None
             for nxt, lab in nbrs:
-                if p is not None and not p.fullmatch(lab.lstrip("-")):
+                if p is not None and p.fullmatch(lab.lstrip("-")):
                     continue
                 if nxt not in seen:
                     seen.add(nxt)

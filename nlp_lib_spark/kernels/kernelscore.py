@@ -1,0 +1,444 @@
+"""Kernel-inspired similarity scoring over dependency backbone paths.
+
+Re-expression of the reference's custom SVM kernels as pure per-sentence
+scoring functions, runnable inside Arrow-batched pandas UDFs against a
+*broadcast prototype set* (the Spark-native runtime shape: no Gram
+matrix, no SVM — each candidate is scored by its best alignment with a
+small set of labeled prototype instances).
+
+Ported semantics (reference file:line):
+
+- Backbone path e1 --(-reln)--> LCS --(reln)--> e2 as an alternating
+  [token_idx, reln, token_idx, ...] string list:
+  ``libsvm/LCSDepPathKernel.getBackBonePath`` (LCSDepPathKernel.java:161-213)
+  and ``ppi/filter/CorpusReader.getPath`` (CorpusReader.java:261-301).
+- Ancestor collection by BFS over dep->gov edges, LCS = first ancestor
+  of e2 (BFS order) also reachable from e1 and != e1
+  (LCSDepPathKernel.java:215-239, CorpusReader.java:236-259 — the
+  CorpusReader variant skips ``conj_(and|or)`` edges to avoid loops).
+- getLCS2 DOMAIN-governor promotion quirk (CorpusReader.java:189-228):
+  when the LCS falls outside [e1, e2], is a non-DOMAIN noun, and
+  neither entity is DOMAIN-tagged, promote to a DOMAIN-tagged governor.
+- LCS dynamic program over interior path positions with word/relation
+  parity, scores stem=3 / domain-or-prot=2 / pos=1 per word and 6 /
+  family-3 per relation, normalized by ``6 * (min(m,n)-2)`` and damped
+  by ``0.8^(|m-n|/2)`` (LCSDepPathKernel.java:111-159, 264-298).
+- RelationInstance typing LEFT/MIDDLE/RIGHT by LCS position, abbrev
+  path trimming, and key-term selection
+  (ppi/filter/RelationInstance.java:115-194).  NOTE the reference
+  computes ``findKeyTerm`` *before* assigning ``lcsIndex`` (constructor
+  order RelationInstance.java:47-52), so its search loops start at path
+  position 0, not at the LCS: the effective rule — replicated here — is
+  "key = lcs if DOMAIN-tagged, else the first even-position DOMAIN
+  token scanning the whole path, else lcs".
+- SimpleFeatureKernel left/right/full feature sets and the
+  cosine-of-binary-vectors sum with a hard type gate
+  (ppi/filter/SimpleFeatureKernel.java:24-196; vectors are built from
+  HashSets via FeatureSet2Vector.java:25-32, hence binary).
+
+All functions are pure and operate on (tokens, pos, domain, DepGraph)
+for one sentence — tiny graphs, O(V+E) per call.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, deque
+
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.stem import stem
+
+SCORE_STEM = 3
+SCORE_DOM_OR_PROT = 2
+SCORE_POS = 1
+SCORE_UNIT = 6
+SCORE_REL = 6
+LAMBDA = 0.8
+
+LEFT, MIDDLE, RIGHT = "LEFT", "MIDDLE", "RIGHT"
+
+_CONJ_RE = re.compile(r"conj_(and|or)")
+
+
+def ancestors(graph: DepGraph, n_tokens: int, node: int,
+              skip_conj: bool = False) -> list[int]:
+    """Governor closure of ``node`` in BFS order (duplicates preserved,
+    as the reference appends before its visited check).
+    LCSDepPathKernel.java:215-239; skip_conj per CorpusReader.java:252-254."""
+    out: list[int] = []
+    visited = [False] * max(n_tokens, node + 1)
+    q = deque([node])
+    while q:
+        nxt = q.popleft()
+        if nxt >= len(visited) or visited[nxt]:
+            continue
+        visited[nxt] = True
+        for (reln, gov, dep) in graph.dep_edges(nxt):
+            if skip_conj and _CONJ_RE.fullmatch(reln):
+                continue
+            out.append(gov)
+            q.append(gov)
+    return out
+
+
+def find_lcs(graph: DepGraph, n_tokens: int, e1: int, e2: int,
+             skip_conj: bool = False) -> int:
+    """First ancestor of e2 (BFS order) that is also an ancestor of e1
+    and != e1; -1 when none (CorpusReader.getLCS, LCSDepPathKernel)."""
+    anc1 = set(ancestors(graph, n_tokens, e1, skip_conj))
+    for a in ancestors(graph, n_tokens, e2, skip_conj):
+        if a != e1 and a in anc1:
+            return a
+    return -1
+
+
+def find_lcs2(graph: DepGraph, n_tokens: int, e1: int, e2: int,
+              pos: list[str], domain: list[str | None]) -> int:
+    """getLCS2 (CorpusReader.java:189-228): plain LCS plus the
+    DOMAIN-governor promotion quirk for out-of-span noun LCS."""
+    lcs = find_lcs(graph, n_tokens, e1, e2, skip_conj=True)
+    if (lcs != -1 and (lcs < e1 or lcs > e2) and e1 != e2
+            and domain[e1] is None and domain[e2] is None):
+        if pos[lcs].startswith("N") and domain[lcs] is None:
+            for (reln, gov, dep) in graph.dep_edges(lcs):
+                if domain[gov] is not None:
+                    lcs = gov  # last matching governor wins (java:215-219)
+    return lcs
+
+
+def _directed_path(graph: DepGraph, src: int, dst: int):
+    """getPathAsRelnList(src, dst, directed=true): BFS over gov->dep
+    edges only, ascending-neighbor tie-break (SimpleDepGraph.java:483-546)."""
+    return graph.path_edges(src, dst, directed=True)
+
+
+def backbone_path(graph: DepGraph, n_tokens: int, e1: int, e2: int,
+                  lcs: int | None = None) -> list[str] | None:
+    """LCSDepPathKernel.getBackBonePath (java:161-213).
+
+    Returns the alternating [idx, reln, idx, ..., idx] list:
+    left half descends LCS->e1 reversed with ``-reln`` labels, right
+    half LCS->e2 with plain labels.  When no LCS exists, falls back to
+    the undirected e1->e2 path with the reference's first-edge
+    direction quirk (java:192-201: the sign of *all* labels is decided
+    by whether the first traversed edge is a real gov->dep edge).
+    """
+    if lcs is None:
+        lcs = find_lcs(graph, n_tokens, e1, e2)
+    if lcs == -1:
+        rels = graph.path_edges(e1, e2)  # original gov/dep orientation
+        if not rels:
+            return None
+        # re-orient to traversal order e1 -> e2: the reference's
+        # undirected getPathAsRelnList swaps gov/dep on reversed edges
+        # so gov() is always the traversal source (SimpleDepGraph.java:503)
+        trav: list[tuple[str, int, int]] = []
+        cur = e1
+        for (reln, gov, dep) in rels:
+            other = dep if gov == cur else gov
+            trav.append((reln, cur, other))
+            cur = other
+        right_direction = rels[0][1] == e1  # first hop is a real gov->dep
+        path: list[str] = []
+        for (reln, gov, dep) in trav:
+            path.append(str(gov))
+            path.append(reln if right_direction else "-" + reln)
+        path.append(str(trav[-1][2]))
+        return path
+    return _lcs_path(graph, e1, e2, lcs)
+
+
+def _lcs_path(graph: DepGraph, e1: int, e2: int, lcs: int) -> list[str]:
+    """CorpusReader.getPath (java:261-301) incl. the ``null`` edge
+    placeholders when a directed half-path is missing."""
+    path1 = _directed_path(graph, lcs, e1) if lcs != e1 else None
+    path2 = _directed_path(graph, lcs, e2) if lcs != e2 else None
+    path: list[str] = []
+    if not path1:
+        path.append(str(lcs))
+        path.append("-null")
+    else:
+        for (reln, gov, dep) in reversed(path1):
+            path.append(str(dep))
+            path.append("-" + reln)
+    if not path2:
+        path.append(str(lcs))
+        path.append("null")
+        path.append(str(e2))
+    else:
+        for (reln, gov, dep) in path2:
+            path.append(str(gov))
+            path.append(reln)
+        path.append(str(e2))
+    return path
+
+
+def fix_path(path: list[str] | None) -> list[str] | None:
+    """Trim leading ``-abbrev`` / trailing ``abbrev`` hops
+    (RelationInstance.fixPath, java:115-126)."""
+    if path is None:
+        return None
+    path = list(path)
+    if len(path) >= 2 and path[1] == "-abbrev":
+        del path[0:2]
+    if len(path) >= 2 and path[-2] == "abbrev":
+        del path[-2:]
+    return path
+
+
+def _word_score(tokens1, pos1, dom1, i1, tokens2, pos2, dom2, i2) -> int:
+    """Word-node alignment score (LCSDepPathKernel.getScore, java:264-285)."""
+    s = 0
+    if stem(tokens1[i1]) == stem(tokens2[i2]):
+        s += SCORE_STEM + SCORE_DOM_OR_PROT
+        if pos1[i1] == pos2[i2]:
+            s += SCORE_POS
+    elif dom1[i1] is not None and dom2[i2] is not None:
+        s += SCORE_DOM_OR_PROT
+        if pos1[i1] == pos2[i2]:
+            s += SCORE_POS
+    elif pos1[i1] == pos2[i2]:
+        s += SCORE_POS
+    return s
+
+
+def _reln_score(r1: str, r2: str) -> int:
+    """Relation alignment score (java:286-296)."""
+    if r1 == r2:
+        return SCORE_REL
+    for pref in ("-nsubj", "prep", "-prep"):
+        if r1.startswith(pref) and r2.startswith(pref):
+            return SCORE_REL // 2
+    return 0
+
+
+def lcs_dep_path_score(path1, ctx1, path2, ctx2) -> float:
+    """evaluateDepPathLCSKernel (java:111-159): LCS dynamic program over
+    interior path positions (endpoints excluded), parity-locked so words
+    align with words and relations with relations; normalized by
+    ``SCORE_UNIT * (min(m,n) - 2)`` and damped by ``0.8^(|m-n|/2)``.
+
+    ``ctx`` = (tokens, pos, domain) of the owning sentence.
+    """
+    if path1 is None or path2 is None:
+        return 0.0
+    m, n = len(path1), len(path2)
+    if m < 3 or n < 3:
+        return 0.0
+    t1, p1, d1 = ctx1
+    t2, p2, d2 = ctx2
+    c = [[0] * (n + 1) for _ in range(m + 1)]
+    for i in range(1, m - 1):
+        for j in range(1, n - 1):
+            if (i % 2) != (j % 2):
+                c[i][j] = max(c[i - 1][j], c[i][j - 1])
+            else:
+                if i % 2 == 0:
+                    sc = _word_score(t1, p1, d1, int(path1[i]),
+                                     t2, p2, d2, int(path2[j]))
+                else:
+                    sc = _reln_score(path1[i], path2[j])
+                c[i][j] = max(c[i - 1][j - 1] + sc,
+                              c[i - 1][j], c[i][j - 1])
+    return (LAMBDA ** (abs(m - n) // 2)
+            * c[m - 2][n - 2] / (SCORE_UNIT * (min(m, n) - 2)))
+
+
+# ---------------------------------------------------------------------------
+# RelationInstance + SimpleFeatureKernel
+# ---------------------------------------------------------------------------
+
+def _index_in_path(path: list[str] | None, index: int) -> int:
+    """getIndexInPath (java:181-194): first path position holding the
+    token index as a string; 0 when absent (dist initialized to 0)."""
+    if path is None:
+        return -1
+    s = str(index)
+    for i, v in enumerate(path):
+        if v == s:
+            return i
+    return 0
+
+
+def _find_key_term(path, lcs, domain, pos) -> int:
+    """Effective findKeyTerm semantics (see module docstring on the
+    constructor-order quirk, RelationInstance.java:128-169)."""
+    if path is None:
+        return lcs
+    if 0 <= lcs < len(domain) and domain[lcs] is not None:
+        return lcs
+    for i in range(0, len(path), 2):
+        idx = int(path[i])
+        if domain[idx] is not None:
+            return idx
+    return lcs
+
+
+def _half_features(path, lcs_index, tokens, pos, domain, e1, e2,
+                   left: bool) -> set[str]:
+    """SimpleFeatureKernel.getLeftVector/getRightVector
+    (SimpleFeatureKernel.java:44-159)."""
+    feats: set[str] = set()
+    if left:
+        rng = range(lcs_index, -1, -1)
+    else:
+        rng = range(lcs_index, len(path))
+    for i in rng:
+        if i % 2 == 0:
+            idx = int(path[i])
+            word = tokens[idx]
+            pchar = pos[idx][:1]
+            if "-" in word:
+                word = word.rsplit("-", 1)[1]
+            is_dom = domain[idx] is not None
+            if is_dom:
+                feats.add("REL-" + pchar)
+                feats.add(word.lower())
+            elif idx == e1 or idx == e2:
+                pass  # entity endpoints contribute nothing (java:75-78)
+            elif word.startswith("PROTEIN"):
+                feats.add("PROT")
+            else:
+                feats.add(word.lower())
+        else:
+            reln = path[i]
+            if left and reln.startswith("-prep"):
+                feats.add("-prep")
+            if not left and reln.startswith("prep"):
+                feats.add("prep")
+            dist = (lcs_index - i) if left else (i - lcs_index)
+            feats.add(reln + str(dist // 3))
+    return feats
+
+
+def relation_instance(tokens, pos, domain, graph: DepGraph,
+                      e1: int, e2: int) -> dict:
+    """Build the scoring view of one candidate pair
+    (RelationInstance.java:36-66 + CorpusReader.getRelationInstances)."""
+    n = len(tokens)
+    lcs = find_lcs2(graph, n, e1, e2, pos, domain)
+    path = backbone_path(graph, n, e1, e2, lcs=lcs)
+    path = fix_path(path)
+    key = _find_key_term(path, lcs, domain, pos)
+    if lcs < e1:
+        typ = LEFT
+    elif lcs < e2:
+        typ = MIDDLE
+    else:
+        typ = RIGHT
+    lcs_index = _index_in_path(path, lcs)
+    left = (_half_features(path, lcs_index, tokens, pos, domain, e1, e2, True)
+            if path is not None else None)
+    right = (_half_features(path, lcs_index, tokens, pos, domain, e1, e2,
+                            False) if path is not None else None)
+    full: Counter = Counter()
+    if left:
+        full.update(left)
+    if right:
+        full.update(right)
+    if path is not None and 0 < lcs_index < len(path) - 1:
+        full.update([path[lcs_index - 1] + pos[lcs][:1]
+                     + path[lcs_index + 1]])  # LCS triple (java:177-179)
+    return {"path": path, "lcs": lcs, "key": key, "type": typ,
+            "lcs_index": lcs_index, "left": left, "right": right,
+            "full": full, "e1": e1, "e2": e2,
+            "ctx": (tokens, pos, domain)}
+
+
+def backbone_domain_terms(inst: dict) -> list[str]:
+    """DOMAIN terms on the backbone word nodes, path order
+    (DomainTermRanker.rank's per-instance contribution,
+    ppi/filter/DomainTermRanker.java:28-51)."""
+    path = inst["path"]
+    if path is None:
+        return []
+    _, _, domain = inst["ctx"]
+    out = []
+    for i in range(0, len(path), 2):
+        idx = int(path[i])
+        if domain[idx] is not None:
+            out.append(domain[idx])
+    return out
+
+
+def set_ranked_key_term(inst: dict, rank_map: dict[str, float]) -> dict:
+    """RelationInstance.setRankedKeyTerm (java:68-113): re-pick the key
+    term as the highest-ranked DOMAIN verb on the backbone (falling back
+    to any DOMAIN token); the chosen key also becomes the LCS for
+    feature purposes.  ``rank_map`` is the broadcast DomainTermRanker
+    output; unknown terms rank 0 (java getRank:65-71)."""
+    path = inst["path"]
+    if path is None:
+        inst["key"] = inst["lcs"]
+        return inst
+    _, pos, domain = inst["ctx"]
+    best, best_rank, best_pi = -1, -1.0, -1
+    for verbs_only in (True, False):
+        for i in range(0, len(path), 2):
+            idx = int(path[i])
+            if domain[idx] is None:
+                continue
+            if verbs_only and not pos[idx].startswith("V"):
+                continue
+            rank = rank_map.get(domain[idx].lower(), 0.0)
+            if rank > best_rank:
+                best_rank = rank
+                best = idx
+                best_pi = i
+        if best != -1:
+            break
+    if best == -1:
+        inst["key"] = inst["lcs"]
+    else:
+        inst["key"] = best
+        inst["lcs"] = best
+        inst["lcs_index"] = best_pi
+    return inst
+
+
+def _cos_sets(a: set[str] | None, b: set[str] | None) -> float:
+    if not a or not b:
+        return 0.0
+    return len(a & b) / math.sqrt(len(a) * len(b))
+
+
+def _cos_counts(a: Counter, b: Counter) -> float:
+    if not a or not b:
+        return 0.0
+    dot = sum(v * b[k] for k, v in a.items())
+    na = math.sqrt(sum(v * v for v in a.values()))
+    nb = math.sqrt(sum(v * v for v in b.values()))
+    return dot / (na * nb) if na and nb else 0.0
+
+
+def simple_feature_kernel(i1: dict, i2: dict) -> float:
+    """SimpleFeatureKernel.evaluate (java:24-42): hard type gate, then
+    cosine(left)+cosine(right)+cosine(full)."""
+    if i1["type"] != i2["type"]:
+        return 0.0
+    return (_cos_sets(i1["left"], i2["left"])
+            + _cos_sets(i1["right"], i2["right"])
+            + _cos_counts(i1["full"], i2["full"]))
+
+
+def lcs_dep_path_kernel(i1: dict, i2: dict) -> float:
+    """LCSDepPathKernel.evaluate (java:96-109) over instance dicts."""
+    return lcs_dep_path_score(i1["path"], i1["ctx"], i2["path"], i2["ctx"])
+
+
+def prototype_score(inst: dict, prototypes: list[dict],
+                    kernel: str = "lcs") -> float:
+    """Runtime 'kernel-inspired scoring': best alignment of a candidate
+    against a broadcast prototype set — max over labeled prototypes of
+    the chosen kernel, the Spark-native replacement for the reference's
+    train-time Gram matrix (libsvm/PPI.java:117-140 computes all-pairs;
+    at 10^12 turns only candidate-vs-broadcast-prototypes is feasible).
+    """
+    k = (lcs_dep_path_kernel if kernel == "lcs" else simple_feature_kernel)
+    best = 0.0
+    for p in prototypes:
+        v = k(inst, p)
+        if v > best:
+            best = v
+    return best

@@ -474,28 +474,63 @@ def form_type(tokens: list[str], pos: list[str], domain: list[str | None],
 
 
 # --------------------------------- candidate generation (experimental path)
+# RelCandidateExtractor's own form patterns (ppi/RelCandidateExtractor.java:
+# 23-26) — note form5 differs from RuleExtractor's: bounded (W|PREP){0,2}
+# between the second entity and the trailing REL.
+_RC_FORM1_RE = re.compile(r"PROTEIN[0-9]+.*RELV.*PROTEIN[0-9]+")
+_RC_FORM2_RE = re.compile(r"PROTEIN[0-9]+.*REL.*PROTEIN[0-9]+")
+_RC_FORM3_RE = re.compile(r"RELN\.PREP.*PROTEIN[0-9]+.*PROTEIN[0-9]+")
+_RC_FORM5_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+\.(W\.|PREP\.){0,2}REL")
+
+
+def _rc_negated(idx: int, g: DepGraph) -> bool:
+    """isNegated (RelCandidateExtractor.java:147-153): any governed edge
+    whose reln ends with 'neg'."""
+    return any(e[0].endswith("neg") for e in g.gov_edges(idx))
+
+
 def rel_candidates(tokens: list[str], pos: list[str],
                    domain: list[str | None],
                    edges: list[Edge]) -> set[Pair]:
-    """RelCandidateExtractor (ppi/RelCandidateExtractor.java:28-146):
-    seeds = rcmod|.*subj|.*subjpass edges; BFS reachable sets from gov and
-    dep; all cross pairs of PROTEIN tokens, form-checked. Used as a recall
-    filter ahead of the classifier."""
+    """RelCandidateExtractor.applyRule1 (ppi/RelCandidateExtractor.java:
+    28-146): seeds = ``rcmod|.*subj|.*subjpass`` edges; *directed* BFS
+    reachable sets (depth 100 from the clause side, 10 from the subject
+    side — swapped for rcmod seeds); negation-gated; cross pairs checked
+    against form1/form2 patterns; same-side pairs admitted by form5
+    (set1) / form3 (set2) with a DOMAIN-tagged-LCS requirement."""
     s = Sent(tokens, pos, domain)
     g = DepGraph(edges)
     out: set[Pair] = set()
     for (reln, gov, dep) in g.edges_matching(r"rcmod|.*subj|.*subjpass"):
-        left = {i for i in g.reachable(dep, False, 10) | {dep}
-                if s.is_protein(i)}
-        right = {i for i in g.reachable(gov, False, 100) | {gov}
-                 if s.is_protein(i)}
-        for a in left:
-            for b in right:
-                if a == b:
-                    continue
+        if reln == "rcmod":
+            if _rc_negated(dep, g):
+                continue
+            r2 = g.reachable(dep, True, 100) | {dep}
+            r1 = g.reachable(gov, True, 10) | {gov}
+            set2 = {i for i in r2 if s.is_protein(i)}
+            set1 = {i for i in r1 if s.is_protein(i) and i not in set2}
+        else:
+            if _rc_negated(gov, g):
+                continue
+            r1 = g.reachable(dep, True, 10) | {dep}
+            r2 = g.reachable(gov, True, 100) | {gov}
+            set1 = {i for i in r1 if s.is_protein(i)}
+            set2 = {i for i in r2 if s.is_protein(i) and i not in set1}
+        for a in set1:
+            for b in set2:
                 i, j = (a, b) if a < b else (b, a)
-                if form_type(tokens, pos, domain, edges, i, j) != -1:
+                sp = _form_sent_pattern(s, i, j)
+                if _RC_FORM1_RE.search(sp) or _RC_FORM2_RE.search(sp):
                     out.add((i, j))
+        # form5 over subject-side pairs; form3 over clause-side pairs —
+        # both require a DOMAIN-tagged LCS (java:110-144)
+        for pool, pat in ((set1, _RC_FORM5_RE), (set2, _RC_FORM3_RE)):
+            for i in sorted(pool):
+                for j in sorted(pool):
+                    if i < j and pat.search(_form_sent_pattern(s, i, j)):
+                        lcs = g.lcs(i, j)
+                        if lcs >= 0 and s.domain[lcs] is not None:
+                            out.add((i, j))
     return out
 
 

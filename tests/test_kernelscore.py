@@ -1,0 +1,205 @@
+"""Kernel-inspired scoring: backbone paths, LCS DP kernel, feature
+kernel, prototype scoring, and the distributed operator.
+
+Golden values are hand-computed from the reference semantics
+(libsvm/LCSDepPathKernel.java, ppi/filter/SimpleFeatureKernel.java,
+ppi/filter/RelationInstance.java, ppi/filter/CorpusReader.java).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.kernelscore import (LAMBDA, ancestors,
+                                               backbone_path, find_lcs,
+                                               find_lcs2, fix_path,
+                                               lcs_dep_path_kernel,
+                                               lcs_dep_path_score,
+                                               prototype_score,
+                                               relation_instance,
+                                               simple_feature_kernel)
+from nlp_lib_spark.kernels.stem import stem
+
+
+def _ctx(tokens, pos, domain):
+    return (tokens, pos, domain)
+
+
+# PROTEIN1 activates PROTEIN2 : nsubj(1,0), dobj(1,2)
+T1 = ["PROTEIN1", "activates", "PROTEIN2"]
+P1 = ["NN", "VBZ", "NN"]
+D1 = [None, "activate", None]
+G1 = DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)])
+
+
+def test_ancestors_and_lcs():
+    assert ancestors(G1, 3, 0) == [1]
+    assert ancestors(G1, 3, 2) == [1]
+    assert find_lcs(G1, 3, 0, 2) == 1
+    # conj skip variant: loop-inducing conj edge ignored
+    g = DepGraph([("nsubj", 1, 0), ("conj_and", 0, 1)])
+    assert find_lcs(g, 2, 0, 1, skip_conj=True) == -1
+
+
+def test_backbone_path_lcs_case():
+    assert backbone_path(G1, 3, 0, 2) == ["0", "-nsubj", "1", "dobj", "2"]
+
+
+def test_backbone_path_fallback_direction_quirk():
+    # e1 -> e2 straight down a gov chain: no common ancestor distinct
+    # from e1, so the undirected fallback runs; first edge is a real
+    # gov->dep edge => all labels unsigned (LCSDepPathKernel.java:192-201).
+    g = DepGraph([("prep_of", 0, 1), ("nn", 1, 2)])
+    assert backbone_path(g, 3, 0, 2) == ["0", "prep_of", "1", "nn", "2"]
+    # reversed: from the dep end, first traversed edge is dep->gov =>
+    # every label gets the minus sign
+    assert backbone_path(g, 3, 2, 0) == ["2", "-nn", "1", "-prep_of", "0"]
+
+
+def test_self_score_is_one():
+    p = backbone_path(G1, 3, 0, 2)
+    c = _ctx(T1, P1, D1)
+    assert lcs_dep_path_score(p, c, p, c) == pytest.approx(1.0)
+
+
+def test_length_mismatch_lambda_damping():
+    # same middle but a longer second path: one extra (word, reln) hop
+    t2 = ["PROTEIN1", "activates", "receptor", "PROTEIN2"]
+    p2pos = ["NN", "VBZ", "NN", "NN"]
+    d2 = [None, "activate", None, None]
+    g2 = DepGraph([("nsubj", 1, 0), ("dobj", 1, 2), ("nn", 2, 3)])
+    pa = backbone_path(G1, 3, 0, 2)
+    pb = backbone_path(g2, 4, 0, 3)
+    assert pb == ["0", "-nsubj", "1", "dobj", "2", "nn", "3"]
+    s = lcs_dep_path_score(pa, _ctx(T1, P1, D1), pb, _ctx(t2, p2pos, d2))
+    # interior alignment: -nsubj==-nsubj (6) + word 'activates' stem match
+    # (3+2+1) => 12; then dobj aligns with dobj (6) => 18;
+    # normalized by 6*(min(5,7)-2)=18 => 1.0, damped by 0.8^((7-5)/2)
+    assert s == pytest.approx(LAMBDA * 1.0)
+
+
+def test_relation_family_half_score():
+    # -nsubj vs -nsubjpass and prep_of vs prep_by score SCORE_REL/2
+    pa = ["0", "-nsubj", "1", "prep_of", "2"]
+    pb = ["0", "-nsubjpass", "1", "prep_by", "2"]
+    ta = ["PROTEIN1", "binds", "PROTEIN2"]
+    tb = ["PROTEIN1", "binds", "PROTEIN2"]
+    pos = ["NN", "VBZ", "NN"]
+    dom = [None, "bind", None]
+    s = lcs_dep_path_score(pa, _ctx(ta, pos, dom), pb, _ctx(tb, pos, dom))
+    # interior: 3 + (3+2+1) + 3 = 12 over unit 18
+    assert s == pytest.approx(12 / 18)
+
+
+def test_fix_path_abbrev_trim():
+    assert fix_path(["0", "-abbrev", "1", "dobj", "2"]) == ["1", "dobj", "2"]
+    assert fix_path(["0", "-nsubj", "1", "abbrev", "2"]) == ["0", "-nsubj", "1"]
+    assert fix_path(None) is None
+
+
+def test_find_lcs2_domain_promotion():
+    # LCS (idx 0) left of both entities, non-DOMAIN noun, entities
+    # non-DOMAIN; a DOMAIN-tagged governor of the LCS takes over
+    # (CorpusReader.java:207-222).
+    toks = ["complex", "interaction", "PROTEIN1", "PROTEIN2"]
+    pos = ["NN", "NN", "NN", "NN"]
+    dom = [None, "interaction", None, None]
+    g = DepGraph([("prep_of", 0, 2), ("prep_with", 0, 3),
+                  ("nsubj", 1, 0)])
+    assert find_lcs(g, 4, 2, 3, skip_conj=True) == 0
+    assert find_lcs2(g, 4, 2, 3, pos, dom) == 1
+
+
+def test_relation_instance_types():
+    # MIDDLE: lcs strictly between the entities
+    inst = relation_instance(T1, P1, D1, G1, 0, 2)
+    assert inst["type"] == "MIDDLE"
+    assert inst["lcs"] == 1
+    assert inst["lcs_index"] == 2
+    assert inst["key"] == 1  # DOMAIN-tagged LCS
+    # LEFT: governor chain left of both entities
+    toks = ["interaction", "of", "PROTEIN1", "and", "PROTEIN2"]
+    pos = ["NN", "IN", "NN", "CC", "NN"]
+    dom = ["interaction", None, None, None, None]
+    g = DepGraph([("prep_of", 0, 2), ("prep_with", 0, 4)])
+    inst2 = relation_instance(toks, pos, dom, g, 2, 4)
+    assert inst2["type"] == "LEFT"
+    assert inst2["key"] == 0
+
+
+def test_simple_feature_kernel_gate_and_self():
+    inst = relation_instance(T1, P1, D1, G1, 0, 2)
+    assert simple_feature_kernel(inst, inst) == pytest.approx(3.0)
+    other = relation_instance(
+        ["interaction", "of", "PROTEIN1", "and", "PROTEIN2"],
+        ["NN", "IN", "NN", "CC", "NN"],
+        ["interaction", None, None, None, None],
+        DepGraph([("prep_of", 0, 2), ("prep_with", 0, 4)]), 2, 4)
+    assert other["type"] == "LEFT"
+    assert simple_feature_kernel(inst, other) == 0.0  # type gate
+
+
+def test_kernel_symmetry():
+    t2 = ["PROTEIN1", "inhibits", "PROTEIN2"]
+    d2 = [None, "inhibit", None]
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    i2 = relation_instance(t2, P1, d2, DepGraph([("nsubj", 1, 0),
+                                                 ("dobj", 1, 2)]), 0, 2)
+    assert lcs_dep_path_kernel(i1, i2) == pytest.approx(
+        lcs_dep_path_kernel(i2, i1))
+    assert simple_feature_kernel(i1, i2) == pytest.approx(
+        simple_feature_kernel(i2, i1))
+
+
+def test_prototype_score_max():
+    t2 = ["PROTEIN1", "inhibits", "PROTEIN2"]
+    d2 = [None, "inhibit", None]
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    i2 = relation_instance(t2, P1, d2, DepGraph([("nsubj", 1, 0),
+                                                 ("dobj", 1, 2)]), 0, 2)
+    s_best = prototype_score(i1, [i2, i1])
+    assert s_best == pytest.approx(1.0)  # self-prototype wins the max
+    assert prototype_score(i1, []) == 0.0
+
+
+def test_operator_matches_driver_side(spark):
+    """Distributed kernel scoring == single-process scoring (distribution
+    invariance, the P/R gate pattern)."""
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.kernel_score import (build_prototypes,
+                                                      extract_triples_kernel,
+                                                      instances_for_sentence)
+
+    protos = build_prototypes(TESTDATA_CONFIG, [
+        "the spark activates the table.",
+        "a vector binds the stream.",
+    ])
+    assert protos, "prototype sentences must yield instances"
+
+    rows = [
+        ("c1", 0, "the spark activates the table."),
+        ("c1", 1, "the weather is nice today."),
+        ("c2", 0, "a column regulates the row and the stream."),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    got = extract_triples_kernel(df, TESTDATA_CONFIG, protos,
+                                 threshold=0.3)
+    got_rows = {(r.conv_id, r.turn_idx, r.sent_id, r.e1, r.e2,
+                 round(r.score, 6)) for r in got.collect()}
+
+    rt = TESTDATA_CONFIG.build()
+    from nlp_lib_spark.kernels.text import split_sentences, strip_citations
+    exp = set()
+    for conv, ti, text in rows:
+        for sid, sent in enumerate(split_sentences(strip_citations(text))):
+            for ann, inst in instances_for_sentence(rt, sent):
+                s = prototype_score(inst, protos, "lcs")
+                if s >= 0.3:
+                    exp.add((conv, ti, sid, inst["e1"], inst["e2"],
+                             round(s, 6)))
+    assert got_rows == exp
+    assert exp, "planted sentences must produce scored pairs"
