@@ -182,6 +182,86 @@ FROM step WHERE ms IS NOT NULL
 """
 
 
+def _entity_spans_oracle_sql() -> str:
+    """Extended gazetteer state-machine CTE that also emits BIO span rows:
+    PROTEIN spans (ms..me) plus FUSED single-token spans — the fused
+    check (``tok.contains('/') && all parts in full lexicon``, our
+    Gazetteer.tag_iob / EntityLexicon fused branch) fires only at scan
+    positions that did NOT start a prefix match, which is exactly the
+    ``NOT m1`` rows of the recursion."""
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    prefix: set[str] = set()
+    full: set[str] = set()
+    for e in TESTDATA_ENTITIES:
+        toks = e.lower().split()
+        w = toks[0]
+        prefix.add(w)
+        for t in toks[1:]:
+            w = w + " " + t
+            prefix.add(w)
+        full.add(e.lower())
+    lex_vals = ", ".join(f"('{w}')" for w in sorted(prefix))
+    full_vals = ", ".join(f"('{w}')" for w in sorted(full))
+    return f"""
+WITH RECURSIVE lex(word) AS (VALUES {lex_vals}),
+flex(word) AS (VALUES {full_vals}),
+t0 AS ({_DUCK_TRANSCRIPTS}),
+t AS (
+  SELECT conv_id, turn_idx,
+         regexp_replace(text, '\\[[\\s\\d,;-]+\\]', '', 'g') AS text
+  FROM t0
+),
+s AS (
+  SELECT conv_id, turn_idx,
+         generate_subscripts(regexp_extract_all(text, '{SENT_PAT}'), 1) - 1 AS sent_id,
+         trim(unnest(regexp_extract_all(text, '{SENT_PAT}'))) AS sentence
+  FROM t
+),
+tok AS (
+  SELECT conv_id, turn_idx, sent_id,
+         generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w, len(toks) AS n
+  FROM (SELECT conv_id, turn_idx, sent_id,
+               regexp_extract_all(sentence, '{TOK_PAT_DUCK}') AS toks FROM s)
+),
+step(conv_id, turn_idx, sent_id, i, ms, me, mtext, fs, ftext) AS (
+  SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT, NULL::VARCHAR,
+         NULL::INT, NULL::VARCHAR
+  FROM (SELECT DISTINCT conv_id, turn_idx, sent_id FROM tok) anchors
+  UNION ALL
+  SELECT q.conv_id, q.turn_idx, q.sent_id,
+         CASE WHEN NOT q.m1 THEN q.i + 1 WHEN q.m2 THEN q.i + 3 ELSE q.i + 2 END,
+         CASE WHEN q.m1 THEN q.i ELSE NULL END,
+         CASE WHEN NOT q.m1 THEN NULL WHEN q.m2 THEN q.i + 1 ELSE q.i END,
+         CASE WHEN NOT q.m1 THEN NULL WHEN q.m2 THEN q.w1 || ' ' || q.w2 ELSE q.w1 END,
+         CASE WHEN NOT q.m1 AND q.fused THEN q.i ELSE NULL END,
+         CASE WHEN NOT q.m1 AND q.fused THEN q.w1 ELSE NULL END
+  FROM (
+    SELECT st.conv_id, st.turn_idx, st.sent_id, st.i, t1.n,
+           t1.w AS w1, t2.w AS w2,
+           EXISTS (SELECT 1 FROM lex WHERE word = lower(t1.w)) AS m1,
+           (t2.w IS NOT NULL AND EXISTS (
+              SELECT 1 FROM lex WHERE word = lower(t1.w) || ' ' || lower(t2.w))) AS m2,
+           (t1.w LIKE '%/%'
+            AND len(string_split(lower(t1.w), '/')) >= 2
+            AND NOT EXISTS (
+              SELECT 1 FROM unnest(string_split(lower(t1.w), '/')) AS u(p)
+              WHERE p NOT IN (SELECT word FROM flex))) AS fused
+    FROM step st
+    JOIN tok t1 ON t1.conv_id = st.conv_id AND t1.turn_idx = st.turn_idx
+                AND t1.sent_id = st.sent_id AND t1.pos = st.i
+    LEFT JOIN tok t2 ON t2.conv_id = st.conv_id AND t2.turn_idx = st.turn_idx
+                AND t2.sent_id = st.sent_id AND t2.pos = st.i + 1
+  ) q
+)
+SELECT conv_id, turn_idx, sent_id, ms AS start, me AS "end",
+       'PROTEIN' AS span_type, mtext AS span_text
+FROM step WHERE ms IS NOT NULL
+UNION ALL
+SELECT conv_id, turn_idx, sent_id, fs, fs, 'FUSED', ftext
+FROM step WHERE fs IS NOT NULL
+"""
+
+
 @gate("kg_conversations", oracle=f"""
 WITH t AS ({_DUCK_TRANSCRIPTS})
 SELECT conv_id, count(*) AS n_turns,
@@ -554,7 +634,7 @@ def q_kg_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_clauses(annotate_turns(t, TESTDATA_CONFIG))
 
 
-@gate("kg_entity_spans")  # BIO span decode over the gazetteer layer
+@gate("kg_entity_spans", oracle=_entity_spans_oracle_sql())
 def q_kg_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.clauses import entity_spans
     t = transcripts(spark, sf_dir, with_ts=False)
@@ -986,6 +1066,88 @@ def q_kg_hor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hor_edges(disc, extract_triples(t, TESTDATA_CONFIG))
 
 
+def _link_scores_oracle_sql() -> str:
+    """Full DuckDB replica of ``operators/linking.link_mentions``:
+    exact-normalized tier, then 3-gram-blocked Jaccard with the
+    best-candidate window (desc score, asc entity) and the unlinked
+    fallback — over mentions produced by the gazetteer recursive CTE."""
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    ent_vals = ", ".join(f"('{e}')" for e in sorted(set(TESTDATA_ENTITIES)))
+    grams = ("CASE WHEN length({c}) < 3 THEN [{c}] ELSE "
+             "list_distinct(list_transform(generate_series(1, length({c}) - 2), "
+             "i -> substring({c}, i, 3))) END")
+    return f"""
+WITH norms AS (
+  SELECT DISTINCT trim(regexp_replace(lower(mention_text), '\\s+', ' ', 'g')) AS norm
+  FROM ({_mention_oracle_sql()}) mentions
+),
+d AS (
+  SELECT DISTINCT entity,
+         trim(regexp_replace(lower(entity), '\\s+', ' ', 'g')) AS enorm
+  FROM (VALUES {ent_vals}) AS e(entity)
+),
+exact AS (
+  SELECT n.norm, d.entity, 'exact' AS method, CAST(1.0 AS DOUBLE) AS score
+  FROM norms n JOIN d ON n.norm = d.enorm
+),
+unm AS (SELECT norm FROM norms WHERE norm NOT IN (SELECT enorm FROM d)),
+mge AS (
+  SELECT norm, len(grams) AS n_a, unnest(grams) AS gram
+  FROM (SELECT norm, {grams.format(c='norm')} AS grams FROM unm)
+),
+dg AS (
+  SELECT entity, len(grams) AS n_b, unnest(grams) AS gram
+  FROM (SELECT entity, {grams.format(c='enorm')} AS grams FROM d)
+),
+cand AS (
+  SELECT mge.norm, mge.n_a, dg.entity, dg.n_b, count(*) AS inter
+  FROM mge JOIN dg USING (gram)
+  GROUP BY mge.norm, mge.n_a, dg.entity, dg.n_b
+),
+scored AS (
+  SELECT norm, entity,
+         CAST(round(inter * 1.0 / (n_a + n_b - inter), 4) AS DOUBLE) AS score
+  FROM cand
+),
+best AS (
+  SELECT norm, entity, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm
+                                 ORDER BY score DESC, entity) AS rnk
+    FROM scored WHERE score >= 0.5)
+  WHERE rnk = 1
+),
+fuzzy AS (
+  SELECT u.norm, b.entity, 'jaccard3' AS method, b.score
+  FROM unm u JOIN best b USING (norm)
+),
+missing AS (
+  SELECT u.norm, u.norm AS entity, 'unlinked' AS method,
+         CAST(0.0 AS DOUBLE) AS score
+  FROM unm u WHERE u.norm NOT IN (SELECT norm FROM best)
+)
+SELECT * FROM exact UNION ALL SELECT * FROM fuzzy UNION ALL SELECT * FROM missing
+"""
+
+
+@gate("kg_link_scores", oracle=_link_scores_oracle_sql())
+def q_kg_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-distinct-mention linking verdicts (norm, entity, method, score)
+    — the value-hash-oracled core of the kg_entity_links chain (the
+    canonical_map on top adds the CC component id, oracled separately
+    via cc_components)."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.linking import link_mentions
+    mentions = mentions_from_annotations(_ann(spark, sf_dir))
+    dictionary = spark.createDataFrame(
+        [(e,) for e in sorted(set(TESTDATA_ENTITIES))], "entity string")
+    return (link_mentions(mentions, dictionary)
+            .select("norm", "entity", "method",
+                    F.round("score", 4).cast("double").alias("score"))
+            .distinct())
+
+
 @gate("kg_entity_links")  # broadcast-dict linking over gazetteer mentions
 def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
@@ -999,13 +1161,17 @@ def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 @gate("kg_edges")  # canonical KG edge table — rows-only
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.extract import triples_from_annotations
     from nlp_lib_spark.operators.graph import canonical_map, materialize_graph
     t = transcripts(spark, sf_dir, with_ts=False)
-    mentions = mentions_from_annotations(annotate_turns(t, TESTDATA_CONFIG))
+    # one annotation pass feeds both mentions and triples (the chain is
+    # the dominant cost; localCheckpoint materializes it exactly once)
+    ann = annotate_turns(t, TESTDATA_CONFIG).localCheckpoint()
+    mentions = mentions_from_annotations(ann)
     dictionary = spark.createDataFrame(
         [(e,) for e in TESTDATA_ENTITIES], "entity string")
     cmap = canonical_map(mentions, dictionary)
-    _nodes, edges = materialize_graph(extract_triples(t, TESTDATA_CONFIG), cmap)
+    _nodes, edges = materialize_graph(triples_from_annotations(ann), cmap)
     return edges
 
 

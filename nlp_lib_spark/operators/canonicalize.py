@@ -31,7 +31,9 @@ def _symmetrize(edges: DataFrame) -> DataFrame:
 
 
 def _star(edges: DataFrame, large: bool) -> DataFrame:
-    # m(u) = min over N(u) ∪ {u}
+    # m(u) = min over N(u) ∪ {u}.  No distinct here: duplicate edges
+    # cannot change a min() aggregate, and the round-final symmetrize
+    # dedups once — one shuffle per round instead of three.
     mins = (edges.groupBy("u")
             .agg(F.min("v").alias("mn"))
             .withColumn("m", F.least(F.col("u"), F.col("mn")))
@@ -44,13 +46,54 @@ def _star(edges: DataFrame, large: bool) -> DataFrame:
     return (j.select(F.col("v").alias("u"), F.col("m").alias("v"))
              .filter(F.col("u") != F.col("v"))
              .union(mins.select(F.col("u"), F.col("m").alias("v"))
-                    .filter(F.col("u") != F.col("v")))
-             .distinct())
+                    .filter(F.col("u") != F.col("v"))))
+
+
+def _local_contract(edges: DataFrame) -> DataFrame:
+    """Per-partition union-find contraction (one Arrow pass, no shuffle).
+
+    Each partition's edge set is replaced by a star from every locally
+    seen vertex to its partition-local min root — this preserves global
+    connectivity exactly while collapsing |E| to at most the number of
+    distinct vertices per partition, so the global star rounds start
+    from a near-contracted graph and converge in 1-2 iterations instead
+    of O(log^2).  Memory is bounded by vertices-per-partition: at scale,
+    size ``spark.sql.files.maxPartitionBytes`` / repartition accordingly.
+    """
+    import pandas as pd
+
+    def fn(batches):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    if rv < ru:
+                        ru, rv = rv, ru
+                    parent[rv] = ru
+        yield pd.DataFrame([(n, find(n)) for n in parent],
+                           columns=["u", "v"])
+
+    return (edges.mapInPandas(fn, schema="u string, v string")
+            .filter(F.col("u") != F.col("v")))
 
 
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(u, v) -> (id, component) with component = min member id."""
-    e = _symmetrize(edges).localCheckpoint()
+    e = _symmetrize(_local_contract(edges)).localCheckpoint()
     prev_sig = None
     for _ in range(max_iter):
         prev = e

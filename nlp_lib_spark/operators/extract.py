@@ -35,7 +35,8 @@ ANNOTATIONS_SCHEMA = (
     "tokens array<string>, iob array<string>, blinded array<string>, "
     "mention_ids array<string>, mention_texts array<string>, "
     "entity_count int, pos array<string>, domain array<string>, "
-    "edges array<struct<reln string, gov int, dep int>>"
+    "edges array<struct<reln string, gov int, dep int>>, "
+    "pairs array<struct<e1 int, e2 int>>"
 )
 
 
@@ -101,14 +102,66 @@ def annotate_turns(df: DataFrame, config: KGConfig) -> DataFrame:
                                    for d in (ann["domain"] or [])],
                         "edges": [{"reln": r, "gov": g, "dep": d}
                                   for (r, g, d) in edges],
+                        "pairs": [{"e1": i, "e2": j}
+                                  for (i, j) in ann["pairs"]],
                     })
             yield pd.DataFrame(rows, columns=[
                 "conv_id", "turn_idx", "sent_id", "sentence", "tokens",
                 "iob", "blinded", "mention_ids", "mention_texts",
-                "entity_count", "pos", "domain", "edges"])
+                "entity_count", "pos", "domain", "edges", "pairs"])
 
     return (df.select("conv_id", "turn_idx", "text")
               .mapInPandas(fn, schema=ANNOTATIONS_SCHEMA))
+
+
+def triples_from_annotations(ann: DataFrame) -> DataFrame:
+    """annotations (with the precomputed rule-union ``pairs`` column) ->
+    triples, without re-running the annotate chain.
+
+    Same emit semantics as the fused ``extract_triples`` path
+    (kernels/pipeline.triples_for_sentence); lets one annotation pass
+    feed mentions, triples, clauses, and linking — the Spark analogue of
+    the reference's four aligned per-doc files being read once
+    (ppi/MLExtractor.java:61-69)."""
+    from nlp_lib_spark.kernels.pipeline import _pred_term
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["conv_id", "turn_idx", "sent_id", "e1", "e2",
+                "subj", "pred", "obj"]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if not len(r.pairs):
+                    continue
+                blinded = list(r.blinded)
+                mapping = dict(zip(r.mention_ids, r.mention_texts))
+                domain = [d if d else None for d in r.domain]
+                for p in r.pairs:
+                    i, j = int(p["e1"]), int(p["e2"])
+                    pred = _pred_term(domain, i, j)
+                    if i == j:
+                        parts = blinded[i].split("/")
+                        if len(parts) < 2:
+                            continue
+                        subj = mapping.get(parts[0], parts[0])
+                        obj = mapping.get(parts[1], parts[1])
+                    else:
+                        ti, tj = blinded[i], blinded[j]
+                        subj = mapping.get(ti)
+                        obj = mapping.get(tj)
+                        if subj is None:
+                            subj = "/".join(mapping.get(x, x)
+                                            for x in ti.split("/"))
+                        if obj is None:
+                            obj = "/".join(mapping.get(x, x)
+                                           for x in tj.split("/"))
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 i, j, subj, pred, obj))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded",
+                       "mention_ids", "mention_texts", "domain", "pairs")
+               .mapInPandas(fn, schema=TRIPLES_SCHEMA))
 
 
 def mentions_from_annotations(ann: DataFrame) -> DataFrame:

@@ -93,3 +93,21 @@ def test_determinism_two_runs(spark, fixture_data):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_triples_from_annotations_equals_fused_path(spark, fixture_data):
+    """The staged path (annotate_turns -> triples_from_annotations) must
+    emit exactly the fused extract_triples output — the invariant that
+    lets kg_edges reuse one annotation pass for mentions AND triples."""
+    from nlp_lib_spark.operators.extract import (annotate_turns,
+                                                 triples_from_annotations)
+    tdf, _ = fixture_data
+    sdf = spark.createDataFrame(tdf)
+    fused = extract_triples(sdf, FIXTURE_CONFIG).toPandas()
+    staged = triples_from_annotations(
+        annotate_turns(sdf, FIXTURE_CONFIG)).toPandas()
+    key = ["conv_id", "turn_idx", "sent_id", "e1", "e2",
+           "subj", "pred", "obj"]
+    assert (set(map(tuple, fused[key].itertuples(index=False)))
+            == set(map(tuple, staged[key].itertuples(index=False))))
+    assert len(fused) == len(staged)
