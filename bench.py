@@ -50,9 +50,23 @@ def _materialize(df) -> int:
     return 0
 
 
+def _warmup(spark, cpus: int) -> None:
+    """Spawn the Python worker pool + trigger codegen before timing (the
+    100 TB regime is steady-state; worker fork is a per-executor one-off)."""
+    import pandas as pd
+
+    def ident(it):
+        for pdf in it:
+            yield pdf
+
+    (spark.range(cpus * 4).repartition(cpus)
+     .mapInPandas(ident, schema="id long").count())
+
+
 def run_suite(sf_dir: str, cpus: int) -> dict:
     spark = get_spark(app="nlp_lib_spark-bench", cpus=cpus)
     timings: dict[str, float] = {}
+    _warmup(spark, cpus)
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.time()

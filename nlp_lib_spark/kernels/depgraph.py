@@ -32,7 +32,7 @@ def _pat(pattern: str) -> "re.Pattern[str]":
 
 
 class DepGraph:
-    __slots__ = ("edges", "_by_gov", "_by_dep", "_adj")
+    __slots__ = ("edges", "_by_gov", "_by_dep", "_adj", "_prevs")
 
     def __init__(self, edges: list[Edge]):
         self.edges = list(edges)
@@ -45,6 +45,17 @@ class DepGraph:
             self._by_dep.setdefault(dep, []).append(e)
             self._adj.setdefault(gov, []).append((dep, reln))
             self._adj.setdefault(dep, []).append((gov, "-" + reln))
+        # sort adjacency once (deterministic BFS tie-break) instead of per
+        # BFS visit — the rules call path BFS per candidate pair, and the
+        # per-visit sorted() dominated the hot-path profile
+        for lst in self._adj.values():
+            lst.sort()
+        # per-source BFS predecessor-map memo: one BFS serves every
+        # destination, so the O(pairs) path queries of rules 1/2/3 and
+        # the feature pipes cost O(sources) BFS runs per sentence (the
+        # reference reruns an adjacency-matrix BFS per query — SURVEY §4
+        # flags this as the dominant redundant recompute)
+        self._prevs: dict[int, dict[int, tuple[int, str]]] = {}
 
     # ---- edge selections (SimpleDepGraph.java:244-317) ----
     def gov_edges(self, gov: int, pattern: str | None = None) -> list[Edge]:
@@ -73,27 +84,36 @@ class DepGraph:
         return es[0][1] if es else -1
 
     # ---- shortest path (SimpleDepGraph.java:190-242 / getPathAsList) ----
+    def _prev_map(self, src: int) -> dict[int, tuple[int, str]]:
+        """Full undirected BFS from ``src`` (memoized).  Exploring to
+        exhaustion instead of early-breaking at one destination yields
+        byte-identical per-destination paths (earlier prev assignments
+        are unaffected) while serving every destination from one run."""
+        pm = self._prevs.get(src)
+        if pm is None:
+            pm = {src: (-1, "")}
+            q = deque([src])
+            while q:
+                v = q.popleft()
+                for (nxt, lab) in self._adj.get(v, ()):
+                    if nxt not in pm:
+                        pm[nxt] = (v, lab)
+                        q.append(nxt)
+            self._prevs[src] = pm
+        return pm
+
     def path_labels(self, src: int, dst: int) -> list[str] | None:
         """Undirected BFS shortest path src->dst; edge-label list with
         ``-`` prefix for edges traversed dep->gov. None when disconnected."""
         if src == dst:
             return []
-        prev: dict[int, tuple[int, str]] = {src: (-1, "")}
-        q = deque([src])
-        while q:
-            v = q.popleft()
-            if v == dst:
-                break
-            for (nxt, lab) in sorted(self._adj.get(v, [])):
-                if nxt not in prev:
-                    prev[nxt] = (v, lab)
-                    q.append(nxt)
-        if dst not in prev:
+        pm = self._prev_map(src)
+        if dst not in pm:
             return None
         labels: list[str] = []
         v = dst
         while v != src:
-            p, lab = prev[v]
+            p, lab = pm[v]
             labels.append(lab)
             v = p
         labels.reverse()
@@ -133,20 +153,20 @@ class DepGraph:
         the reference's ``for i in 0..size`` adjacency-matrix sweep."""
         if src == dst:
             return []
-        prev: dict[int, tuple[int, str]] = {src: (-1, "")}
-        q = deque([src])
-        while q:
-            v = q.popleft()
-            if v == dst:
-                break
-            if directed:
+        if directed:
+            prev: dict[int, tuple[int, str]] = {src: (-1, "")}
+            q = deque([src])
+            while q:
+                v = q.popleft()
+                if v == dst:
+                    break
                 nbrs = sorted((e[2], e[0]) for e in self._by_gov.get(v, []))
-            else:
-                nbrs = sorted(self._adj.get(v, []))
-            for (nxt, lab) in nbrs:
-                if nxt not in prev:
-                    prev[nxt] = (v, lab)
-                    q.append(nxt)
+                for (nxt, lab) in nbrs:
+                    if nxt not in prev:
+                        prev[nxt] = (v, lab)
+                        q.append(nxt)
+        else:
+            prev = self._prev_map(src)  # shared memoized BFS
         if dst not in prev:
             return None
         out: list[Edge] = []

@@ -42,13 +42,14 @@ Pair = tuple[int, int]
 class Sent:
     """Per-sentence bundle the rules read (tokens + POS + DOMAIN tags)."""
 
-    __slots__ = ("tokens", "pos", "domain")
+    __slots__ = ("tokens", "pos", "domain", "_r2b_base")
 
     def __init__(self, tokens: list[str], pos: list[str],
                  domain: list[str | None]):
         self.tokens = tokens
         self.pos = pos
         self.domain = domain
+        self._r2b_base: list[str] | None = None
 
     def __len__(self) -> int:
         return len(self.tokens)
@@ -270,29 +271,38 @@ def rule2(s: Sent, g: DepGraph) -> set[Pair]:
 
 
 # ------------------------------------------------------------------ Rule 2b
+def _r2b_base_classes(s: Sent) -> list[str]:
+    """Pair-independent token classes for RelexRule2b.getSentPattern
+    (RelexRule2b.java:38-64), computed once per sentence — only the two
+    entity positions differ per pair, so the O(n) class scan must not
+    rerun for each of the O(n^2) candidate pairs."""
+    if s._r2b_base is None:
+        parts: list[str] = []
+        for i in range(len(s.tokens)):
+            tok = s.tokens[i]
+            if "PROTEIN" in tok:
+                parts.append("PROT")
+            elif s.domain[i] is not None:
+                parts.append("REL")
+            elif len(tok) == 1 and tok in "/,-":
+                parts.append(tok)
+            elif s.pos[i] in ("IN", "TO") and tok in _R2B_PREP_WORDS:
+                parts.append("PREP")
+            elif tok in ("and", "or"):
+                parts.append("CONJ")
+            elif s.pos[i].startswith("N"):
+                parts.append("N")
+            else:
+                parts.append("W")
+        s._r2b_base = parts
+    return s._r2b_base
+
+
 def _r2b_sent_pattern(s: Sent, e1: int, e2: int) -> str:
     # RelexRule2b.java:38-64
-    parts: list[str] = []
-    for i in range(e2 + 1):
-        tok = s.tokens[i]
-        if i == e1:
-            parts.append("PROT1")
-        elif i == e2:
-            parts.append("PROT2")
-        elif "PROTEIN" in tok:
-            parts.append("PROT")
-        elif s.domain[i] is not None:
-            parts.append("REL")
-        elif len(tok) == 1 and tok in "/,-":
-            parts.append(tok)
-        elif s.pos[i] in ("IN", "TO") and tok in _R2B_PREP_WORDS:
-            parts.append("PREP")
-        elif tok in ("and", "or"):
-            parts.append("CONJ")
-        elif s.pos[i].startswith("N"):
-            parts.append("N")
-        else:
-            parts.append("W")
+    parts = _r2b_base_classes(s)[:e2 + 1]
+    parts[e1] = "PROT1"
+    parts[e2] = "PROT2"
     return "".join(parts)
 
 

@@ -66,6 +66,19 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def transcripts(spark: SparkSession, sf_dir: str, with_ts: bool = True) -> DataFrame:
-    """The transcripts DataFrame for a testdata scale-factor directory."""
+    """The transcripts DataFrame for a testdata scale-factor directory.
+
+    A single small parquet file scans as one split, which would starve
+    every core but one through the whole annotation chain — so when the
+    scan yields fewer splits than the cluster's parallelism we
+    repartition by conv_id (hash, conversation-co-located, matching the
+    production table's ``bucket(conv_id)`` layout so downstream
+    conversation windows shuffle nothing extra).  On a real multi-file
+    Iceberg table the scan already produces enough splits and this is a
+    no-op branch."""
     load_documents(spark, sf_dir).createOrReplaceTempView("__documents")
-    return spark.sql(transcripts_select_sql("__documents", "spark", with_ts))
+    df = spark.sql(transcripts_select_sql("__documents", "spark", with_ts))
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, "conv_id")
+    return df
