@@ -627,6 +627,89 @@ def q_kg_kernel_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=0.5)
 
 
+@gate("kg_wgp_triples")  # WGPRelEx typed genotype/phenotype path
+def q_kg_wgp_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-IOB relation extraction (main/WGPRelEx.java): the typed
+    input is derived deterministically from the transcripts by labeling
+    the k-th gazetteer mention of each sentence B-G (even k) / B-P (odd
+    k) — exercising typed blinding, the shared rule union, and the
+    cross-type filter.  Rule engine => rows-only."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from nlp_lib_spark.operators.wgp import extract_typed_triples
+
+    def fn(batches: "_It[pd.DataFrame]"):
+        rt = TESTDATA_CONFIG.build()
+        from nlp_lib_spark.kernels.text import (split_sentences,
+                                                strip_citations, tokenize)
+        for pdf in batches:
+            rows = []
+            for conv, ti, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                      pdf["text"]):
+                if not text:
+                    continue
+                for sid, sent in enumerate(
+                        split_sentences(strip_citations(text))):
+                    toks = tokenize(sent)
+                    iob = rt.gazetteer.tag_iob(toks)
+                    tags, k = [], -1
+                    for t in iob:
+                        if t.startswith("B-"):
+                            k += 1
+                            tags.append("B-G" if k % 2 == 0 else "B-P")
+                        elif t.startswith("I-"):
+                            tags.append("I-G" if k % 2 == 0 else "I-P")
+                        else:
+                            tags.append("O")
+                    rows.append((f"{conv}:{ti}", sid, toks, tags))
+            yield pd.DataFrame(rows, columns=["doc_id", "sent_id",
+                                              "tokens", "tags"])
+
+    t = transcripts(spark, sf_dir, with_ts=False)
+    typed = (t.select("conv_id", "turn_idx", "text")
+             .mapInPandas(fn, schema="doc_id string, sent_id int, "
+                                     "tokens array<string>, "
+                                     "tags array<string>"))
+    return extract_typed_triples(typed, TESTDATA_CONFIG)
+
+
+@gate("kg_rel_candidates")  # RelCandidateExtractor recall filter
+def q_kg_rel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed-BFS candidate generation (ppi/RelCandidateExtractor.java)
+    over the oracled annotation chain — rows-only (graph DFS + form
+    regex union; value parity pytest-oracled in test_forms/test_filters)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.rules import rel_candidates
+
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+
+    def fn(batches: "_It[pd.DataFrame]"):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                dom = [d if d else None for d in r.domain]
+                edges = [(e["reln"], int(e["gov"]), int(e["dep"]))
+                         for e in r.edges]
+                for (i, j) in sorted(rel_candidates(list(r.blinded),
+                                                    list(r.pos), dom,
+                                                    edges)):
+                    rows.append((r.conv_id, int(r.turn_idx),
+                                 int(r.sent_id), i, j))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "e1", "e2"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded",
+                       "pos", "domain", "edges")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, e1 int, e2 int"))
+
+
 @gate("kg_clauses")  # clause/discourse segmentation — rows-only
 def q_kg_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.clauses import with_clauses

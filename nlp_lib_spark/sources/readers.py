@@ -144,6 +144,45 @@ def read_pdtb_piped(spark: SparkSession, path: str,
     return df.select(F.col("file"), *cols)
 
 
+def _span_list_expr(col: str):
+    """SpanList parse as a JVM-side expression: ``"s..e[;s..e]*"`` ->
+    array<struct<start,end>> with -1/-1 for empty spans
+    (corpus/pdtb/Span.java:15-25, SpanList.java:15-20)."""
+    return F.expr(
+        f"transform(split({col}, ';'), x -> IF(x = '', "
+        f"named_struct('start', -1, 'end', -1), "
+        f"named_struct('start', CAST(split(x, '\\\\.\\\\.')[0] AS INT), "
+        f"'end', CAST(split(x, '\\\\.\\\\.')[1] AS INT))))")
+
+
+def read_pdtb_relations(spark: SparkSession, path: str) -> DataFrame:
+    """Typed PDTB v2 relation view, column indices per the reference's
+    accessors (corpus/pdtb/PDTBRelation.java:52-119): type=0, section=1,
+    file_number=2, conn span/gorn/raw=3/4/5, conn_head=8, senses=11/12,
+    arg1 span/gorn/raw=22/23/24, arg2 span/gorn/raw=32/33/34.  Span
+    lists become typed arrays; Gorn address lists stay ';'-separated
+    strings (consumed by kernels/tree.gorn_node)."""
+    raw = read_pdtb_piped(spark, path)
+    return raw.select(
+        "file",
+        F.col("col_0").alias("rel_type"),
+        F.col("col_1").alias("section"),
+        F.col("col_2").alias("file_number"),
+        _span_list_expr("col_3").alias("conn_spans"),
+        F.col("col_4").alias("conn_gorn"),
+        F.col("col_5").alias("conn_raw"),
+        F.col("col_8").alias("conn_head"),
+        F.col("col_11").alias("sense"),
+        F.col("col_12").alias("sense2"),
+        _span_list_expr("col_22").alias("arg1_spans"),
+        F.col("col_23").alias("arg1_gorn"),
+        F.col("col_24").alias("arg1_raw"),
+        _span_list_expr("col_32").alias("arg2_spans"),
+        F.col("col_33").alias("arg2_gorn"),
+        F.col("col_34").alias("arg2_raw"),
+    )
+
+
 LLL_SCHEMA = ("record_id string, sentence string, "
               "interactions array<struct<agent int, target int>>")
 

@@ -80,3 +80,45 @@ def test_rule_eval_on_corpus(spark, corpus_dir):
     # rules must recover the planted gold pairs on the corpus shape too
     assert res.recall_ >= 0.95, res
     assert res.precision_ >= 0.90, res
+
+
+def test_pdtb_relations_typed_view(spark, tmp_path):
+    """Typed PDTB v2 relation reader: column indices and span parsing per
+    corpus/pdtb/PDTBRelation.java accessors and Span.java '..' codec."""
+    from nlp_lib_spark.sources.readers import read_pdtb_relations
+    cols = [""] * 48
+    cols[0] = "Explicit"
+    cols[1] = "00"
+    cols[2] = "0003"
+    cols[3] = "517..524;600..610"
+    cols[4] = "11,0"
+    cols[5] = "because"
+    cols[8] = "because"
+    cols[11] = "Contingency.Cause.Reason"
+    cols[12] = "Expansion.Conjunction"
+    cols[22] = "417..515"
+    cols[23] = "10"
+    cols[24] = "arg1 text here"
+    cols[32] = "525..598"
+    cols[33] = "11,1"
+    cols[34] = "arg2 text here"
+    f = tmp_path / "pdtb_sample.pipe"
+    f.write_text("|".join(cols) + "\n")
+    rows = read_pdtb_relations(spark, str(f)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.rel_type == "Explicit"
+    assert r.section == "00" and r.file_number == "0003"
+    assert [(s.start, s.end) for s in r.conn_spans] == [(517, 524),
+                                                        (600, 610)]
+    assert r.conn_raw == "because" and r.conn_head == "because"
+    assert r.sense == "Contingency.Cause.Reason"
+    assert r.sense2 == "Expansion.Conjunction"
+    assert [(s.start, s.end) for s in r.arg1_spans] == [(417, 515)]
+    assert r.arg1_gorn == "10" and r.arg1_raw == "arg1 text here"
+    assert [(s.start, s.end) for s in r.arg2_spans] == [(525, 598)]
+    # empty span -> (-1, -1) sentinel (Span.java:16-19)
+    cols[3] = ""
+    f.write_text("|".join(cols) + "\n")
+    r2 = read_pdtb_relations(spark, str(f)).collect()[0]
+    assert [(s.start, s.end) for s in r2.conn_spans] == [(-1, -1)]
