@@ -710,7 +710,57 @@ def q_kg_rel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "sent_id int, e1 int, e2 int"))
 
 
-@gate("kg_clauses")  # clause/discourse segmentation — rows-only
+def _clauses_oracle_sql() -> str:
+    """Clause segmentation (kernels/clauses.clause_spans) over the oracled
+    blinded+POS stream: starts at 0, at subordinators, after ';'/':',
+    and at clause-coordinating CC (a noun followed by a verb exists to
+    the right); span ends at next start - 1 / last token."""
+    from nlp_lib_spark.kernels.clauses import SUBORDINATORS
+    subs = ", ".join(f"'{w}'" for w in sorted(SUBORDINATORS))
+    return f"""
+WITH postok AS (SELECT * FROM ({_pos_oracle_sql()}) q),
+flags AS (
+  SELECT p.conv_id, p.turn_idx, p.sent_id, p.idx,
+         (p.idx = 0
+          OR lower(p.token) IN ({subs})
+          OR lag(p.token) OVER (PARTITION BY p.conv_id, p.turn_idx, p.sent_id
+                                ORDER BY p.idx) IN (';', ':')
+          OR (p.pos_tag = 'CC' AND EXISTS (
+                SELECT 1 FROM postok n1 JOIN postok v2
+                  ON v2.conv_id = n1.conv_id AND v2.turn_idx = n1.turn_idx
+                 AND v2.sent_id = n1.sent_id AND v2.idx > n1.idx
+                 AND v2.pos_tag LIKE 'V%'
+                WHERE n1.conv_id = p.conv_id AND n1.turn_idx = p.turn_idx
+                  AND n1.sent_id = p.sent_id AND n1.idx > p.idx
+                  AND n1.pos_tag LIKE 'N%'))) AS is_start
+  FROM postok p
+),
+starts AS (
+  SELECT conv_id, turn_idx, sent_id, idx,
+         lead(idx) OVER (PARTITION BY conv_id, turn_idx, sent_id
+                         ORDER BY idx) AS nxt,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
+                            ORDER BY idx) - 1 AS clause_id
+  FROM flags WHERE is_start
+),
+bounds AS (
+  SELECT conv_id, turn_idx, sent_id, max(idx) AS mx
+  FROM postok GROUP BY conv_id, turn_idx, sent_id
+)
+SELECT s.conv_id, s.turn_idx, s.sent_id, CAST(s.clause_id AS INT) AS clause_id,
+       CAST(s.idx AS INT) AS start,
+       CAST(coalesce(s.nxt - 1, b.mx) AS INT) AS "end",
+       (SELECT string_agg(t.token, ' ' ORDER BY t.idx) FROM postok t
+        WHERE t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+          AND t.sent_id = s.sent_id
+          AND t.idx BETWEEN s.idx AND coalesce(s.nxt - 1, b.mx)) AS clause_text
+FROM starts s
+JOIN bounds b ON b.conv_id = s.conv_id AND b.turn_idx = s.turn_idx
+            AND b.sent_id = s.sent_id
+"""
+
+
+@gate("kg_clauses", oracle=_clauses_oracle_sql())
 def q_kg_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.clauses import with_clauses
     t = transcripts(spark, sf_dir, with_ts=False)
@@ -1134,6 +1184,118 @@ def _ann(spark: SparkSession, sf_dir: str):
     return annotate_turns(t, TESTDATA_CONFIG)
 
 
+def _connectives_oracle_sql() -> str:
+    """Connective detection (ConnectiveExtractor.java:85-107 longest
+    lexicon match <=4 tokens with consume-and-resume) + sense + the
+    frozen Arg2 head rule, as a recursive CTE over the oracled
+    blinded+POS stream — the same state-machine-to-CTE trick as the
+    gazetteer oracle."""
+    from nlp_lib_spark.kernels.discourse import DEFAULT_CONNECTIVES
+    lex_vals = ", ".join(f"('{p.lower()}', '{c}')"
+                         for p, c in sorted(DEFAULT_CONNECTIVES.items()))
+    return f"""
+WITH RECURSIVE postok AS (SELECT * FROM ({_pos_oracle_sql()}) q),
+clex(phrase, cat) AS (VALUES {lex_vals}),
+bounds AS (
+  SELECT conv_id, turn_idx, sent_id, max(idx) AS mx
+  FROM postok GROUP BY conv_id, turn_idx, sent_id
+),
+cstep(conv_id, turn_idx, sent_id, i, cs, ce, phrase) AS (
+  SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT, NULL::VARCHAR
+  FROM bounds
+  UNION ALL
+  SELECT q.conv_id, q.turn_idx, q.sent_id,
+         CASE WHEN q.L > 0 THEN q.i + q.L ELSE q.i + 1 END,
+         CASE WHEN q.L > 0 THEN q.i ELSE NULL END,
+         CASE WHEN q.L > 0 THEN q.i + q.L - 1 ELSE NULL END,
+         CASE q.L WHEN 4 THEN q.p4 WHEN 3 THEN q.p3 WHEN 2 THEN q.p2
+                  WHEN 1 THEN q.p1 ELSE NULL END
+  FROM (
+    SELECT st.conv_id, st.turn_idx, st.sent_id, st.i,
+           p1, p2, p3, p4,
+           CASE WHEN p4 IS NOT NULL AND EXISTS (SELECT 1 FROM clex WHERE phrase = p4) THEN 4
+                WHEN p3 IS NOT NULL AND EXISTS (SELECT 1 FROM clex WHERE phrase = p3) THEN 3
+                WHEN p2 IS NOT NULL AND EXISTS (SELECT 1 FROM clex WHERE phrase = p2) THEN 2
+                WHEN EXISTS (SELECT 1 FROM clex WHERE phrase = p1) THEN 1
+                ELSE 0 END AS L
+    FROM (
+      SELECT st.conv_id, st.turn_idx, st.sent_id, st.i,
+             lower(t1.token) AS p1,
+             CASE WHEN t2.token IS NOT NULL THEN lower(t1.token) || ' ' || lower(t2.token) END AS p2,
+             CASE WHEN t3.token IS NOT NULL THEN lower(t1.token) || ' ' || lower(t2.token) || ' ' || lower(t3.token) END AS p3,
+             CASE WHEN t4.token IS NOT NULL THEN lower(t1.token) || ' ' || lower(t2.token) || ' ' || lower(t3.token) || ' ' || lower(t4.token) END AS p4
+      FROM cstep st
+      JOIN postok t1 ON t1.conv_id = st.conv_id AND t1.turn_idx = st.turn_idx
+                    AND t1.sent_id = st.sent_id AND t1.idx = st.i
+      LEFT JOIN postok t2 ON t2.conv_id = st.conv_id AND t2.turn_idx = st.turn_idx
+                    AND t2.sent_id = st.sent_id AND t2.idx = st.i + 1
+      LEFT JOIN postok t3 ON t3.conv_id = st.conv_id AND t3.turn_idx = st.turn_idx
+                    AND t3.sent_id = st.sent_id AND t3.idx = st.i + 2
+      LEFT JOIN postok t4 ON t4.conv_id = st.conv_id AND t4.turn_idx = st.turn_idx
+                    AND t4.sent_id = st.sent_id AND t4.idx = st.i + 3
+    ) st
+  ) q
+)
+SELECT c.conv_id, c.turn_idx, c.sent_id,
+       CAST(c.cs AS INT) AS conn_start, CAST(c.ce AS INT) AS conn_end,
+       c.phrase AS conn,
+       (SELECT cat FROM clex WHERE phrase = c.phrase) AS sense,
+       CAST(coalesce(
+         (SELECT min(idx) FROM postok a WHERE a.conv_id = c.conv_id
+            AND a.turn_idx = c.turn_idx AND a.sent_id = c.sent_id
+            AND a.idx > c.ce
+            AND regexp_matches(a.pos_tag, '^(VB.*|NN.*|JJ.*|MD.*|AUX.*)$')),
+         (SELECT max(idx) FROM postok b WHERE b.conv_id = c.conv_id
+            AND b.turn_idx = c.turn_idx AND b.sent_id = c.sent_id
+            AND b.idx < c.cs
+            AND regexp_matches(b.pos_tag, '^(VB.*|NN.*|JJ.*|MD.*|AUX.*)$')),
+         -1) AS INT) AS arg2_head
+FROM cstep c WHERE c.cs IS NOT NULL
+"""
+
+
+@gate("kg_connectives", oracle=_connectives_oracle_sql())
+def q_kg_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence connective spans + sense + Arg2 head (the
+    SQL-expressible prefix of the discourse stack; Arg1's dep-graph BFS
+    stays in kg_discourse, rows-only)."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.discourse import (ConnectiveLexicon,
+                                                 arg2_head)
+
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+
+    def fn(batches: "_It[pd.DataFrame]"):
+        lex = ConnectiveLexicon()
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = list(r.blinded)
+                pos = list(r.pos)
+                if not toks or len(pos) != len(toks):
+                    continue
+                for span in lex.find(toks):
+                    conn = " ".join(t.lower()
+                                    for t in toks[span[0]:span[1] + 1])
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 span[0], span[1], conn,
+                                 lex.sense(toks, span),
+                                 arg2_head(toks, pos, span)))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_id", "conn_start", "conn_end",
+                "conn", "sense", "arg2_head"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded", "pos")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, conn_start int, "
+                                    "conn_end int, conn string, "
+                                    "sense string, arg2_head int"))
+
+
 @gate("kg_discourse")  # cross-turn window + lexicon kernels — rows-only
 def q_kg_discourse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.discourse import discourse_relations
@@ -1231,7 +1393,29 @@ def q_kg_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
-@gate("kg_entity_links")  # broadcast-dict linking over gazetteer mentions
+def _entity_links_oracle_sql() -> str:
+    """canonical_map replica: the link-scores SQL feeding a recursive
+    transitive-closure CC (min reachable = component label, singletons
+    included by seeding the closure from every vertex)."""
+    return f"""
+WITH RECURSIVE linked AS (SELECT * FROM ({_link_scores_oracle_sql()}) q),
+e0 AS (SELECT norm AS u, entity AS v FROM linked
+       WHERE method != 'unlinked' AND norm != entity),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+verts AS (SELECT norm AS id FROM linked UNION SELECT entity FROM linked),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT l.norm, c.component AS entity_id, l.method, l.score
+FROM (SELECT DISTINCT norm, entity, method, score FROM linked) l
+JOIN comp c ON c.id = l.norm
+"""
+
+
+@gate("kg_entity_links", oracle=_entity_links_oracle_sql())
 def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
     from nlp_lib_spark.operators.graph import canonical_map
