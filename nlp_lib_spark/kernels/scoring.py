@@ -53,6 +53,61 @@ def train_logreg(x: list[list[str]], y: list[int], epochs: int = 60,
     return weights, bias
 
 
+def prune_by_count(x: list[list[str]], prune_count: int) -> list[list[str]]:
+    """Keep features whose corpus occurrence count is STRICTLY greater
+    than ``prune_count`` (ml/PruneFeatureVectors.pruneByCount,
+    java:22-63: ``counts[fi] > pruneCount``)."""
+    from collections import Counter
+    counts: Counter = Counter()
+    for feats in x:
+        counts.update(feats)
+    keep = {f for f, c in counts.items() if c > prune_count}
+    return [[f for f in feats if f in keep] for feats in x]
+
+
+def info_gain(x: list[list[str]], y: list[int]) -> dict[str, float]:
+    """Information gain of each binary feature against the binary label:
+    IG(f) = H(Y) - [p(f) H(Y|f) + p(!f) H(Y|!f)] — the selection
+    criterion behind ``PruneFeatureVectors.pruneByInfoGain``
+    (java:65-84, Mallet ``InfoGain``)."""
+    n = len(y)
+    if n == 0:
+        return {}
+    pos = sum(y)
+
+    def h(p1: int, total: int) -> float:
+        if total == 0 or p1 == 0 or p1 == total:
+            return 0.0
+        p = p1 / total
+        return -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+
+    hy = h(pos, n)
+    present: dict[str, int] = {}
+    present_pos: dict[str, int] = {}
+    for feats, label in zip(x, y):
+        for f in set(feats):
+            present[f] = present.get(f, 0) + 1
+            if label:
+                present_pos[f] = present_pos.get(f, 0) + 1
+    out: dict[str, float] = {}
+    for f, nf in present.items():
+        pf = present_pos.get(f, 0)
+        cond = (nf / n) * h(pf, nf) + ((n - nf) / n) * h(pos - pf, n - nf)
+        out[f] = hy - cond
+    return out
+
+
+def prune_by_info_gain(x: list[list[str]], y: list[int],
+                       k: int = 1500) -> list[list[str]]:
+    """Keep the top-k features by information gain (the reference exports
+    its shipped model with top-1500, ppi/MLExtractor.java:182).
+    Deterministic tiebreak: higher IG, then lexicographic feature name."""
+    ig = info_gain(x, y)
+    keep = {f for f, _ in sorted(ig.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))[:k]}
+    return [[f for f in feats if f in keep] for feats in x]
+
+
 def save_model(path: str, weights: dict[str, float], bias: float) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

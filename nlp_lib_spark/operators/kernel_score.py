@@ -110,6 +110,41 @@ def extract_triples_kernel(df: DataFrame, config: KGConfig,
               .mapInPandas(fn, schema=KERNEL_TRIPLES_SCHEMA))
 
 
+def gram_matrix(spark, instances: list[dict],
+                kernel: str = "lcs") -> DataFrame:
+    """Train-time N x N kernel Gram matrix (libsvm/PPI.java:117-140),
+    distributed: the instance list is broadcast, the (i, j) index space
+    is a ``spark.range(n*n)`` with i = id div n / j = id mod n, and each
+    Arrow batch evaluates its kernel cells locally — no data shuffle at
+    all, only the tiny broadcast.  Symmetry is exploited by computing
+    i <= j and mirroring.  For runtime extraction use
+    ``extract_triples_kernel`` (candidate x prototypes), never this —
+    N^2 at 10^12 candidates is the reason the reference's SVM path
+    cannot ship at scale (SURVEY.md §2.6)."""
+    from nlp_lib_spark.kernels.kernelscore import (lcs_dep_path_kernel,
+                                                   simple_feature_kernel)
+    n = len(instances)
+    bc = spark.sparkContext.broadcast(instances)
+    kf = lcs_dep_path_kernel if kernel == "lcs" else simple_feature_kernel
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        insts = bc.value
+        for pdf in batches:
+            rows = []
+            for pid in pdf["id"]:
+                i, j = divmod(int(pid), n)
+                if i > j:
+                    continue
+                v = round(kf(insts[i], insts[j]), 6)
+                rows.append((i, j, v))
+                if i != j:
+                    rows.append((j, i, v))
+            yield pd.DataFrame(rows, columns=["i", "j", "k"])
+
+    return (spark.range(n * n)
+            .mapInPandas(fn, schema="i int, j int, k double"))
+
+
 def instance_domain_terms(df: DataFrame, config: KGConfig,
                           gold_pairs: DataFrame) -> DataFrame:
     """Labeled candidates -> (terms:array<string>, interaction:boolean).

@@ -46,3 +46,62 @@ def test_ml_scores_in_range_and_deterministic(spark, model):
     pd.testing.assert_frame_equal(a.sort_values(key).reset_index(drop=True),
                                   b.sort_values(key).reset_index(drop=True))
     assert ((a.p > 0.5) & (a.p <= 1.0)).all()
+
+
+def test_prune_by_count():
+    from nlp_lib_spark.kernels.scoring import prune_by_count
+    x = [["a", "b"], ["a", "c"], ["a", "b"]]
+    # counts: a=3, b=2, c=1; prune_count=1 keeps strictly >1 (java:40)
+    assert prune_by_count(x, 1) == [["a", "b"], ["a"], ["a", "b"]]
+    assert prune_by_count(x, 0) == x
+
+
+def test_info_gain_and_prune():
+    from nlp_lib_spark.kernels.scoring import info_gain, prune_by_info_gain
+    # f1 perfectly separates labels; f2 is uninformative
+    x = [["f1", "f2"], ["f1"], ["f2"], []]
+    y = [1, 1, 0, 0]
+    ig = info_gain(x, y)
+    assert ig["f1"] == pytest.approx(1.0)  # H(Y)=1, perfectly split
+    assert ig["f2"] == pytest.approx(0.0)
+    pruned = prune_by_info_gain(x, y, k=1)
+    assert pruned == [["f1"], ["f1"], [], []]
+
+
+def test_gram_matrix_distributed(spark):
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.kernelscore import (lcs_dep_path_kernel,
+                                                   relation_instance)
+    from nlp_lib_spark.operators.kernel_score import gram_matrix
+
+    def inst(verb, dom):
+        return relation_instance(
+            ["PROTEIN1", verb, "PROTEIN2"], ["NN", "VBZ", "NN"],
+            [None, dom, None], DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)]),
+            0, 2)
+    insts = [inst("activates", "activate"), inst("binds", "bind"),
+             inst("inhibits", "inhibit")]
+    got = {(r.i, r.j): r.k for r in gram_matrix(spark, insts).collect()}
+    assert len(got) == 9
+    for i in range(3):
+        assert got[(i, i)] == pytest.approx(1.0)      # normalized self
+        for j in range(3):
+            assert got[(i, j)] == got[(j, i)]          # symmetry
+            assert got[(i, j)] == pytest.approx(
+                round(lcs_dep_path_kernel(insts[i], insts[j]), 6))
+
+
+def test_synset_mapper():
+    from nlp_lib_spark.kernels.synsets import (parse_synsets, syn_match,
+                                               syn_set)
+    lines = ["bind", "(101)", "(102)", "", "attach", "(102)", "",
+             "orphan", "", "activate", "(200)", ""]
+    m = parse_synsets(lines)
+    assert m == {"bind": frozenset({101, 102}),
+                 "attach": frozenset({102}),
+                 "activate": frozenset({200})}
+    assert "orphan" not in m  # zero-id words omitted (java:37-39)
+    assert syn_set(m, "BIND") == frozenset({101, 102})  # lowercase lookup
+    assert syn_match(m, "bind", "attach")
+    assert not syn_match(m, "bind", "activate")
+    assert not syn_match(m, "bind", "unknown")
