@@ -1,0 +1,147 @@
+"""Tree and dependency convolution kernels (train-time experiments).
+
+Ports of the reference's remaining custom kernels, runnable inside the
+same broadcast-prototype / Gram-matrix machinery as the LCS dep-path
+kernel (operators/kernel_score):
+
+* ``tree_kernel`` — the Collins-Duffy subset-tree convolution kernel
+  over Penn constituency trees (``libsvm/TreeKernel.java:26-110``):
+  K(T1,T2) = sum over node pairs of C(n1,n2), where same-production
+  pairs score lambda^2 times the product of (1 + C(child_i, child_i)).
+  A leaf's "value" is its word, an internal node's its label, matching
+  Stanford ``Tree.value()``.
+* ``dependency_kernel`` — the shipped (non-commented) evaluate of
+  ``libsvm/DependencyKernel.java:127-264``: gated on matching
+  LCS-position strata (between/before/after the entity pair), then a
+  recursive walk from the two LCS nodes — coarse-POS (2-char) node
+  match, node score 1.0 for case-insensitive word equality, and an
+  ordered-children decay ``lambda*(1-lambda^L)/(1-lambda)`` over
+  longest match runs.
+"""
+
+from __future__ import annotations
+
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.tree import Node
+
+
+def _flatten(root: Node):
+    """Flatten to Stanford-shaped (value, child-index-list) records.
+
+    ``kernels.tree.parse_penn`` fuses a preterminal and its word into one
+    Node; Stanford ``Tree`` keeps a separate leaf whose ``value()`` is
+    the word — the kernel counts both, so expand fused nodes back into
+    (label, [word-leaf]) here."""
+    nodes: list[tuple[str, list[int]]] = []
+
+    def rec(n: Node) -> int:
+        me = len(nodes)
+        if n.word is not None and n.label:
+            nodes.append((n.label, []))
+            leaf = rec_leaf(n.word)
+            nodes[me] = (n.label, [leaf])
+        elif n.word is not None:
+            nodes.append((n.word, []))
+        else:
+            nodes.append((n.label, []))
+            kids = [rec(c) for c in n.children]
+            nodes[me] = (n.label, kids)
+        return me
+
+    def rec_leaf(word: str) -> int:
+        nodes.append((word, []))
+        return len(nodes) - 1
+
+    rec(root)
+    return nodes
+
+
+def tree_kernel(t1: Node, t2: Node, lam: float = 0.5) -> float:
+    """Collins-Duffy SST kernel (TreeKernel.evaluate, java:26-50)."""
+    nodes1 = _flatten(t1)
+    nodes2 = _flatten(t2)
+    mem: dict[tuple[int, int], float] = {}
+
+    def same_production(i: int, j: int) -> bool:
+        # TreeKernel.sameProduction (java:73-88)
+        (va, ca), (vb, cb) = nodes1[i], nodes2[j]
+        if va != vb or len(ca) != len(cb):
+            return False
+        return all(nodes1[x][0] == nodes2[y][0] for x, y in zip(ca, cb))
+
+    def compute(i: int, j: int) -> float:
+        key = (i, j)
+        v = mem.get(key)
+        if v is not None:
+            return v
+        if same_production(i, j):
+            v = lam * lam
+            ca, cb = nodes1[i][1], nodes2[j][1]
+            if ca and cb:
+                for x, y in zip(ca, cb):
+                    v *= 1 + compute(x, y)
+        else:
+            v = 0.0
+        mem[key] = v
+        return v
+
+    return sum(compute(i, j)
+               for i in range(len(nodes1)) for j in range(len(nodes2)))
+
+
+def _position(e1: int, e2: int, lcs: int) -> str:
+    # DependencyKernel.getPosition (java:157-165)
+    if e1 <= lcs <= e2:
+        return "between"
+    if lcs < e1:
+        return "before"
+    return "after"
+
+
+def dependency_kernel(g1: DepGraph, tokens1, pos1,
+                      g2: DepGraph, tokens2, pos2,
+                      e1a: int, e2a: int, lcs1: int,
+                      e1b: int, e2b: int, lcs2: int,
+                      lam: float = 0.5) -> float:
+    """DependencyKernel.evaluate (java:127-156 active path)."""
+    if lcs1 < 0 or lcs2 < 0:
+        return 0.0
+    if _position(e1a, e2a, lcs1) != _position(e1b, e2b, lcs2):
+        return 0.0
+
+    def is_match(n1: int, n2: int) -> bool:
+        return pos1[n1][:2] == pos2[n2][:2]  # coarse POS (java:214-223)
+
+    def node_score(n1: int, n2: int) -> float:
+        # every term but case-insensitive word equality is commented out
+        # in the reference (java:225-263)
+        return 1.0 if tokens1[n1].lower() == tokens2[n2].lower() else 0.0
+
+    def evaluate(n1: int, n2: int) -> float:
+        if not is_match(n1, n2):
+            return 0.0
+        return node_score(n1, n2) + eval_children(n1, n2)
+
+    def eval_children(n1: int, n2: int) -> float:
+        deps1 = g1.gov_edges(n1)
+        deps2 = g2.gov_edges(n2)
+        m, n = len(deps1), len(deps2)
+        if m == 0 or n == 0:
+            return 0.0
+        L = [[0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m - 1, -1, -1):
+            for j in range(n - 1, -1, -1):
+                if is_match(deps1[i][2], deps2[j][2]):
+                    L[i][j] = L[i + 1][j + 1] + 1
+        total = 0.0
+        c = [[0.0] * (n + 1) for _ in range(m + 1)]
+        for i in range(m - 1, -1, -1):
+            for j in range(n - 1, -1, -1):
+                if is_match(deps1[i][2], deps2[j][2]):
+                    decay = lam * (1 - lam ** L[i][j]) / (1 - lam)
+                    c[i][j] = (lam * c[i + 1][j + 1]
+                               + decay * evaluate(deps1[i][2], deps2[j][2]))
+                total += c[i][j]
+        return total
+
+    return evaluate(lcs1, lcs2)

@@ -203,3 +203,31 @@ def test_operator_matches_driver_side(spark):
                              round(s, 6)))
     assert got_rows == exp
     assert exp, "planted sentences must produce scored pairs"
+
+
+def test_tree_kernel_identical_trees():
+    """Collins-Duffy SST golden: K of (S (NP a) (VP b)) with itself at
+    lambda=0.5 is 2*0.25 (leaves) + 2*0.25*1.25 (preterminals)
+    + 0.25*1.3125^2 (root) = 1.5556640625."""
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import tree_kernel
+    t = parse_penn("(S (NP a) (VP b))")
+    assert tree_kernel(t, t) == pytest.approx(1.5556640625)
+    # disjoint productions share nothing
+    u = parse_penn("(X (Y c) (Z d))")
+    assert tree_kernel(t, u) == 0.0
+
+
+def test_dependency_kernel_golden():
+    """Hand-computed: identical 'PROTEIN1 activates PROTEIN2' graphs,
+    lcs=1: root word match 1.0 + children walk 1.5 = 2.5."""
+    from nlp_lib_spark.kernels.treekernel import dependency_kernel
+    g = DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)])
+    args = (g, T1, P1, g, T1, P1)
+    assert dependency_kernel(*args, 0, 2, 1, 0, 2, 1) == pytest.approx(2.5)
+    # position-strata gate: between vs after => 0
+    assert dependency_kernel(g, T1, P1, g, T1, P1,
+                             0, 2, 1, 0, 1, 2) == 0.0
+    # no LCS => 0
+    assert dependency_kernel(g, T1, P1, g, T1, P1,
+                             0, 2, -1, 0, 2, 1) == 0.0
