@@ -30,17 +30,20 @@ from nlp_lib_spark.session import get_spark  # noqa: E402
 # running) go LAST so they cannot inflate the stateless measurements.
 HEADLINE = (
     "kg_triples",          # flagship: full annotate->extract chain
+    "kg_kernel_triples",   # LCS dep-path kernel scoring vs prototypes
     "kg_mentions",         # staged annotation + mention explode
     "kg_conversations",    # conversation assembly (ordering invariant)
-    "kg_discourse",        # connective stack + cross-turn window
+    "kg_connectives",      # connective spans + sense + arg2 head
+    "kg_discourse",        # full discourse stack + cross-turn window
     "kg_token_stats",      # JVM-side regex token/sentence stats
     "minhash_lsh_pairs",   # MinHash+LSH near-dup candidate pairs
     "dedup_exact",         # exact dedup by content hash
     "ann_topk",            # brute-force cosine top-k
     "doc_quality",         # text quality scoring
     "tpch_q1",             # relational aggregate baseline
+    "kg_link_scores",      # broadcast-dict linking (exact + Jaccard)
     "kg_edges",            # linking + CC + graph materialization
-    "cc_components",       # large-star/small-star connected components
+    "cc_components",       # contracted large-star/small-star CC
 )
 
 

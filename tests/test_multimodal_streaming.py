@@ -62,3 +62,30 @@ def test_streaming_matches_batch(spark, tmp_path):
     pd.testing.assert_frame_equal(
         streamed.sort_values(key).reset_index(drop=True),
         batch.sort_values(key).reset_index(drop=True))
+
+
+def test_windowed_watermark_matches_batch(spark, tmp_path):
+    """Watermarked windowed turn counts over the stream equal the batch
+    aggregate on the same files (watermark is a no-op in batch)."""
+    from nlp_lib_spark.streaming.windowed import (run_windowed_once,
+                                                  windowed_turn_counts)
+    turns, _ = generate_transcripts(n_convs=20, seed=7)
+    pdf = pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role",
+                                       "text", "tool", "ts_epoch"])
+    from pyspark.sql import functions as F
+    src = (spark.createDataFrame(pdf)
+           .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+           .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+           .drop("ts_epoch"))
+    in_dir = str(tmp_path / "win_in")
+    src.write.mode("overwrite").parquet(in_dir)
+
+    streamed = run_windowed_once(spark, in_dir,
+                                 query_name="turn_rates_t").toPandas()
+    batch = windowed_turn_counts(
+        spark.read.parquet(in_dir)).toPandas()
+    key = ["window_start", "role"]
+    pd.testing.assert_frame_equal(
+        streamed.sort_values(key).reset_index(drop=True),
+        batch.sort_values(key).reset_index(drop=True))
+    assert streamed["n_turns"].sum() == len(pdf)
