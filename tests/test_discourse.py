@@ -86,3 +86,51 @@ def test_hor_edges_cross_turn(spark):
     assert r.arg1_subj == "TagA" and r.arg2_subj == "cotD"
     assert r.src_turn_idx == 0 and r.dst_turn_idx == 1
     assert r.sense == "Comparison"
+
+
+def test_connective_features_dep_block():
+    """PDTBConnective2FeatureVector dependency family: context words/POS,
+    CONN& conjunctions, POSTRIPLE over the head's governor, subj flags."""
+    from nlp_lib_spark.kernels.connfeatures import (conn_head,
+                                                    connective_features)
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+
+    toks = ["however", ",", "it", "binds", "quickly"]
+    pos = ["RB", ",", "PRP", "VBZ", "RB"]
+    # advmod(binds, however), nsubj(binds, it), advmod(binds, quickly)
+    g = DepGraph([("advmod", 3, 0), ("nsubj", 3, 2), ("advmod", 3, 4)])
+    assert conn_head(pos, 0, 0) == 0
+    feats = connective_features(toks, pos, g, 0, 0)
+    assert "however" in feats and "LC=however" in feats
+    assert "PREVWORD=NONE" in feats and "NXTWORD=," in feats
+    assert "CONN&NXTP=however&," in feats
+    # parent of the conn head is 'binds'; siblings: it (PRP), quickly (RB)
+    assert "POSTRIPLE=RB&VBZ&PRP" in feats
+    assert "POSTRIPLE&RELN=RB&VBZ&PRP-nsubj" in feats
+    assert "POSTRIPLE'&RELN=R&V-nsubj" in feats
+    assert "PSUBJ=true" in feats
+    assert "SSUBJ=false" in feats
+
+
+def test_connective_features_tree_block():
+    """Syntax block: unary-climbed SELF, PARENT, modifier-skipping LEFT,
+    RIGHT with VP-containment, conn conjunctions, fixed pairs."""
+    from nlp_lib_spark.kernels.connfeatures import connective_features
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    # (S (ADVP (RB however)) (, ,) (NP (PRP it)) (VP (VBZ binds)))
+    tree = parse_penn(
+        "(S (ADVP (RB however)) (, ,) (NP (PRP it)) (VP (VBZ binds)))")
+    toks = ["however", ",", "it", "binds"]
+    pos = ["RB", ",", "PRP", "VBZ"]
+    g = DepGraph([("advmod", 3, 0), ("nsubj", 3, 2)])
+    feats = connective_features(toks, pos, g, 0, 0, tree=tree)
+    # RB climbs its unary ADVP parent (java:288-291)
+    assert "SELF=ADVP" in feats
+    assert "PARENT=S" in feats
+    assert "LEFT@-1-<NONE>" in feats
+    assert "however&SELF=ADVP" in feats
+    assert "SELF=ADVP&PARENT=S" in feats
+    # right sibling of ADVP is ','
+    assert any(f.startswith("RIGHT@+1-,") for f in feats)
