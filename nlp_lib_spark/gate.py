@@ -885,14 +885,19 @@ _N_HASHES = 8
 
 
 def _minhash_cols(dialect: str) -> str:
-    # 3-token shingles; minhash_h = min over shingles of md5("h|" + shingle)
+    # 3-token shingles; ONE md5 per shingle, sliced into _N_HASHES 4-hex
+    # (16-bit) slots; minhash_h = min over shingles of slot h.  One hash
+    # call per shingle instead of _N_HASHES — at 100 TB the hash is the
+    # dominant CPU of the sweep — and a 2-slot band still carries 32 bits,
+    # so bucket collisions stay negligible.
     if dialect == "spark":
         sh = "transform(sequence(1, greatest(1, size(split(text,' ')) - 2)), i -> array_join(slice(split(text,' '), i, 3), ' '))"
-        tmpl = "array_min(transform({sh}, s -> md5('{h}|' || s))) AS mh{h}"
+        tmpl = "array_min(transform({sh}, s -> substring(md5(s), {off}, 4))) AS mh{h}"
     else:
         sh = "list_transform(range(1, greatest(2, len(string_split(text,' ')) - 1)), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
-        tmpl = "list_min(list_transform({sh}, s -> md5('{h}|' || s))) AS mh{h}"
-    return ",\n       ".join(tmpl.format(sh=sh, h=h) for h in range(_N_HASHES))
+        tmpl = "list_min(list_transform({sh}, s -> substr(md5(s), {off}, 4))) AS mh{h}"
+    return ",\n       ".join(tmpl.format(sh=sh, h=h, off=1 + 4 * h)
+                             for h in range(_N_HASHES))
 
 
 def _spark_minhash_sig(spark: SparkSession) -> DataFrame:
@@ -900,7 +905,8 @@ def _spark_minhash_sig(spark: SparkSession) -> DataFrame:
 
     One small expression tree (one md5 call site) instead of 8 copies of
     the shingle pipeline — whole-stage codegen compiles in milliseconds
-    and each shingle is hashed exactly _N_HASHES times in one array pass.
+    and each shingle is hashed exactly ONCE; the digest is sliced into
+    the _N_HASHES 16-bit signature slots.
     """
     mh_cols = ", ".join(f"mhs[{h}] AS mh{h}" for h in range(_N_HASHES))
     return spark.sql(f"""
@@ -911,9 +917,10 @@ WITH sh AS (
   FROM documents
 ), sig AS (
   SELECT doc_id,
-         aggregate(shingles, array_repeat(repeat('g', 33), {_N_HASHES}),
-                   (acc, s) -> zip_with(acc, sequence(0, {_N_HASHES - 1}),
-                       (a, h) -> least(a, md5(concat(cast(h AS STRING), '|', s))))) AS mhs
+         aggregate(transform(shingles, s -> md5(s)),
+                   array_repeat('gggg', {_N_HASHES}),
+                   (acc, d) -> zip_with(acc, sequence(0, {_N_HASHES - 1}),
+                       (a, h) -> least(a, substring(d, h * 4 + 1, 4)))) AS mhs
   FROM sh
 )
 SELECT doc_id, {mh_cols} FROM sig
