@@ -108,7 +108,8 @@ class CheckpointedPipeline:
 
 def kg_stages(sf_dir: str, config) -> list[Stage]:
     """The flagship staged DAG: transcripts -> annotations -> triples."""
-    from nlp_lib_spark.operators.extract import annotate_turns, extract_triples
+    from nlp_lib_spark.operators.extract import (annotate_turns,
+                                                 triples_from_annotations)
     from nlp_lib_spark.operators.transcripts import transcripts
 
     def s_transcripts(spark, _):
@@ -118,11 +119,14 @@ def kg_stages(sf_dir: str, config) -> list[Stage]:
         return annotate_turns(outs["transcripts"], config)
 
     def s_triples(spark, outs):
-        return extract_triples(outs["transcripts"], config)
+        # derive from the checkpointed annotations (pairs precomputed) —
+        # a resume after the annotations stage never re-runs the
+        # expensive chain, it reads the stage table
+        return triples_from_annotations(outs["annotations"])
 
     return [Stage("transcripts", s_transcripts),
             Stage("annotations", s_annotations, deps=("transcripts",)),
-            Stage("triples", s_triples, deps=("transcripts",))]
+            Stage("triples", s_triples, deps=("annotations",))]
 
 
 def full_kg_stages(sf_dir: str, config, dictionary: tuple[str, ...]) -> list[Stage]:
