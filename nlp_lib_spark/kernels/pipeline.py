@@ -32,10 +32,20 @@ from nlp_lib_spark.kernels.text import split_sentences, strip_citations, tokeniz
 
 @dataclass(frozen=True)
 class KGConfig:
-    """Frozen lexicons for one deployment; broadcast to executors."""
+    """Frozen lexicons for one deployment; broadcast to executors.
+
+    ``max_sent_tokens`` / ``max_mentions`` are straggler guards: the rule
+    engine is O(pairs x sentence-length) per sentence, so one adversarial
+    degenerate row (a 2000-mention run-on "sentence" in web-scale garbage)
+    would otherwise pin an executor core for minutes while its 10^6
+    well-formed neighbors finish in milliseconds.  Oversize sentences skip
+    extraction (no linguistic content is lost — the reference's corpora
+    never approach these bounds; real prose sentences are < 100 tokens)."""
 
     entity_names: tuple[str, ...]
     domain_terms: tuple[str, ...]
+    max_sent_tokens: int = 256
+    max_mentions: int = 64
 
     def build(self) -> "KGRuntime":
         return KGRuntime(self)
@@ -44,12 +54,15 @@ class KGConfig:
 class KGRuntime:
     """Compiled lexicons (prefix trie set, stemmed domain dict, verb stems)."""
 
-    __slots__ = ("gazetteer", "domain", "verb_stems")
+    __slots__ = ("gazetteer", "domain", "verb_stems", "max_sent_tokens",
+                 "max_mentions")
 
     def __init__(self, cfg: KGConfig):
         self.gazetteer = Gazetteer(cfg.entity_names)
         self.domain = DomainAnnotator(cfg.domain_terms)
         self.verb_stems = frozenset(stem(t) for t in cfg.domain_terms)
+        self.max_sent_tokens = cfg.max_sent_tokens
+        self.max_mentions = cfg.max_mentions
 
 
 def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
@@ -61,6 +74,13 @@ def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
     consumes POS/edges for every sentence (ExtractHOR.java:104-120).
     """
     tokens = tokenize(sentence)
+    oversize = len(tokens) > rt.max_sent_tokens
+    if oversize:
+        # straggler guard (see KGConfig): no gazetteer/rules on
+        # degenerate runs; the row still flows through with empty layers
+        return {"tokens": tokens, "iob": ["O"] * len(tokens),
+                "blinded": tokens, "mapping": {}, "entity_count": 0,
+                "pos": None, "domain": None, "edges": None, "pairs": []}
     iob = rt.gazetteer.tag_iob(tokens)
     blinded, mapping, entity_count = blind(tokens, iob)
     out = {
@@ -74,6 +94,9 @@ def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
         "edges": None,
         "pairs": [],
     }
+    if entity_count > rt.max_mentions:  # straggler guard: skip extraction
+        out["entity_count"] = entity_count
+        return out
     if entity_count <= 1 and not full:  # trivial skip
         return out
     if entity_count <= 1:

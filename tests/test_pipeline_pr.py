@@ -111,3 +111,19 @@ def test_triples_from_annotations_equals_fused_path(spark, fixture_data):
     assert (set(map(tuple, fused[key].itertuples(index=False)))
             == set(map(tuple, staged[key].itertuples(index=False))))
     assert len(fused) == len(staged)
+
+
+def test_straggler_guards():
+    """Degenerate rows must not pin a core: oversize sentences and
+    mention floods skip extraction in ~constant time (KGConfig guards)."""
+    import time
+
+    from nlp_lib_spark.kernels.pipeline import extract_turn
+    rt = FIXTURE_CONFIG.build()
+    t0 = time.time()
+    assert extract_turn(rt, "spark " * 2000) == []
+    assert extract_turn(rt, "spark interacts with table and " * 300) == []
+    assert time.time() - t0 < 1.0
+    # empty / whitespace / punctuation-only inputs are quiet no-ops
+    for s in ("", "   ", ".", "(", "(("):
+        assert extract_turn(rt, s) == []
