@@ -1182,6 +1182,66 @@ SELECT query_id, neighbor_id, sim FROM (
 """)
 
 
+@gate("ann_topk_ivf", oracle="""
+WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+cells AS (
+  SELECT vec_id, emb,
+         CAST(floor(CAST(emb[1] AS DOUBLE) / 0.5) AS INT) AS cx,
+         CAST(floor(CAST(emb[2] AS DOUBLE) / 0.5) AS INT) AS cy
+  FROM e
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.emb, c.emb), 4) AS sim
+  FROM cells q JOIN cells c
+    ON c.cx BETWEEN q.cx - 1 AND q.cx + 1
+   AND c.cy BETWEEN q.cy - 1 AND q.cy + 1
+   AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
+  FROM cand
+) WHERE rnk <= 3
+""")
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN scale path: a deterministic coarse quantizer (grid
+    over the first two embedding dims, cell width 0.5) plays the
+    inverted-list role; queries probe their cell plus the 8 adjacent
+    cells (nprobe=9) and score cosine only inside the probed lists.
+    Unlike the random-hyperplane LSH variant this gives tunable recall
+    via cell width / probe radius; at scale the cell id is the partition
+    key so each probe touches a bounded shard."""
+    register_views(spark, sf_dir)
+    return spark.sql("""
+WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb
+           FROM embeddings),
+cells AS (
+  SELECT vec_id, emb,
+         CAST(floor(element_at(emb, 1) / 0.5) AS INT) AS cx,
+         CAST(floor(element_at(emb, 2) / 0.5) AS INT) AS cy
+  FROM e
+),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
+               / (sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
+                  * sqrt(aggregate(c.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
+  FROM cells q JOIN cells c
+    ON c.cx BETWEEN q.cx - 1 AND q.cx + 1
+   AND c.cy BETWEEN q.cy - 1 AND q.cy + 1
+   AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
+  FROM cand
+) WHERE rnk <= 3
+""")
+
+
 # --------------------------------------------------------------------------
 # Discourse / linking / canonicalization stages
 # --------------------------------------------------------------------------
