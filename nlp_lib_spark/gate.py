@@ -1321,6 +1321,73 @@ FROM cstep c WHERE c.cs IS NOT NULL
 """
 
 
+def _chunks_oracle_sql() -> str:
+    """Per-token shallow BIO chunk tags (kernels/bio.chunk_bio) as window
+    SQL over the oracled POS stream.  The one sequential bit — an RB
+    continues a VP chunk only when the chunk is already open — has the
+    closed form 'nearest preceding non-RB token is verb-based', which is
+    a single IGNORE NULLS last_value window."""
+    return f"""
+WITH postok AS (SELECT * FROM ({_pos_oracle_sql()}) q),
+t AS (
+  SELECT conv_id, turn_idx, sent_id, idx,
+         CASE WHEN token LIKE '%PROTEIN%' THEN 'NP'
+              WHEN pos_tag LIKE 'N%' OR pos_tag IN ('DT', 'JJ', 'CD', 'PRP') THEN 'NP'
+              WHEN pos_tag LIKE 'V%' OR pos_tag = 'MD' THEN 'VP'
+              WHEN pos_tag = 'RB' THEN 'RB'
+              ELSE NULL END AS base
+  FROM postok
+),
+eff AS (
+  SELECT conv_id, turn_idx, sent_id, idx,
+         CASE WHEN base = 'RB' THEN
+           (CASE WHEN last_value(CASE WHEN base IS DISTINCT FROM 'RB'
+                                      THEN coalesce(base, 'O') END IGNORE NULLS)
+                 OVER (PARTITION BY conv_id, turn_idx, sent_id ORDER BY idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) = 'VP'
+                 THEN 'VP' END)
+         ELSE base END AS etyp
+  FROM t
+)
+SELECT conv_id, turn_idx, sent_id, idx,
+       CASE WHEN etyp IS NULL THEN 'O'
+            WHEN lag(etyp) OVER (PARTITION BY conv_id, turn_idx, sent_id
+                                 ORDER BY idx) IS NOT DISTINCT FROM etyp
+                 THEN 'I-' || etyp
+            ELSE 'B-' || etyp END AS chunk_tag
+FROM eff
+"""
+
+
+@gate("kg_chunks", oracle=_chunks_oracle_sql())
+def q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shallow BIO chunk layer (the OChunker / GeniaTagger CHUNK slot)
+    over the blinded token stream."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.bio import chunk_bio
+
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+
+    def fn(batches: "_It[pd.DataFrame]"):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                for i, tag in enumerate(chunk_bio(list(r.pos))):
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 i, tag))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "idx", "chunk_tag"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "pos")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, idx int, "
+                                    "chunk_tag string"))
+
+
 @gate("kg_connectives", oracle=_connectives_oracle_sql())
 def q_kg_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sentence connective spans + sense + Arg2 head (the

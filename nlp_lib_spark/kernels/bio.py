@@ -34,3 +34,35 @@ def decode_bio(tags: list[str]) -> list[tuple[int, int, str]]:
     if cur is not None:
         spans.append((start, len(tags) - 1, cur))
     return spans
+
+
+_NP_POS = ("DT", "JJ", "CD", "PRP")
+_VP_POS = ("MD", "RB")
+
+
+def chunk_bio(pos: list[str]) -> list[str]:
+    """Shallow BIO chunk tags from the POS layer (the OChunker /
+    GeniaTagger CHUNK slot, ling/ann/OChunker.java — frozen rule
+    substitute): maximal noun-ish runs (DT/JJ/CD/PRP/NN*) become NP
+    chunks, verb-ish runs (V*/MD with RB allowed inside) become VP
+    chunks, everything else O.  A run opens with B-, continues with I-;
+    Sentence.getChunks-style decoding is ``decode_bio``."""
+    n = len(pos)
+    tags = ["O"] * n
+    cur = None  # current chunk type or None
+    for i in range(n):
+        p = pos[i]
+        if p.startswith("N") or p in _NP_POS:
+            typ = "NP"
+        elif p.startswith("V") or p == "MD" or (p == "RB" and cur == "VP"):
+            typ = "VP"
+        else:
+            typ = None
+        if typ is None:
+            cur = None
+        elif typ == cur:
+            tags[i] = "I-" + typ
+        else:
+            tags[i] = "B-" + typ
+            cur = typ
+    return tags

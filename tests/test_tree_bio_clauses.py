@@ -109,3 +109,19 @@ genic_interactions\tgenic_interaction(1,2)\tgenic_interaction(2,4)
     assert df[0].interactions == [{"agent": 0, "target": 3}] or \
         [(i.agent, i.target) for i in df[0].interactions] == [(0, 3)]
     assert len(df[1].interactions) == 2
+
+
+def test_chunk_bio_runs():
+    """Shallow chunker: NP over noun-ish runs, VP over verb runs with RB
+    continuation, B/I transitions at type changes."""
+    from nlp_lib_spark.kernels.bio import chunk_bio, decode_bio
+    pos = ["DT", "NN", "VBZ", "RB", "DT", "JJ", "NN", ",", "NN"]
+    tags = chunk_bio(pos)
+    assert tags == ["B-NP", "I-NP", "B-VP", "I-VP", "B-NP", "I-NP", "I-NP",
+                    "O", "B-NP"]
+    assert decode_bio(tags) == [(0, 1, "NP"), (2, 3, "VP"), (4, 6, "NP"),
+                                (8, 8, "NP")]
+    # RB outside an open VP is O; RB before the verb does not open one
+    assert chunk_bio(["RB", "VBZ"]) == ["O", "B-VP"]
+    assert chunk_bio(["NN", "RB"]) == ["B-NP", "O"]
+    assert chunk_bio([]) == []
