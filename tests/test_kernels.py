@@ -155,3 +155,43 @@ def test_domain_pos_specific_terms():
     assert d.tag(["sorts", "sort", "interaction"], ["VBZ", "NN", "NN"]) == \
         ["sort", None, "interact"]
     assert d.tag(["sorts"], ["NNS"]) == [None]
+
+
+def test_lex_annotator_longest_match_and_hyphen_quirk():
+    from nlp_lib_spark.kernels.lexann import LexAnnotator
+    lex = LexAnnotator(["sigma factor", "GerE", "spoIIID"])
+    # longest match wins and the scan resumes past the span
+    assert lex.annotate(["the", "Sigma", "factor", "binds"]) == \
+        ["O", "B", "I", "O"]
+    assert lex.annotate(["GerE", "and", "spoIIID"]) == ["B", "O", "B"]
+    # hyphen quirk: 'GerE-dependent' strips at the last hyphen, matches
+    # 'GerE', and the FULL token still carries the B tag (java:79-84)
+    assert lex.annotate(["GerE-dependent", "genes"]) == ["B", "O"]
+    # two-token phrase whose last token is hyphenated
+    assert lex.annotate(["sigma", "factor-like", "protein"]) == \
+        ["B", "I", "O"]
+
+
+def test_lex_syn_annotator():
+    from nlp_lib_spark.kernels.lexann import LexSynAnnotator
+    lines = ["% comment", "", "sigma K\tsigK\tSigK factor"]
+    lex = LexSynAnnotator(lines)
+    assert lex.annotate(["SigK", "binds"]) == ["B", "O"]
+    assert lex.has_synonym("sigk") == "sigma K"
+    assert lex.has_synonym("SIGK FACTOR") == "sigma K"
+    assert lex.has_synonym("sigma K") is None  # canonical maps to nothing
+
+
+def test_ex_domain_annotator_pos_specific_terms():
+    """ExBioDomainAnnotator variant: `term|POS` entries match only tokens
+    whose POS starts with the tag."""
+    from nlp_lib_spark.kernels.domain import DomainAnnotator
+    d = DomainAnnotator(["bind", "complex|NN"])
+    toks = ["complex", "complex", "binds"]
+    pos = ["NN", "JJ", "VBZ"]
+    tags = d.tag(toks, pos)
+    assert tags[0] == "complex"   # NN matches the |NN restriction
+    assert tags[1] is None        # JJ does not
+    assert tags[2] == "bind"      # plain entry matches any POS (stemmed)
+    # without a POS layer the restricted entry never fires
+    assert d.tag(toks)[0] is None
