@@ -108,3 +108,71 @@ def write_ppi_corpus(ann_rows: list[dict], out_dir: str) -> None:
                         dw = r["tokens"][dep]
                         parts.append(f"{reln}({gw}-{gov + 1}, {dw}-{dep + 1})")
                     f.write("\t".join(parts) + "\n")
+
+
+# --------------------------------------------------------------------------
+# N-fold error rates, paired t-test, cross-corpus generalization
+# (ml/crf/NFoldTTest.java:35-86, ml/crf/NFoldEvaluator.java,
+#  ppi/MLExtractor.crossCorporaTest:246-284 — training is driver-side and
+#  corpus-scale-small per SURVEY §3.2; featurization stays in the shared
+#  distributed vUDFs upstream.)
+# --------------------------------------------------------------------------
+
+def _prf(tp: int, fp: int, fn: int) -> dict:
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {"tp": tp, "fp": fp, "fn": fn,
+            "precision": precision, "recall": recall, "f1": f1}
+
+
+def nfold_error_rates(x: list[list[str]], y: list[int],
+                      n_folds: int = 10) -> list[float]:
+    """Per-fold error rate (fp+fn)/total over contiguous folds
+    (NFoldTTest.genNFoldEvaluate, java:35-57; contiguous split per
+    MLExtractor.java:195-215)."""
+    from nlp_lib_spark.kernels.scoring import score, train_logreg
+    n = len(y)
+    rates: list[float] = []
+    for k in range(n_folds):
+        lo, hi = k * n // n_folds, (k + 1) * n // n_folds
+        tr_x = x[:lo] + x[hi:]
+        tr_y = y[:lo] + y[hi:]
+        w, b = train_logreg(tr_x, tr_y)
+        wrong = sum(1 for feats, label in zip(x[lo:hi], y[lo:hi])
+                    if (score(feats, w, b) > 0.5) != bool(label))
+        rates.append(wrong / max(1, hi - lo))
+    return rates
+
+
+def paired_t_statistic(a: list[float], b: list[float]) -> float:
+    """Paired t statistic over per-fold metrics of two systems
+    (the NFoldTTest protocol: same folds, difference scores)."""
+    import math
+    assert len(a) == len(b) and len(a) > 1
+    d = [x - y for x, y in zip(a, b)]
+    n = len(d)
+    mean = sum(d) / n
+    var = sum((v - mean) ** 2 for v in d) / (n - 1)
+    if var == 0:
+        return 0.0
+    return mean / math.sqrt(var / n)
+
+
+def cross_corpus_eval(train_x: list[list[str]], train_y: list[int],
+                      test_x: list[list[str]], test_y: list[int]) -> dict:
+    """Train on one corpus, test on another; P/R/F over positives
+    (MLExtractor.crossCorporaTest, java:246-284)."""
+    from nlp_lib_spark.kernels.scoring import score, train_logreg
+    w, b = train_logreg(train_x, train_y)
+    tp = fp = fn = 0
+    for feats, label in zip(test_x, test_y):
+        pred = score(feats, w, b) > 0.5
+        if pred and label:
+            tp += 1
+        elif pred and not label:
+            fp += 1
+        elif not pred and label:
+            fn += 1
+    return _prf(tp, fp, fn)

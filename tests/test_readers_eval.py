@@ -122,3 +122,28 @@ def test_pdtb_relations_typed_view(spark, tmp_path):
     f.write_text("|".join(cols) + "\n")
     r2 = read_pdtb_relations(spark, str(f)).collect()[0]
     assert [(s.start, s.end) for s in r2.conn_spans] == [(-1, -1)]
+
+
+def test_nfold_ttest_and_cross_corpus():
+    """Fold error rates, paired t, and cross-corpus generalization
+    (NFoldTTest / MLExtractor.crossCorporaTest protocols)."""
+    from nlp_lib_spark.operators.evaluate import (cross_corpus_eval,
+                                                  nfold_error_rates,
+                                                  paired_t_statistic)
+
+    # perfectly separable synthetic corpus: feature 'f+' marks positives
+    x = [["f+", "ctx"] if i % 2 == 0 else ["f-", "ctx"] for i in range(40)]
+    y = [1 if i % 2 == 0 else 0 for i in range(40)]
+    rates = nfold_error_rates(x, y, n_folds=5)
+    assert len(rates) == 5
+    assert all(r == 0.0 for r in rates)
+
+    # paired t: identical systems -> 0; strictly better -> negative
+    assert paired_t_statistic(rates, rates) == 0.0
+    worse = [r + 0.1 * (k + 1) for k, r in enumerate(rates)]
+    assert paired_t_statistic(rates, worse) < 0
+
+    # cross-corpus: same generator -> perfect transfer
+    res = cross_corpus_eval(x, y, x[:10], y[:10])
+    assert res["precision"] == 1.0 and res["recall"] == 1.0
+    assert res["f1"] == 1.0 and res["tp"] == 5
