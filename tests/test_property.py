@@ -128,3 +128,70 @@ def test_decode_bio_wellformed(tags):
     for i, t in enumerate(tags):
         if t != "O":
             assert i in covered
+
+
+# ---- kernel-scoring invariants (kernels/kernelscore, kernels/bio) ----
+
+_EDGE_LISTS = st.lists(
+    st.tuples(st.sampled_from(["nsubj", "dobj", "prep_of", "nn", "amod",
+                               "conj_and", "rcmod"]),
+              st.integers(0, 7), st.integers(0, 7))
+    .filter(lambda e: e[1] != e[2]),
+    max_size=10)
+
+
+@given(_EDGE_LISTS, st.integers(0, 7), st.integers(0, 7))
+@settings(max_examples=60, deadline=None)
+def test_kernel_self_score_and_symmetry(edges, e1, e2):
+    from nlp_lib_spark.kernels.kernelscore import (lcs_dep_path_kernel,
+                                                   relation_instance,
+                                                   simple_feature_kernel)
+    n = 8
+    tokens = [f"PROTEIN{i}" if i in (e1, e2) else f"w{i}" for i in range(n)]
+    pos = ["NN"] * n
+    dom = [None] * n
+    g = DepGraph(edges)
+    inst = relation_instance(tokens, pos, dom, g, e1, e2)
+    # self LCS-DP score is exactly 1 whenever a usable backbone exists
+    k = lcs_dep_path_kernel(inst, inst)
+    if inst["path"] is not None and len(inst["path"]) >= 3:
+        assert abs(k - 1.0) < 1e-9
+    else:
+        assert k == 0.0
+    # feature-kernel self score: each non-empty cosine contributes 1
+    sk = simple_feature_kernel(inst, inst)
+    assert 0.0 <= sk <= 3.0 + 1e-9
+
+
+@given(st.lists(st.sampled_from(["NN", "NNS", "VBZ", "VB", "RB", "DT",
+                                 "JJ", "IN", ",", "MD", "CD"]),
+                max_size=20))
+@settings(max_examples=80, deadline=None)
+def test_chunk_bio_well_formed(pos):
+    from nlp_lib_spark.kernels.bio import chunk_bio, decode_bio
+    tags = chunk_bio(pos)
+    assert len(tags) == len(pos)
+    # well-formed BIO: I- only continues an adjacent same-type tag
+    for i, t in enumerate(tags):
+        if t.startswith("I-"):
+            assert i > 0 and tags[i - 1] in ("B-" + t[2:], "I-" + t[2:])
+    # decode produces disjoint, ordered, in-bounds spans
+    spans = decode_bio(tags)
+    last_end = -1
+    for (s, e, typ) in spans:
+        assert last_end < s <= e < len(pos)
+        last_end = e
+
+
+@given(st.lists(st.sampled_from(["gene", "sigma", "factor", "x-like",
+                                 "and", "binds"]), max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_lexann_spans_in_bounds(tokens):
+    from nlp_lib_spark.kernels.lexann import LexAnnotator
+    lex = LexAnnotator(["sigma factor", "gene"])
+    tags = lex.annotate(tokens)
+    assert len(tags) == len(tokens)
+    for i, t in enumerate(tags):
+        assert t in ("B", "I", "O")
+        if t == "I":
+            assert i > 0 and tags[i - 1] in ("B", "I")
