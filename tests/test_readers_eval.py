@@ -147,3 +147,23 @@ def test_nfold_ttest_and_cross_corpus():
     res = cross_corpus_eval(x, y, x[:10], y[:10])
     assert res["precision"] == 1.0 and res["recall"] == 1.0
     assert res["f1"] == 1.0 and res["tp"] == 5
+
+
+def test_dedup_operators_parametrize_columns(spark):
+    """The dedup operators are reusable over arbitrary frames/columns,
+    not only the gate's documents view."""
+    from nlp_lib_spark.operators.dedup import (doc_fingerprint, exact_dedup,
+                                               minhash_lsh_pairs)
+    rows = [(1, "alpha beta gamma delta"), (2, "ALPHA beta gamma delta"),
+            (3, "totally different content here"),
+            (4, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "item_id long, body string")
+    groups = {r.text_hash: (r.keeper_doc_id, r.n_copies)
+              for r in exact_dedup(df, "item_id", "body").collect()}
+    assert sorted(v for v in groups.values()) == [(1, 3), (3, 1)]
+    fps = {r.item_id: r.bag_fp
+           for r in doc_fingerprint(df, "item_id", "body").collect()}
+    assert fps[1] == fps[4] and fps[1] != fps[3]
+    pairs = {(r.doc_a, r.doc_b)
+             for r in minhash_lsh_pairs(df, "item_id", "body").collect()}
+    assert (1, 4) in pairs and (1, 3) not in pairs
