@@ -795,15 +795,9 @@ SELECT doc_id,
 FROM documents
 """)
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.textstats import doc_quality
     register_views(spark, sf_dir)
-    return spark.sql("""
-SELECT doc_id,
-       size(split(text, ' ')) AS n_tokens,
-       CAST(round(length(replace(text, ' ', '')) * 1.0 / size(split(text, ' ')), 4) AS DOUBLE) AS mean_tok_len,
-       CAST(round(size(filter(split(text, ' '), x -> x IN ('the', 'a'))) * 1.0
-             / size(split(text, ' ')), 4) AS DOUBLE) AS stop_ratio
-FROM documents
-""")
+    return doc_quality(spark.table("documents"))
 
 
 _LANG_STOPS = {
@@ -835,20 +829,9 @@ SELECT doc_id, s_en, s_de, s_es, s_fr,
 FROM s
 """)
 def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.textstats import doc_lang_id
     register_views(spark, sf_dir)
-    return spark.sql(f"""
-WITH s AS (
-  SELECT doc_id,
-         {_lang_scores_sql('filter', 'size', 'split')}
-  FROM documents
-)
-SELECT doc_id, s_en, s_de, s_es, s_fr,
-       CASE WHEN s_de > s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-            WHEN s_es > s_en AND s_es >= s_fr THEN 'es'
-            WHEN s_fr > s_en THEN 'fr'
-            ELSE 'en' END AS lang_guess
-FROM s
-""")
+    return doc_lang_id(spark.table("documents"))
 
 
 @gate("dedup_exact", oracle="""
@@ -979,14 +962,9 @@ SELECT doc_id,
 FROM documents
 """)
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from nlp_lib_spark.operators.textstats import token_counts
     register_views(spark, sf_dir)
-    return spark.sql("""
-SELECT doc_id,
-       size(split(text, ' ')) AS n_ws_tokens,
-       size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS n_bpe_tokens,
-       aggregate(split(text, ' '), 0L, (s, t) -> s + CAST(ceil(length(t) / 4.0) AS BIGINT)) AS n_subword_est
-FROM documents
-""")
+    return token_counts(spark.table("documents"))
 
 
 @gate("embedding_neardup_pairs", oracle="""
