@@ -91,21 +91,30 @@ def _local_contract(edges: DataFrame) -> DataFrame:
             .filter(F.col("u") != F.col("v")))
 
 
+def _sig(e: DataFrame) -> tuple:
+    row = e.select(F.expr("bit_xor(xxhash64(u, v))").alias("s"),
+                   F.count(F.lit(1)).alias("n")).collect()[0]
+    return (row.s, row.n)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """edges(u, v) -> (id, component) with component = min member id."""
     e = _symmetrize(_local_contract(edges)).localCheckpoint()
-    prev_sig = None
+    # seed with the contracted state's signature: when local contraction
+    # already reached the fixpoint (common — few input partitions), the
+    # first star round detects stability immediately instead of paying a
+    # second confirmation round
+    prev_sig = _sig(e)
     for _ in range(max_iter):
         prev = e
         e = _star(e, large=True)
         e = _star(e, large=False)
         e = _symmetrize(e).localCheckpoint()
         prev.unpersist()  # drop the superseded round's checkpoint blocks
-        sig = (e.select(F.expr("bit_xor(xxhash64(u, v))").alias("s"),
-                        F.count(F.lit(1)).alias("n")).collect()[0])
-        if prev_sig == (sig.s, sig.n):
+        sig = _sig(e)
+        if prev_sig == sig:
             break
-        prev_sig = (sig.s, sig.n)
+        prev_sig = sig
     comp = (e.groupBy("u").agg(F.min("v").alias("mn"))
             .select(F.col("u").alias("id"),
                     F.least(F.col("u"), F.col("mn")).alias("component")))
