@@ -274,6 +274,28 @@ def q_kg_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assemble_conversations(transcripts(spark, sf_dir, with_ts=False))
 
 
+@gate("kg_tool_stats", oracle=f"""
+WITH t AS ({_DUCK_TRANSCRIPTS})
+SELECT conv_id, count(*) AS n_turns,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+       count(DISTINCT tool) AS n_distinct_tools,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns
+FROM t GROUP BY conv_id
+""")
+def q_kg_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation tool-use statistics over the full transcript
+    schema (role/tool columns of the input_hint)."""
+    from pyspark.sql import functions as F
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return (t.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_turns"),
+                 F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
+                 .cast("long").alias("n_tool_calls"),
+                 F.countDistinct("tool").alias("n_distinct_tools"),
+                 F.sum(F.when(F.col("role") == "assistant", 1).otherwise(0))
+                 .cast("long").alias("n_assistant_turns")))
+
+
 @gate("kg_mentions", oracle=_mention_oracle_sql())
 def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir, with_ts=False)
