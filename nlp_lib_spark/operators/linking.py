@@ -41,7 +41,10 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
 
     ``dictionary`` has one column ``entity`` (canonical surface form).
     """
-    m = normalize_mentions(mentions)
+    # the mention frame is consumed by three+ plans (exact join, the
+    # isEmpty probe, the anti-join, gram explode); localCheckpoint so an
+    # expensive upstream (the Arrow annotation chain) runs exactly once
+    m = normalize_mentions(mentions).localCheckpoint()
     d = (dictionary
          .withColumn("entity_norm", F.expr(_NORM % "entity"))
          .select("entity", "entity_norm").distinct())
@@ -53,9 +56,8 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
 
     unmatched = m.join(F.broadcast(d),
                        m.norm == d.entity_norm, "left_anti")
-    if unmatched.isEmpty():
-        return exact
-
+    # no isEmpty() short-circuit: the probe costs a full job every call;
+    # when nothing is unmatched the fuzzy branch plans are near-free
     mg = unmatched.withColumn("grams", F.expr(_grams_expr("norm"))) \
                   .withColumn("n_a", F.size("grams"))
     dg = (d.withColumn("grams", F.expr(_grams_expr("entity_norm")))
