@@ -151,6 +151,7 @@ tok AS (
          generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w, len(toks) AS n
   FROM (SELECT conv_id, turn_idx, sent_id,
                regexp_extract_all(sentence, '{TOK_PAT_DUCK}') AS toks FROM s)
+  WHERE len(toks) <= {TESTDATA_CONFIG.max_sent_tokens}  -- oversize straggler guard (annotate_sentence)
 ),
 step(conv_id, turn_idx, sent_id, i, ms, me, mtext) AS (
   SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT, NULL::VARCHAR
@@ -222,6 +223,7 @@ tok AS (
          generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w, len(toks) AS n
   FROM (SELECT conv_id, turn_idx, sent_id,
                regexp_extract_all(sentence, '{TOK_PAT_DUCK}') AS toks FROM s)
+  WHERE len(toks) <= {TESTDATA_CONFIG.max_sent_tokens}  -- oversize straggler guard (annotate_sentence)
 ),
 step(conv_id, turn_idx, sent_id, i, ms, me, mtext, fs, ftext) AS (
   SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT, NULL::VARCHAR,
@@ -884,17 +886,13 @@ _N_HASHES = 8
 
 
 def _minhash_cols(dialect: str) -> str:
-    # 3-token shingles; ONE md5 per shingle, sliced into _N_HASHES 4-hex
-    # (16-bit) slots; minhash_h = min over shingles of slot h.  One hash
-    # call per shingle instead of _N_HASHES — at 100 TB the hash is the
-    # dominant CPU of the sweep — and a 2-slot band still carries 32 bits,
-    # so bucket collisions stay negligible.
-    if dialect == "spark":
-        sh = "transform(sequence(1, greatest(1, size(split(text,' ')) - 2)), i -> array_join(slice(split(text,' '), i, 3), ' '))"
-        tmpl = "array_min(transform({sh}, s -> substring(md5(s), {off}, 4))) AS mh{h}"
-    else:
-        sh = "list_transform(range(1, greatest(2, len(string_split(text,' ')) - 1)), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
-        tmpl = "list_min(list_transform({sh}, s -> substr(md5(s), {off}, 4))) AS mh{h}"
+    # DuckDB oracle replica of operators/dedup._minhash_sig_sql: 3-token
+    # shingles, ONE md5 per shingle sliced into _N_HASHES 4-hex (16-bit)
+    # slots; minhash_h = min over shingles of slot h.  (The Spark side
+    # lives in operators/dedup — this builder is oracle-only.)
+    assert dialect == "duckdb"
+    sh = "list_transform(range(1, greatest(2, len(string_split(text,' ')) - 1)), i -> array_to_string((string_split(text,' '))[i:i+2], ' '))"
+    tmpl = "list_min(list_transform({sh}, s -> substr(md5(s), {off}, 4))) AS mh{h}"
     return ",\n       ".join(tmpl.format(sh=sh, h=h, off=1 + 4 * h)
                              for h in range(_N_HASHES))
 

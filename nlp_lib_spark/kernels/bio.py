@@ -37,7 +37,6 @@ def decode_bio(tags: list[str]) -> list[tuple[int, int, str]]:
 
 
 _NP_POS = ("DT", "JJ", "CD", "PRP")
-_VP_POS = ("MD", "RB")
 
 
 def chunk_bio(pos: list[str]) -> list[str]:

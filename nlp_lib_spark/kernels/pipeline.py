@@ -38,9 +38,11 @@ class KGConfig:
     engine is O(pairs x sentence-length) per sentence, so one adversarial
     degenerate row (a 2000-mention run-on "sentence" in web-scale garbage)
     would otherwise pin an executor core for minutes while its 10^6
-    well-formed neighbors finish in milliseconds.  Oversize sentences skip
-    extraction (no linguistic content is lost — the reference's corpora
-    never approach these bounds; real prose sentences are < 100 tokens)."""
+    well-formed neighbors finish in milliseconds.  Oversize token runs are
+    dropped entirely (mirrored by a token-count filter in the annotation
+    oracles); mention floods keep the linear annotation layers but skip
+    the quadratic pair rules.  The reference's corpora never approach
+    these bounds; real prose sentences are < 100 tokens."""
 
     entity_names: tuple[str, ...]
     domain_terms: tuple[str, ...]
@@ -65,22 +67,26 @@ class KGRuntime:
         self.max_mentions = cfg.max_mentions
 
 
-def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
+def annotate_sentence(rt: KGRuntime, sentence: str,
+                      full: bool = False) -> dict | None:
     """Full annotation of one raw sentence; returns all layers.
 
     ``full=False`` keeps the reference's trivial-sentence short-circuit
     (skip POS/parse/extract when <2 entities, WBioRelEx.java:310-340).
     ``full=True`` annotates every layer regardless — the discourse stack
     consumes POS/edges for every sentence (ExtractHOR.java:104-120).
+
+    Straggler guards (KGConfig): a token run longer than
+    ``max_sent_tokens`` is not prose — the sentence is DROPPED entirely
+    (returns None; every caller skips it, and the annotation-chain
+    DuckDB oracles carry the same token-count filter so parity holds).
+    A sentence with more than ``max_mentions`` gazetteer mentions is
+    annotated normally but skips pair extraction (``pairs`` stays empty)
+    — the quadratic cost lives in the pair rules, not the linear layers.
     """
     tokens = tokenize(sentence)
-    oversize = len(tokens) > rt.max_sent_tokens
-    if oversize:
-        # straggler guard (see KGConfig): no gazetteer/rules on
-        # degenerate runs; the row still flows through with empty layers
-        return {"tokens": tokens, "iob": ["O"] * len(tokens),
-                "blinded": tokens, "mapping": {}, "entity_count": 0,
-                "pos": None, "domain": None, "edges": None, "pairs": []}
+    if len(tokens) > rt.max_sent_tokens:
+        return None
     iob = rt.gazetteer.tag_iob(tokens)
     blinded, mapping, entity_count = blind(tokens, iob)
     out = {
@@ -94,9 +100,6 @@ def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
         "edges": None,
         "pairs": [],
     }
-    if entity_count > rt.max_mentions:  # straggler guard: skip extraction
-        out["entity_count"] = entity_count
-        return out
     if entity_count <= 1 and not full:  # trivial skip
         return out
     if entity_count <= 1:
@@ -109,7 +112,10 @@ def annotate_sentence(rt: KGRuntime, sentence: str, full: bool = False) -> dict:
     pos = pos_tag(blinded, rt.verb_stems)
     domain = rt.domain.tag(blinded)
     edges = dep_parse(blinded, pos)
-    pairs = sorted(predict_interactions(blinded, pos, domain, edges))
+    if entity_count > rt.max_mentions:
+        pairs = []  # mention-flood guard: linear layers kept, O(n^2) rules skipped
+    else:
+        pairs = sorted(predict_interactions(blinded, pos, domain, edges))
     out.update({"blinded": blinded, "pos": pos, "domain": domain,
                 "edges": edges, "pairs": pairs})
     return out
@@ -135,7 +141,7 @@ def _pred_term(domain: list[str | None], i: int, j: int) -> str:
 def triples_for_sentence(rt: KGRuntime, sentence: str) -> list[tuple]:
     """(e1_tok, e2_tok, subj, pred, obj) per predicted pair."""
     ann = annotate_sentence(rt, sentence)
-    if not ann["pairs"]:
+    if ann is None or not ann["pairs"]:
         return []
     blinded, mapping, domain = ann["blinded"], ann["mapping"], ann["domain"]
     out = []

@@ -109,6 +109,8 @@ def dependency_kernel(g1: DepGraph, tokens1, pos1,
     if _position(e1a, e2a, lcs1) != _position(e1b, e2b, lcs2):
         return 0.0
 
+    visiting: set[tuple[int, int]] = set()
+
     def is_match(n1: int, n2: int) -> bool:
         return pos1[n1][:2] == pos2[n2][:2]  # coarse POS (java:214-223)
 
@@ -120,7 +122,18 @@ def dependency_kernel(g1: DepGraph, tokens1, pos1,
     def evaluate(n1: int, n2: int) -> float:
         if not is_match(n1, n2):
             return 0.0
-        return node_score(n1, n2) + eval_children(n1, n2)
+        # cycle guard (deviation from the reference, which recurses
+        # unboundedly and would overflow on cyclic conj edges — cf. the
+        # conj_(and|or) skip in CorpusReader.addAncestors): a node pair
+        # already on the walk contributes 0
+        key = (n1, n2)
+        if key in visiting:
+            return 0.0
+        visiting.add(key)
+        try:
+            return node_score(n1, n2) + eval_children(n1, n2)
+        finally:
+            visiting.discard(key)
 
     def eval_children(n1: int, n2: int) -> float:
         deps1 = g1.gov_edges(n1)

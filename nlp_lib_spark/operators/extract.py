@@ -87,6 +87,8 @@ def annotate_turns(df: DataFrame, config: KGConfig) -> DataFrame:
                 cleaned = strip_citations(text)
                 for sid, sentence in enumerate(split_sentences(cleaned)):
                     ann = annotate_sentence(rt, sentence, full=True)
+                    if ann is None:  # oversize straggler guard
+                        continue
                     mapping = ann["mapping"]
                     edges = ann["edges"] or []
                     rows.append({

@@ -13,6 +13,7 @@ per turn, exactly like the rule and MaxEnt paths.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,12 +31,18 @@ KERNEL_TRIPLES_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
                          "obj string, ktype string, score double")
 
 
+_FUSED_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
+
+
 def instances_for_sentence(rt: KGRuntime, sentence: str):
-    """Yield (ann, inst) for every ordered PROTEIN pair (i<j) in the
-    sentence — same candidate enumeration as the ML path
-    (WBioRelEx.java:363-380)."""
+    """Yield (ann, graph, inst) for every ordered PROTEIN pair (i<j)
+    plus fused same-token self-pairs — the same candidate enumeration as
+    the ML path (WBioRelEx.java:363-380; self-pairs are what the
+    Juxtapos filter acts on).  The sentence DepGraph is built once and
+    shared by every instance."""
     ann = annotate_sentence(rt, sentence)
-    if ann["entity_count"] <= 1:
+    if (ann is None or ann["entity_count"] <= 1 or ann["edges"] is None
+            or ann["entity_count"] > rt.max_mentions):  # flood guard
         return
     blinded = ann["blinded"]
     g = DepGraph(ann["edges"])
@@ -44,7 +51,10 @@ def instances_for_sentence(rt: KGRuntime, sentence: str):
     for a in range(len(prot)):
         for b in range(a + 1, len(prot)):
             i, j = prot[a], prot[b]
-            yield ann, relation_instance(blinded, ann["pos"], dom, g, i, j)
+            yield ann, g, relation_instance(blinded, ann["pos"], dom, g, i, j)
+    for i in prot:
+        if _FUSED_RE.fullmatch(blinded[i]):
+            yield ann, g, relation_instance(blinded, ann["pos"], dom, g, i, i)
 
 
 def build_prototypes(config: KGConfig, sentences: list[str]) -> list[dict]:
@@ -56,7 +66,7 @@ def build_prototypes(config: KGConfig, sentences: list[str]) -> list[dict]:
     rt = config.build()
     protos: list[dict] = []
     for sent in sentences:
-        for _, inst in instances_for_sentence(rt, sent):
+        for _, _g, inst in instances_for_sentence(rt, sent):
             if inst["path"] is not None:
                 protos.append(inst)
     return protos
@@ -89,18 +99,23 @@ def extract_triples_kernel(df: DataFrame, config: KGConfig,
                     continue
                 cleaned = strip_citations(text)
                 for sid, sentence in enumerate(split_sentences(cleaned)):
-                    for ann, inst in instances_for_sentence(rt, sentence):
-                        if with_filters:
-                            g = DepGraph(ann["edges"])
-                            if not apply_standard_filters(inst, g):
-                                continue
+                    for ann, g, inst in instances_for_sentence(rt, sentence):
+                        if with_filters and not apply_standard_filters(inst, g):
+                            continue
                         s = prototype_score(inst, prototypes, kernel)
                         if s < threshold:
                             continue
                         m = ann["mapping"]
                         i, j = inst["e1"], inst["e2"]
-                        subj = m.get(ann["blinded"][i], ann["blinded"][i])
-                        obj = m.get(ann["blinded"][j], ann["blinded"][j])
+                        if i == j:  # fused self-pair: parts are subj/obj
+                            parts = ann["blinded"][i].split("/")
+                            if len(parts) < 2:
+                                continue
+                            subj = m.get(parts[0], parts[0])
+                            obj = m.get(parts[1], parts[1])
+                        else:
+                            subj = m.get(ann["blinded"][i], ann["blinded"][i])
+                            obj = m.get(ann["blinded"][j], ann["blinded"][j])
                         rows.append((conv, int(ti), sid, i, j, subj,
                                      "interacts_with", obj, inst["type"],
                                      round(s, 6)))
@@ -170,7 +185,7 @@ def instance_domain_terms(df: DataFrame, config: KGConfig,
                     continue
                 cleaned = strip_citations(text)
                 for sid, sentence in enumerate(split_sentences(cleaned)):
-                    for ann, inst in instances_for_sentence(rt, sentence):
+                    for ann, _g, inst in instances_for_sentence(rt, sentence):
                         rows.append((conv, int(ti), sid, inst["e1"],
                                      inst["e2"],
                                      backbone_domain_terms(inst)))

@@ -31,7 +31,8 @@ _FUSED_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
 def candidate_pairs_for_sentence(rt, sentence: str):
     """Yield (ann, i, j, features) for every candidate pair."""
     ann = annotate_sentence(rt, sentence)
-    if ann["entity_count"] <= 1:
+    if (ann is None or ann["entity_count"] <= 1 or ann["edges"] is None
+            or ann["entity_count"] > rt.max_mentions):  # flood guard
         return
     blinded = ann["blinded"]
     g = DepGraph(ann["edges"])

@@ -60,8 +60,10 @@ def blind_typed(tokens: list[str], tags: list[str]
 def typed_relations_for_sentence(rt, tokens: list[str],
                                  tags: list[str]) -> list[tuple]:
     """-> [(genotype, pred, phenotype)] for one typed-IOB sentence."""
+    if len(tokens) > rt.max_sent_tokens:  # straggler guard (KGConfig)
+        return []
     blinded, mapping, entity_count = blind_typed(tokens, tags)
-    if entity_count <= 1:
+    if entity_count <= 1 or entity_count > rt.max_mentions:
         return []
     pos = pos_tag(blinded, rt.verb_stems)
     domain = rt.domain.tag(blinded)

@@ -38,6 +38,11 @@ class Stage:
     # fn(spark, upstream_outputs) -> DataFrame
     fn: Callable[[SparkSession, dict[str, DataFrame]], DataFrame]
     deps: tuple[str, ...] = ()
+    # columns the CURRENT code requires of this stage's output; a resumed
+    # checkpoint written by an older code version that lacks any of them
+    # is invalidated and recomputed instead of poisoning downstream
+    # stages with an AnalysisException (schema-upgrade safety)
+    required_cols: tuple[str, ...] = ()
 
 
 def _lineage(df: DataFrame) -> DataFrame:
@@ -74,9 +79,18 @@ class CheckpointedPipeline:
         for stage in self.stages:
             data_p, lin_p, marker = self._paths(stage.name)
             if resume and os.path.exists(marker):
-                outputs[stage.name] = self.spark.read.parquet(data_p)
-                self.computed[stage.name] = False
-                continue
+                resumed = self.spark.read.parquet(data_p)
+                missing = set(stage.required_cols) - set(resumed.columns)
+                if not missing:
+                    outputs[stage.name] = resumed
+                    self.computed[stage.name] = False
+                    continue
+                # stale checkpoint from an older schema — recompute
+                self._log_metric({"stage": stage.name,
+                                  "event": "schema_invalidated",
+                                  "missing_cols": sorted(missing),
+                                  "ts": time.time()})
+                os.remove(marker)
             t0 = time.time()
             df = stage.fn(self.spark, outputs)
             df.write.mode("overwrite").parquet(data_p)
@@ -125,7 +139,8 @@ def kg_stages(sf_dir: str, config) -> list[Stage]:
         return triples_from_annotations(outs["annotations"])
 
     return [Stage("transcripts", s_transcripts),
-            Stage("annotations", s_annotations, deps=("transcripts",)),
+            Stage("annotations", s_annotations, deps=("transcripts",),
+                  required_cols=("pairs",)),
             Stage("triples", s_triples, deps=("annotations",))]
 
 

@@ -86,3 +86,42 @@ def test_kg_stages_smoke(spark, tmp_path):
     p = CheckpointedPipeline(spark, str(tmp_path / "kg"), stages)
     out = p.run()
     assert out["triples"].count() > 0
+
+
+def test_resume_invalidates_stale_schema(spark, tmp_path):
+    """Review regression: a checkpoint written by an older code version
+    (annotations without the 'pairs' column) must be recomputed on
+    resume, not fed to downstream stages."""
+    import pandas as pd
+
+    from nlp_lib_spark.fixtures import FIXTURE_CONFIG, generate_transcripts
+    from nlp_lib_spark.plans.checkpoint import CheckpointedPipeline, kg_stages
+
+    turns, _ = generate_transcripts(n_convs=8, seed=11)
+    tdf = pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role",
+                                       "text", "tool", "ts_epoch"])
+    src = spark.createDataFrame(tdf)
+    src.createOrReplaceTempView("__ckpt_src")
+
+    stages = kg_stages(None, FIXTURE_CONFIG)
+    stages[0].fn = lambda sp, _outs: sp.table("__ckpt_src")
+    root = str(tmp_path / "ckpt")
+
+    pipe = CheckpointedPipeline(spark, root, stages)
+    outs1 = pipe.run()
+    triples1 = sorted(map(tuple, outs1["triples"].collect()))
+
+    # simulate an old-version checkpoint: drop 'pairs' from annotations
+    ann_dir = f"{root}/annotations/data"
+    old = spark.read.parquet(ann_dir).drop("pairs")
+    old.write.mode("overwrite").parquet(ann_dir + "_old")
+    import shutil
+    shutil.rmtree(ann_dir)
+    shutil.move(ann_dir + "_old", ann_dir)
+
+    pipe2 = CheckpointedPipeline(spark, root, kg_stages(None, FIXTURE_CONFIG))
+    pipe2.stages[0].fn = lambda sp, _outs: sp.table("__ckpt_src")
+    outs2 = pipe2.run()
+    assert pipe2.computed["annotations"], "stale schema must recompute"
+    triples2 = sorted(map(tuple, outs2["triples"].collect()))
+    assert triples1 == triples2

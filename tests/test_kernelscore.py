@@ -196,7 +196,7 @@ def test_operator_matches_driver_side(spark):
     exp = set()
     for conv, ti, text in rows:
         for sid, sent in enumerate(split_sentences(strip_citations(text))):
-            for ann, inst in instances_for_sentence(rt, sent):
+            for ann, _g, inst in instances_for_sentence(rt, sent):
                 s = prototype_score(inst, protos, "lcs")
                 if s >= 0.3:
                     exp.add((conv, ti, sid, inst["e1"], inst["e2"],
@@ -231,3 +231,27 @@ def test_dependency_kernel_golden():
     # no LCS => 0
     assert dependency_kernel(g, T1, P1, g, T1, P1,
                              0, 2, -1, 0, 2, 1) == 0.0
+
+
+def test_dependency_kernel_cycle_guard():
+    """Cyclic conj edges must not blow the stack (the reference recurses
+    unboundedly; we contribute 0 for a re-entered node pair)."""
+    from nlp_lib_spark.kernels.treekernel import dependency_kernel
+    toks = ["alpha", "beta", "binds"]
+    pos = ["NN", "NN", "VBZ"]
+    g = DepGraph([("conj_and", 0, 1), ("conj_and", 1, 0), ("nsubj", 2, 0)])
+    v = dependency_kernel(g, toks, pos, g, toks, pos, 0, 1, 0, 0, 1, 0)
+    assert v == v and v >= 0.0  # finite, no RecursionError
+
+
+def test_kernel_path_scores_fused_self_pairs():
+    """Fused same-token candidates enter the kernel path so the
+    Juxtapos filter has something to act on."""
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.kernel_score import instances_for_sentence
+    rt = TESTDATA_CONFIG.build()
+    found = []
+    for _ann, _g, inst in instances_for_sentence(
+            rt, "the spark/table interaction regulates the row."):
+        found.append((inst["e1"], inst["e2"]))
+    assert any(i == j for (i, j) in found), found

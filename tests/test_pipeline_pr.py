@@ -127,3 +127,35 @@ def test_straggler_guards():
     # empty / whitespace / punctuation-only inputs are quiet no-ops
     for s in ("", "   ", ".", "(", "(("):
         assert extract_turn(rt, s) == []
+
+
+def test_flood_guard_does_not_crash_ml_and_kernel_paths(spark):
+    """Review regression: a mention-flood sentence must flow through the
+    ML and kernel-scoring operators (annotation layers kept, extraction
+    skipped) instead of crashing on edges=None."""
+    from nlp_lib_spark.kernels.scoring import DEFAULT_MODEL_PATH, load_model
+    from nlp_lib_spark.operators.kernel_score import (build_prototypes,
+                                                      extract_triples_kernel)
+    from nlp_lib_spark.operators.ml import extract_triples_ml
+    flood = "spark interacts with table and " * 43  # 86 mentions > 64
+    df = spark.createDataFrame([("c1", 0, flood)],
+                               "conv_id string, turn_idx int, text string")
+    w, b = load_model(DEFAULT_MODEL_PATH)
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    assert extract_triples_ml(df, TESTDATA_CONFIG, w, b).count() == 0
+    protos = build_prototypes(TESTDATA_CONFIG,
+                              ["the spark activates the table."])
+    assert extract_triples_kernel(df, TESTDATA_CONFIG, protos).count() == 0
+
+
+def test_oversize_sentence_dropped_from_annotations(spark):
+    """Oversize token runs vanish from the annotations table entirely
+    (mirroring the token-count filter in the annotation oracles)."""
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.extract import annotate_turns
+    rows = [("c1", 0, "the spark activates the table."),
+            ("c1", 1, "x " * 400)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, "
+                                     "text string")
+    ann = annotate_turns(df, TESTDATA_CONFIG).collect()
+    assert {(r.conv_id, r.turn_idx) for r in ann} == {("c1", 0)}
