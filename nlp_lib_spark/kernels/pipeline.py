@@ -138,6 +138,16 @@ def _pred_term(domain: list[str | None], i: int, j: int) -> str:
     return "interacts_with"
 
 
+def resolve_surface(mapping: dict[str, str], token: str) -> str:
+    """Blinded placeholder -> surface form: direct map hit, else per-part
+    resolution for fused ``PROTEINa/PROTEINb`` tokens (the shared emit
+    rule of the rule / ML / kernel extraction paths)."""
+    hit = mapping.get(token)
+    if hit is not None:
+        return hit
+    return "/".join(mapping.get(p, p) for p in token.split("/"))
+
+
 def triples_for_sentence(rt: KGRuntime, sentence: str) -> list[tuple]:
     """(e1_tok, e2_tok, subj, pred, obj) per predicted pair."""
     ann = annotate_sentence(rt, sentence)
@@ -154,13 +164,8 @@ def triples_for_sentence(rt: KGRuntime, sentence: str) -> list[tuple]:
             subj = mapping.get(parts[0], parts[0])
             obj = mapping.get(parts[1], parts[1])
         else:
-            ti, tj = blinded[i], blinded[j]
-            subj = mapping.get(ti)
-            obj = mapping.get(tj)
-            if subj is None:  # PROTEINk inside a fused token
-                subj = "/".join(mapping.get(p, p) for p in ti.split("/"))
-            if obj is None:
-                obj = "/".join(mapping.get(p, p) for p in tj.split("/"))
+            subj = resolve_surface(mapping, blinded[i])
+            obj = resolve_surface(mapping, blinded[j])
         out.append((i, j, subj, pred, obj))
     return out
 

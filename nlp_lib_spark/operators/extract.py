@@ -125,7 +125,7 @@ def triples_from_annotations(ann: DataFrame) -> DataFrame:
     feed mentions, triples, clauses, and linking — the Spark analogue of
     the reference's four aligned per-doc files being read once
     (ppi/MLExtractor.java:61-69)."""
-    from nlp_lib_spark.kernels.pipeline import _pred_term
+    from nlp_lib_spark.kernels.pipeline import _pred_term, resolve_surface
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["conv_id", "turn_idx", "sent_id", "e1", "e2",
@@ -148,15 +148,8 @@ def triples_from_annotations(ann: DataFrame) -> DataFrame:
                         subj = mapping.get(parts[0], parts[0])
                         obj = mapping.get(parts[1], parts[1])
                     else:
-                        ti, tj = blinded[i], blinded[j]
-                        subj = mapping.get(ti)
-                        obj = mapping.get(tj)
-                        if subj is None:
-                            subj = "/".join(mapping.get(x, x)
-                                            for x in ti.split("/"))
-                        if obj is None:
-                            obj = "/".join(mapping.get(x, x)
-                                           for x in tj.split("/"))
+                        subj = resolve_surface(mapping, blinded[i])
+                        obj = resolve_surface(mapping, blinded[j])
                     rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
                                  i, j, subj, pred, obj))
             yield pd.DataFrame(rows, columns=cols)

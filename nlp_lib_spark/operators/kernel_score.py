@@ -23,7 +23,8 @@ from nlp_lib_spark.kernels.depgraph import DepGraph
 from nlp_lib_spark.kernels.kernelscore import (prototype_score,
                                                relation_instance)
 from nlp_lib_spark.kernels.pipeline import (KGConfig, KGRuntime,
-                                            annotate_sentence)
+                                            annotate_sentence,
+                                            resolve_surface)
 from nlp_lib_spark.kernels.text import split_sentences, strip_citations
 
 KERNEL_TRIPLES_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
@@ -41,7 +42,7 @@ def instances_for_sentence(rt: KGRuntime, sentence: str):
     Juxtapos filter acts on).  The sentence DepGraph is built once and
     shared by every instance."""
     ann = annotate_sentence(rt, sentence)
-    if (ann is None or ann["entity_count"] <= 1 or ann["edges"] is None
+    if (ann is None or ann["entity_count"] <= 1
             or ann["entity_count"] > rt.max_mentions):  # flood guard
         return
     blinded = ann["blinded"]
@@ -114,8 +115,8 @@ def extract_triples_kernel(df: DataFrame, config: KGConfig,
                             subj = m.get(parts[0], parts[0])
                             obj = m.get(parts[1], parts[1])
                         else:
-                            subj = m.get(ann["blinded"][i], ann["blinded"][i])
-                            obj = m.get(ann["blinded"][j], ann["blinded"][j])
+                            subj = resolve_surface(m, ann["blinded"][i])
+                            obj = resolve_surface(m, ann["blinded"][j])
                         rows.append((conv, int(ti), sid, i, j, subj,
                                      "interacts_with", obj, inst["type"],
                                      round(s, 6)))

@@ -17,7 +17,8 @@ from pyspark.sql import DataFrame
 from nlp_lib_spark.kernels.depgraph import DepGraph
 from nlp_lib_spark.kernels.features import pair_features
 from nlp_lib_spark.kernels.pipeline import (KGConfig, _pred_term,
-                                            annotate_sentence)
+                                            annotate_sentence,
+                                            resolve_surface)
 from nlp_lib_spark.kernels.scoring import score
 from nlp_lib_spark.kernels.text import split_sentences, strip_citations
 
@@ -31,7 +32,7 @@ _FUSED_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
 def candidate_pairs_for_sentence(rt, sentence: str):
     """Yield (ann, i, j, features) for every candidate pair."""
     ann = annotate_sentence(rt, sentence)
-    if (ann is None or ann["entity_count"] <= 1 or ann["edges"] is None
+    if (ann is None or ann["entity_count"] <= 1
             or ann["entity_count"] > rt.max_mentions):  # flood guard
         return
     blinded = ann["blinded"]
@@ -80,10 +81,8 @@ def extract_triples_ml(df: DataFrame, config: KGConfig,
                             subj = m.get(parts[0], parts[0])
                             obj = m.get(parts[1], parts[1])
                         else:
-                            subj = m.get(ann["blinded"][i]) or "/".join(
-                                m.get(x, x) for x in ann["blinded"][i].split("/"))
-                            obj = m.get(ann["blinded"][j]) or "/".join(
-                                m.get(x, x) for x in ann["blinded"][j].split("/"))
+                            subj = resolve_surface(m, ann["blinded"][i])
+                            obj = resolve_surface(m, ann["blinded"][j])
                         pred = _pred_term(ann["domain"], i, j)
                         rows.append((conv, int(ti), sid, i, j, subj, pred,
                                      obj, round(p, 4)))

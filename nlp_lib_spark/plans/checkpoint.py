@@ -76,9 +76,17 @@ class CheckpointedPipeline:
     def run(self, inputs: dict[str, DataFrame] | None = None,
             resume: bool = True) -> dict[str, DataFrame]:
         outputs: dict[str, DataFrame] = dict(inputs or {})
+        # stages recomputed THIS run; anything depending on one of them
+        # must also recompute — a resumed checkpoint derived from data
+        # that was just recomputed could be stale.  (After a mid-chain
+        # kill, markers form a prefix of the stage order, so the cascade
+        # only changes behavior for schema invalidation and explicit
+        # invalidate() calls, where it is exactly what is wanted.)
+        dirty: set[str] = set()
         for stage in self.stages:
             data_p, lin_p, marker = self._paths(stage.name)
-            if resume and os.path.exists(marker):
+            dep_dirty = any(d in dirty for d in stage.deps)
+            if resume and not dep_dirty and os.path.exists(marker):
                 resumed = self.spark.read.parquet(data_p)
                 missing = set(stage.required_cols) - set(resumed.columns)
                 if not missing:
@@ -91,6 +99,7 @@ class CheckpointedPipeline:
                                   "missing_cols": sorted(missing),
                                   "ts": time.time()})
                 os.remove(marker)
+            dirty.add(stage.name)
             t0 = time.time()
             df = stage.fn(self.spark, outputs)
             df.write.mode("overwrite").parquet(data_p)
@@ -113,8 +122,8 @@ class CheckpointedPipeline:
         return outputs
 
     def invalidate(self, name: str) -> None:
-        """Drop a stage's marker so the next run recomputes it (and anything
-        downstream the caller also invalidates)."""
+        """Drop a stage's marker so the next run recomputes it; stages
+        depending on it recompute automatically (dirty cascade in run())."""
         _, _, marker = self._paths(name)
         if os.path.exists(marker):
             os.remove(marker)

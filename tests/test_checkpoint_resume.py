@@ -123,5 +123,7 @@ def test_resume_invalidates_stale_schema(spark, tmp_path):
     pipe2.stages[0].fn = lambda sp, _outs: sp.table("__ckpt_src")
     outs2 = pipe2.run()
     assert pipe2.computed["annotations"], "stale schema must recompute"
+    assert pipe2.computed["triples"], \
+        "dirty cascade must re-derive downstream stages too"
     triples2 = sorted(map(tuple, outs2["triples"].collect()))
     assert triples1 == triples2

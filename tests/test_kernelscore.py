@@ -255,3 +255,13 @@ def test_kernel_path_scores_fused_self_pairs():
             rt, "the spark/table interaction regulates the row."):
         found.append((inst["e1"], inst["e2"]))
     assert any(i == j for (i, j) in found), found
+
+
+def test_kernel_path_resolves_fused_surfaces():
+    """Review regression: a non-self pair whose side is a fused token
+    must resolve per-part surfaces, never leak PROTEINk placeholders."""
+    from nlp_lib_spark.kernels.pipeline import resolve_surface
+    m = {"PROTEIN0": "spark", "PROTEIN1": "table", "PROTEIN2": "row"}
+    assert resolve_surface(m, "PROTEIN2") == "row"
+    assert resolve_surface(m, "PROTEIN0/PROTEIN1") == "spark/table"
+    assert resolve_surface(m, "PROTEIN9") == "PROTEIN9"  # unknown passthrough
