@@ -14,7 +14,8 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
 
 from nlp_lib_spark.fixtures import FIXTURE_CONFIG, generate_transcripts
-from nlp_lib_spark.kernels.scoring import (DEFAULT_MODEL_PATH, save_model,
+from nlp_lib_spark.kernels.scoring import (DEFAULT_MODEL_PATH,
+                                           prune_by_info_gain, save_model,
                                            score, train_logreg)
 from nlp_lib_spark.kernels.text import split_sentences, strip_citations
 from nlp_lib_spark.operators.ml import candidate_pairs_for_sentence
@@ -49,6 +50,9 @@ def main() -> None:
     xs, ys = build_dataset()
     n_pos = sum(ys)
     print(f"pairs={len(xs)} pos={n_pos} neg={len(ys) - n_pos}")
+    # shipped-model export prunes to the top-1500 features by InfoGain
+    # (MLExtractor.java:182 / PruneFeatureVectors.pruneByInfoGain)
+    xs = prune_by_info_gain(xs, ys, k=1500)
     weights, bias = train_logreg(xs, ys)
     # training accuracy report
     tp = fp = fn = 0
