@@ -60,3 +60,58 @@ def test_rel_candidates_subj_seed():
 def test_rel_candidates_empty_without_seed():
     t = _setup(["of", "PROTEIN0", "PROTEIN1", "."], ["interact"])
     assert rel_candidates(*t) == set()
+
+
+def test_rule2b_matches_verbatim_reference_scan():
+    """Seeded fuzz: the cached-base rule2b equals a verbatim port of
+    RelexRule2b.getSentPattern + findRelations (java:21-63, note the
+    commented-out '.' separator — the class string is concatenated)."""
+    import random
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import (_R2B_PREP_WORDS, _R2B_RE, Sent,
+                                             rule2b)
+
+    def naive_pattern(s, e1, e2):
+        parts = []
+        for i in range(e2 + 1):
+            tok = s.tokens[i]
+            if i == e1:
+                parts.append("PROT1")
+            elif i == e2:
+                parts.append("PROT2")
+            elif "PROTEIN" in tok:
+                parts.append("PROT")
+            elif s.domain[i] is not None:
+                parts.append("REL")
+            elif len(tok) == 1 and tok in "/,-":
+                parts.append(tok)
+            elif s.pos[i] in ("IN", "TO") and tok in _R2B_PREP_WORDS:
+                parts.append("PREP")
+            elif tok in ("and", "or"):
+                parts.append("CONJ")
+            elif s.pos[i].startswith("N"):
+                parts.append("N")
+            else:
+                parts.append("W")
+        return "".join(parts)
+
+    rng = random.Random(7)
+    vocab = ["PROTEIN0", "PROTEIN1", "PROTEIN2", "binds", "with", "of",
+             "and", "/", ",", "-", "the", "run", "data", "quickly"]
+    pos_of = {"PROTEIN0": "NN", "PROTEIN1": "NN", "PROTEIN2": "NN",
+              "binds": "VBZ", "with": "IN", "of": "IN", "and": "CC",
+              "/": "/", ",": ",", "-": "-", "the": "DT", "run": "NN",
+              "data": "NNS", "quickly": "RB"}
+    for _ in range(800):
+        n = rng.randint(2, 14)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        pos = [pos_of[t] for t in toks]
+        dom = ["bind" if t == "binds" else None for t in toks]
+        s = Sent(toks, pos, dom)
+        got = rule2b(s, DepGraph([]))
+        exp = {(i, j)
+               for i in range(n) if "PROTEIN" in toks[i]
+               for j in range(i + 1, n) if "PROTEIN" in toks[j]
+               and _R2B_RE.search(naive_pattern(Sent(toks, pos, dom), i, j))}
+        assert got == exp, (toks, got, exp)
