@@ -195,3 +195,57 @@ def test_ex_domain_annotator_pos_specific_terms():
     assert tags[2] == "bind"      # plain entry matches any POS (stemmed)
     # without a POS layer the restricted entry never fires
     assert d.tag(toks)[0] is None
+
+
+def test_gazetteer_matches_verbatim_reference_scan():
+    """Seeded fuzz: Gazetteer.tag_iob equals a verbatim transliteration
+    of EntityLexicon.tagIOB (WBioRelEx.java:446-476) — including the
+    consume quirk (the token after a span gets O and the scan resumes
+    past it: `i = j` then loop i++) and prefix-set extension."""
+    import random
+
+    from nlp_lib_spark.kernels.gazetteer import Gazetteer
+
+    def reference_tag_iob(token_set, tokens):
+        tags = [None] * len(tokens)
+        i = 0
+        while i < len(tokens):
+            word = tokens[i].lower()
+            if word in token_set:
+                tags[i] = "B-PROTEIN"
+                j = i + 1
+                while j < len(tokens):
+                    word = word + " " + tokens[j].lower()
+                    if word in token_set:
+                        tags[j] = "I-PROTEIN"
+                        j += 1
+                    else:
+                        tags[j] = "O"
+                        break
+                i = j + 1  # java: i = j, then for-loop i++
+            else:
+                tags[i] = "O"
+                i += 1
+        return ["O" if t is None else t for t in tags]
+
+    entities = ["hash join", "table", "table scan", "row group", "spark"]
+    token_set = set()
+    for e in entities:
+        parts = e.lower().split()
+        w = parts[0]
+        token_set.add(w)
+        for p in parts[1:]:
+            w = w + " " + p
+            token_set.add(w)
+
+    gaz = Gazetteer(entities)
+    rng = random.Random(99)
+    vocab = ["hash", "join", "table", "scan", "row", "group", "spark",
+             "the", "reads", "a", ".", "data"]
+    for _ in range(2000):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        got = gaz.tag_iob(toks)
+        exp = reference_tag_iob(token_set, toks)
+        # our gazetteer adds the B-FUSED branch the reference lacks;
+        # none of these tokens contain '/', so outputs must be equal
+        assert got == exp, (toks, got, exp)
