@@ -249,3 +249,43 @@ def test_gazetteer_matches_verbatim_reference_scan():
         # our gazetteer adds the B-FUSED branch the reference lacks;
         # none of these tokens contain '/', so outputs must be equal
         assert got == exp, (toks, got, exp)
+
+
+def test_blind_matches_verbatim_prepare():
+    """Seeded fuzz: blind() equals a verbatim transliteration of
+    WBioRelEx.prepare (java:248-284) — B- spans blinded to PROTEIN<k>
+    with surface map, trailing I- tokens consumed, orphan I- tokens
+    passed through as plain words."""
+    import random
+
+    from nlp_lib_spark.kernels.blind import blind
+
+    def reference_prepare(tokens, tags):
+        out, mapping, count, entity_count = [], {}, 0, 0
+        i, n = 0, len(tokens)
+        while i < n:
+            if not tags[i].startswith("B-"):
+                out.append(tokens[i])
+                i += 1
+            else:
+                entity_count += 1
+                out.append("PROTEIN%d" % count)
+                surface = [tokens[i]]
+                j = i + 1
+                while j < n and tags[j].startswith("I-"):
+                    surface.append(tokens[j])
+                    j += 1
+                i = j
+                mapping["PROTEIN%d" % count] = " ".join(surface)
+                count += 1
+        return out, mapping, entity_count
+
+    rng = random.Random(5)
+    for _ in range(1500):
+        n = rng.randint(0, 10)
+        toks = [rng.choice(["alpha", "beta", "gamma", "x", "y"])
+                for _ in range(n)]
+        tags = [rng.choice(["O", "B-PROTEIN", "I-PROTEIN"])
+                for _ in range(n)]
+        assert blind(toks, tags) == reference_prepare(toks, tags), \
+            (toks, tags)
