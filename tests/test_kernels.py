@@ -289,3 +289,40 @@ def test_blind_matches_verbatim_prepare():
                 for _ in range(n)]
         assert blind(toks, tags) == reference_prepare(toks, tags), \
             (toks, tags)
+
+
+def test_simplify_matches_verbatim_reference():
+    """Seeded fuzz: simplify() equals a verbatim transliteration of
+    WBioRelEx.simplify (java:103-128) incl. unclosed-paren truncation
+    and kept-paren rescanning."""
+    import random
+
+    from nlp_lib_spark.kernels.simplify import simplify
+
+    def reference_simplify(tokens):
+        out = []
+        i = 0
+        while i < len(tokens):
+            if tokens[i] == "(":
+                found = False
+                end = len(tokens) - 1
+                for j in range(i + 1, len(tokens)):
+                    if tokens[j] == ")":
+                        end = j
+                        break
+                    if "PROTEIN" in tokens[j]:
+                        found = True
+                if not found:
+                    i = end  # java: i = end, then loop i++
+                else:
+                    out.append(tokens[i])
+            else:
+                out.append(tokens[i])
+            i += 1
+        return out
+
+    rng = random.Random(13)
+    vocab = ["(", ")", "PROTEIN0", "PROTEIN1", "word", "x", ","]
+    for _ in range(3000):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
+        assert simplify(toks) == reference_simplify(toks), toks
