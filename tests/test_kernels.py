@@ -326,3 +326,47 @@ def test_simplify_matches_verbatim_reference():
     for _ in range(3000):
         toks = [rng.choice(vocab) for _ in range(rng.randint(0, 12))]
         assert simplify(toks) == reference_simplify(toks), toks
+
+
+def test_rule5_matches_verbatim_reference():
+    """Seeded fuzz: rule5 equals a verbatim transliteration of
+    RelexRule5.findRelations (java:19-42): fused-token self-pairs via a
+    DOMAIN right-neighbor or a DOMAIN nn/amod/abbrev/appos governor."""
+    import random
+    import re
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule5
+
+    pat = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
+
+    def reference_rule5(tokens, domain, edges):
+        by_dep = {}
+        for (reln, gov, dep) in edges:
+            by_dep.setdefault(dep, []).append((reln, gov))
+        out = set()
+        for i in range(len(tokens)):
+            if "PROTEIN" in tokens[i] and i < len(tokens) - 1:
+                if pat.fullmatch(tokens[i]) and domain[i + 1] is not None:
+                    out.add((i, i))
+                elif pat.fullmatch(tokens[i]):
+                    for (reln, gov) in by_dep.get(i, []):
+                        if re.fullmatch(r"nn|amod|abbrev|appos", reln) \
+                                and domain[gov] is not None:
+                            out.add((i, i))
+                            break
+        return out
+
+    rng = random.Random(23)
+    vocab = ["PROTEIN0", "PROTEIN1", "PROTEIN0/PROTEIN1", "binds", "x"]
+    relns = ["nn", "amod", "appos", "dobj", "abbrev"]
+    for _ in range(2000):
+        n = rng.randint(2, 8)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        dom = ["bind" if rng.random() < 0.3 else None for _ in range(n)]
+        edges = [(rng.choice(relns), rng.randrange(n), rng.randrange(n))
+                 for _ in range(rng.randint(0, 5))]
+        edges = [e for e in edges if e[1] != e[2]]
+        s = Sent(toks, ["NN"] * n, dom)
+        assert rule5(s, DepGraph(edges)) == \
+            reference_rule5(toks, dom, edges), (toks, dom, edges)
