@@ -115,3 +115,194 @@ def test_rule2b_matches_verbatim_reference_scan():
                for j in range(i + 1, n) if "PROTEIN" in toks[j]
                and _R2B_RE.search(naive_pattern(Sent(toks, pos, dom), i, j))}
         assert got == exp, (toks, got, exp)
+
+
+def test_rule1_matches_verbatim_reference():
+    """Seeded fuzz: rule1 equals an independent verbatim transliteration
+    of RelexRule1 + the RelexRule base machinery (relx/ppi/RelexRule1.java
+    :26-289, RelexRule.java:24-162): path DFS from nsubj governors, PP and
+    rcmod agent expansion, NN-headed targets with the rcmod tail filter,
+    NP-chunk DOMAIN checks, and negation gating."""
+    import random
+    import re
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule1
+
+    PATH_P = re.compile(r"dep|agent|.*comp|.*obj|advcl|(inf|part|rc)mod|prep.*|abbrev|parataxis")
+    AGENT_NP = re.compile(r"nn|amod|abbrev")
+    TARGET_NP = re.compile(r"nn|amod|advmod")
+    RCHEAD = re.compile(r"similar|include(s|d)?|members?|identical|involve(s|d)?")
+
+    class G:
+        def __init__(self, edges):
+            self.edges = list(edges)
+        def gov_deps(self, gov, pat=None):
+            return [e for e in self.edges if e[1] == gov and (pat is None or pat.fullmatch(e[0]))]
+        def dep_deps(self, dep, pat=None):
+            return [e for e in self.edges if e[2] == dep and (pat is None or pat.fullmatch(e[0]))]
+        def matching(self, pat):
+            p = re.compile(pat)
+            return [e for e in self.edges if p.fullmatch(e[0])]
+
+    def add_path(gov, g, cur, paths, pat, visited):
+        if visited[gov]: return
+        visited[gov] = True
+        deps = g.gov_deps(gov, pat)
+        if not deps:
+            paths.append(list(cur))
+        else:
+            for sd in deps:
+                cur.append(sd)
+                add_path(sd[2], g, cur, paths, pat, visited)
+                cur.pop()
+        visited[gov] = False
+
+    def get_all_paths_gov(n, g, start_pat, path_pat):
+        paths = []
+        for seed in g.matching(start_pat):
+            add_path(seed[1], g, [seed], paths, path_pat, [False]*n)
+        return paths
+
+    def paths_frm_src(n, start, start_pat, g, path_pat):
+        paths = []
+        for seed in g.gov_deps(start, start_pat):
+            add_path(seed[2], g, [seed], paths, path_pat, [False]*n)
+        return paths
+
+    def head_entity_from_np(head, toks, g, pat):
+        reach = [head] + [e[2] for e in g.gov_deps(head, pat)]
+        ent = -1
+        for p in reach:
+            if "PROTEIN" in toks[p] and p > ent:
+                ent = p
+        return ent
+
+    def entities_from_np(head, toks, g, pat):
+        agents = []
+        agent = head_entity_from_np(head, toks, g, pat)
+        if agent != -1:
+            agents.append(agent)
+            if agent != head:
+                for sd in g.dep_deps(agent, re.compile("conj.*")):
+                    nxt = head_entity_from_np(sd[1], toks, g, pat)
+                    if nxt != -1:
+                        agents.append(nxt)
+        if not agents:
+            for sd in g.gov_deps(head, re.compile("appos")):
+                a = head_entity_from_np(sd[2], toks, g, pat)
+                if a != -1:
+                    agents.append(a)
+        return agents
+
+    def np_chunk(pos_i, g):
+        deps = g.gov_deps(pos_i, re.compile("nn|amod|advmod")) + g.dep_deps(pos_i, re.compile("nn|amod|advmod"))
+        lo = hi = pos_i
+        for sd in deps:
+            lo = min(lo, sd[1], sd[2]); hi = max(hi, sd[1], sd[2])
+        return (lo, hi)
+
+    def get_agents(subj, toks, g, cand_path, n):
+        agents = set(entities_from_np(subj, toks, g, AGENT_NP))
+        prep_paths = paths_frm_src(n, subj, re.compile("prep.*|partmod"), g, re.compile("prep.*|agent|dobj|dep"))
+        for agent in list(agents):
+            if agent != subj:
+                prep_paths.extend(paths_frm_src(n, agent, re.compile("prep.*|partmod"), g, re.compile("prep.*|agent|dobj")))
+        for path in prep_paths:
+            prep_head = -1
+            for sd in path:
+                if re.fullmatch(r"prep_(of|from|like|including|in)", sd[0]):
+                    prep_head = max(prep_head, sd[2])
+            if prep_head != -1:
+                agents.update(entities_from_np(prep_head, toks, g, AGENT_NP))
+        main_head = cand_path[0][1] if cand_path else -1
+        rcmod_agents = []
+        for sd in g.gov_deps(subj, re.compile("rcmod")):
+            dep = sd[2]
+            rc_head = toks[dep].lower()
+            if dep != main_head and RCHEAD.fullmatch(rc_head):
+                for path in paths_frm_src(n, dep, re.compile(".*obj|prep.*"), g, re.compile(".*obj|prep.*")):
+                    for td in path:
+                        tmp = entities_from_np(td[2], toks, g, AGENT_NP)
+                        if tmp:
+                            rcmod_agents.extend(tmp)
+                            break
+        agents.update(rcmod_agents)
+        return agents
+
+    def get_targets(toks, pos, domain, g, cand_path):
+        targets = set()
+        for i in range(1, len(cand_path)):
+            head = cand_path[i][2]
+            reln = cand_path[i][0]
+            if re.fullmatch("rcmod", reln):
+                rc_head = toks[head].lower()
+                if not RCHEAD.fullmatch(rc_head) and domain[head] is None:
+                    break
+            if not pos[head].startswith("NN"):
+                continue
+            for e in entities_from_np(head, toks, g, TARGET_NP):
+                targets.add((e, i))
+        return targets
+
+    def is_negated(g, path, end):
+        for i in range(end + 1):
+            gov, dep = path[i][1], path[i][2]
+            if g.gov_deps(gov, re.compile("neg")) or g.gov_deps(dep, re.compile("neg")):
+                return True
+        return False
+
+    def chunk_dom(domain, chunk):
+        lo, hi = chunk
+        return any(domain[i] is not None for i in range(lo, hi + 1))
+
+    def is_domain_specific(toks, domain, g, path, end):
+        for i in range(end + 1):
+            gov, dep = path[i][1], path[i][2]
+            if domain[gov] is not None or domain[dep] is not None:
+                return True
+            if i == 0:
+                if chunk_dom(domain, np_chunk(dep, g)): return True
+            else:
+                if chunk_dom(domain, np_chunk(gov, g)): return True
+                if i == end:
+                    if chunk_dom(domain, np_chunk(dep, g)): return True
+                    break
+        return False
+
+    def reference_rule1(toks, pos, domain, edges):
+        n = len(toks)
+        g = G(edges)
+        relations = set()
+        for path in get_all_paths_gov(n, g, r"nsubj|nsubjpass", PATH_P):
+            agents = get_agents(path[0][2], toks, g, path, n)
+            if not agents: continue
+            for (tgt, idx) in get_targets(toks, pos, domain, g, path):
+                if is_domain_specific(toks, domain, g, path, idx) and not is_negated(g, path, idx):
+                    for agent in agents:
+                        relations.add((agent, tgt) if agent < tgt else (tgt, agent))
+        return relations
+
+    rng = random.Random(31)
+    relns = ["nsubj", "nsubjpass", "dobj", "prep_of", "prep_between", "nn",
+             "amod", "rcmod", "conj_and", "appos", "neg", "advmod",
+             "partmod", "agent", "xcomp"]
+    vocab = ["PROTEIN0", "PROTEIN1", "PROTEIN2", "binds", "includes",
+             "similar", "x", "data"]
+    pos_of = {"PROTEIN0": "NN", "PROTEIN1": "NN", "PROTEIN2": "NNS",
+              "binds": "VBZ", "includes": "VBZ", "similar": "JJ",
+              "x": "DT", "data": "NN"}
+    for _ in range(600):
+        n = rng.randint(2, 8)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        pos = [pos_of[w] for w in toks]
+        dom = ["bind" if rng.random() < 0.25 else None for _ in range(n)]
+        edges = []
+        for _ in range(rng.randint(0, 8)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.append((rng.choice(relns), a, b))
+        s = Sent(toks, pos, dom)
+        got = rule1(s, DepGraph(edges))
+        exp = reference_rule1(toks, pos, dom, edges)
+        assert got == exp, (toks, pos, dom, edges, got, exp)
