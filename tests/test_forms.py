@@ -306,3 +306,250 @@ def test_rule1_matches_verbatim_reference():
         got = rule1(s, DepGraph(edges))
         exp = reference_rule1(toks, pos, dom, edges)
         assert got == exp, (toks, pos, dom, edges, got, exp)
+
+
+def test_rule3_matches_verbatim_reference():
+    """Seeded fuzz: rule3 equals a verbatim transliteration of
+    RelexRule3.findRelations (java:21-107): the domain-window
+    prep_between adjacency check over the undirected path-label list,
+    DOMAIN-noun fan-out over the reachability DFS, and the partmod
+    branch.  (Parallel edges between one (gov, dep) pair are excluded:
+    the reference's adjacency matrix keeps the last insertion while our
+    edge list keeps all — an untriggered artifact on real parses.)"""
+    import random
+    import re
+    from collections import deque
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule3
+
+    REACH = "agent|prep_(of|by|to|on|for|in|through|with|between)|nn|amod"
+
+    def get_path_as_list(edges, n, src, dst):
+        graph = [[None] * n for _ in range(n)]
+        for (reln, gov, dep) in edges:
+            graph[gov][dep] = reln
+            graph[dep][gov] = "-" + reln
+        parent = [-1] * n
+        visited = [False] * n
+        marked = [False] * n
+        q = deque([src])
+        marked[src] = True
+        while q:
+            v = q.popleft()
+            if visited[v]:
+                continue
+            visited[v] = True
+            if v == dst:
+                break
+            for k in range(n):
+                if not visited[k] and not marked[k] and graph[v][k]:
+                    parent[k] = v
+                    q.append(k)
+                    marked[k] = True
+        if parent[dst] == -1:
+            return None
+        labels = []
+        v = dst
+        while v != src:
+            p = parent[v]
+            labels.append(graph[p][v])
+            v = p
+        labels.reverse()
+        return labels
+
+    def get_reachables(toks, dom, edges, targets, index, visited,
+                       domain_specific):
+        if visited[index]:
+            return
+        visited[index] = True
+        if domain_specific and "PROTEIN" in toks[index]:
+            targets.add(index)
+        if not domain_specific and dom[index] is not None:
+            domain_specific = True
+        for (reln, gov, dep) in edges:
+            if gov == index and re.fullmatch(REACH, reln):
+                get_reachables(toks, dom, edges, targets, dep, visited,
+                               domain_specific)
+
+    def reference_rule3(toks, pos, dom, edges):
+        n = len(toks)
+        out = set()
+        domain_term_pos = -1
+        for i in range(n):
+            if (i - domain_term_pos) < 5 and "PROTEIN" in toks[i]:
+                for j in range(i + 1, n):
+                    if "PROTEIN" in toks[j]:
+                        pl = get_path_as_list(edges, n, i, j)
+                        if pl:
+                            for k in range(1, len(pl)):
+                                if re.fullmatch("-?prep_between", pl[k]) and \
+                                   re.fullmatch("-?prep_between", pl[k - 1]):
+                                    out.add((i, j))
+                                    break
+            if dom[i] is not None:
+                domain_term_pos = i
+        for i in range(n):
+            if pos[i].startswith("N") and dom[i] is not None:
+                reach = set()
+                get_reachables(toks, dom, edges, reach, i, [False] * n, True)
+                for a in reach:
+                    for b in reach:
+                        if a < b and i < a:
+                            out.add((a, b))
+        for (reln, gov, dep) in edges:
+            if reln == "partmod" and dom[dep] is not None:
+                tset, aset = set(), set()
+                get_reachables(toks, dom, edges, tset, dep, [False] * n, True)
+                get_reachables(toks, dom, edges, aset, gov, [False] * n, True)
+                for a in aset:
+                    for t in tset:
+                        if a < t:
+                            out.add((a, t))
+        return out
+
+    rng = random.Random(41)
+    relns = ["prep_between", "prep_of", "nn", "amod", "agent", "partmod",
+             "dobj", "nsubj", "prep_with"]
+    vocab = ["PROTEIN0", "PROTEIN1", "PROTEIN2", "binds", "x", "data"]
+    pos_of = {"PROTEIN0": "NN", "PROTEIN1": "NN", "PROTEIN2": "NN",
+              "binds": "VBZ", "x": "DT", "data": "NN"}
+    for _ in range(600):
+        n = rng.randint(2, 8)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        pos = [pos_of[w] for w in toks]
+        dom = ["bind" if rng.random() < 0.3 else None for _ in range(n)]
+        used = set()
+        edges = []
+        for _ in range(rng.randint(0, 8)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b and (a, b) not in used:
+                used.add((a, b))
+                edges.append((rng.choice(relns), a, b))
+        s = Sent(toks, pos, dom)
+        got = rule3(s, DepGraph(edges))
+        exp = reference_rule3(toks, pos, dom, edges)
+        assert got == exp, (toks, pos, dom, edges, got, exp)
+
+
+def test_rule2_matches_verbatim_reference():
+    """Seeded fuzz: rule2 equals a verbatim transliteration of
+    RelexRule2 (java:21-122): prep-chain DFS from seed dependents,
+    NN-NN edge endpoints expanded via NP entities, and the
+    isDomainSpecific quirk that indexes the sentence by PATH position
+    in its else-branch (java:115)."""
+    import random
+    import re
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule2
+
+    PREP = re.compile(r"prep_(of|by|to|on|for|in|through|with)")
+    NP = re.compile(r"nn|amod|advmod")
+
+    def gov_deps(edges, gov, pat):
+        return [e for e in edges if e[1] == gov and pat.fullmatch(e[0])]
+
+    def add_path(gov, edges, cur, paths, pat, visited):
+        if visited[gov]:
+            return
+        visited[gov] = True
+        deps = gov_deps(edges, gov, pat)
+        if not deps:
+            paths.append(list(cur))
+        else:
+            for sd in deps:
+                cur.append(sd)
+                add_path(sd[2], edges, cur, paths, pat, visited)
+                cur.pop()
+        visited[gov] = False
+
+    def head_entity(head, toks, edges, pat):
+        reach = [head] + [e[2] for e in gov_deps(edges, head, pat)]
+        ent = -1
+        for p in reach:
+            if "PROTEIN" in toks[p] and p > ent:
+                ent = p
+        return ent
+
+    def entities_from_np(head, toks, edges, pat):
+        agents = []
+        agent = head_entity(head, toks, edges, pat)
+        if agent != -1:
+            agents.append(agent)
+            if agent != head:
+                for e in edges:
+                    if e[2] == agent and re.fullmatch("conj.*", e[0]):
+                        nxt = head_entity(e[1], toks, edges, pat)
+                        if nxt != -1:
+                            agents.append(nxt)
+        if not agents:
+            for e in gov_deps(edges, head, re.compile("appos")):
+                a = head_entity(e[2], toks, edges, pat)
+                if a != -1:
+                    agents.append(a)
+        return agents
+
+    def np_chunk(p, edges):
+        lo = hi = p
+        for (reln, gov, dep) in edges:
+            if re.fullmatch("nn|amod|advmod", reln) and (gov == p or dep == p):
+                lo = min(lo, gov, dep)
+                hi = max(hi, gov, dep)
+        return lo, hi
+
+    def is_domain_specific(toks, pos, dom, edges, path):
+        for i, (reln, gov, dep) in enumerate(path):
+            if pos[gov].startswith("N"):
+                lo, hi = np_chunk(gov, edges)
+                for j in range(lo, hi + 1):
+                    if dom[j] is not None:
+                        return True
+            elif i < len(toks) and dom[i] is not None:  # path-index quirk
+                return True
+        return False
+
+    def reference_rule2(toks, pos, dom, edges):
+        n = len(toks)
+        paths = []
+        for seed in edges:
+            if PREP.fullmatch(seed[0]):
+                add_path(seed[2], edges, [seed], paths, PREP, [False] * n)
+        out = set()
+        for path in paths:
+            for i, (reln, gov, dep) in enumerate(path):
+                if not pos[gov].startswith("NN") or \
+                        not pos[dep].startswith("NN"):
+                    continue
+                agents = set(entities_from_np(gov, toks, edges, NP))
+                targets = set(entities_from_np(dep, toks, edges, NP))
+                if not agents or not targets:
+                    continue
+                if not is_domain_specific(toks, pos, dom, edges,
+                                          path[:i + 1]):
+                    continue
+                for a in agents:
+                    for t in targets:
+                        out.add((a, t) if a < t else (t, a))
+        return out
+
+    rng = random.Random(53)
+    relns = ["prep_of", "prep_with", "prep_by", "nn", "amod", "advmod",
+             "conj_and", "appos", "dobj"]
+    vocab = ["PROTEIN0", "PROTEIN1", "PROTEIN2", "binds", "x", "data"]
+    pos_of = {"PROTEIN0": "NN", "PROTEIN1": "NN", "PROTEIN2": "NNS",
+              "binds": "VBZ", "x": "DT", "data": "NN"}
+    for _ in range(600):
+        n = rng.randint(2, 8)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        pos = [pos_of[w] for w in toks]
+        dom = ["bind" if rng.random() < 0.3 else None for _ in range(n)]
+        edges = []
+        for _ in range(rng.randint(0, 8)):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a != b:
+                edges.append((rng.choice(relns), a, b))
+        s = Sent(toks, pos, dom)
+        got = rule2(s, DepGraph(edges))
+        exp = reference_rule2(toks, pos, dom, edges)
+        assert got == exp, (toks, pos, dom, edges, got, exp)
