@@ -617,7 +617,77 @@ def q_kg_rule2b_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "sent_id int, e1 int, e2 int"))
 
 
-@gate("kg_triples")  # rule engine — pytest-oracled, rows-only here
+def _eligible_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation rows for extraction-eligible sentences (the pipeline's
+    trivial-skip + mention-flood guards) — the population the rule-chain
+    DuckDB oracles (nlp_lib_spark/oracles.py) cover."""
+    from pyspark.sql import functions as F
+    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
+                         TESTDATA_CONFIG)
+    return ann.filter(
+        (F.col("entity_count") >= 2)
+        & (F.col("entity_count") <= TESTDATA_CONFIG.max_mentions))
+
+
+def _rule_pair_gate(rule_fn_name: str):
+    """Spark side of a single-rule pair gate: run one RelexRule kernel per
+    eligible sentence inside Arrow batches."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from collections.abc import Iterator as _It
+
+        import pandas as pd
+
+        from nlp_lib_spark.kernels import rules as R
+        from nlp_lib_spark.kernels.depgraph import DepGraph
+        from nlp_lib_spark.kernels.rules import Sent
+        rule_fn = getattr(R, rule_fn_name)
+
+        def fn(batches: "_It[pd.DataFrame]"):
+            for pdf in batches:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    dom = [d if d else None for d in r.domain]
+                    s = Sent(list(r.blinded), list(r.pos), dom)
+                    g = DepGraph([(e["reln"], int(e["gov"]), int(e["dep"]))
+                                  for e in r.edges])
+                    for (i, j) in sorted(rule_fn(s, g)):
+                        rows.append((r.conv_id, int(r.turn_idx),
+                                     int(r.sent_id), i, j))
+                yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                                  "sent_id", "e1", "e2"])
+
+        return (_eligible_annotations(spark, sf_dir)
+                .select("conv_id", "turn_idx", "sent_id", "blinded", "pos",
+                        "domain", "edges")
+                .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                        "sent_id int, e1 int, e2 int"))
+
+    return q
+
+
+@gate("kg_dep_edges")  # oracle registered below (oracles.dep_edges_oracle_sql)
+def q_kg_dep_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The frozen dependency builder's distinct edge set per eligible
+    sentence — value-hash-verified against the SQL replica of
+    kernels/depparse.dep_parse."""
+    from pyspark.sql import functions as F
+    return (_eligible_annotations(spark, sf_dir)
+            .select("conv_id", "turn_idx", "sent_id",
+                    F.explode("edges").alias("e"))
+            .select("conv_id", "turn_idx", "sent_id",
+                    F.col("e.reln").alias("reln"),
+                    F.col("e.gov").alias("gov"),
+                    F.col("e.dep").alias("dep"))
+            .distinct())
+
+
+QUERIES["kg_rule1_pairs"] = _rule_pair_gate("rule1")
+QUERIES["kg_rule2_pairs"] = _rule_pair_gate("rule2")
+QUERIES["kg_rule3_pairs"] = _rule_pair_gate("rule3")
+
+
+@gate("kg_triples")  # oracle registered below (oracles.triples_oracle_sql)
 def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = transcripts(spark, sf_dir, with_ts=False)
     return extract_triples(t, TESTDATA_CONFIG)
@@ -798,12 +868,13 @@ def q_kg_entity_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_spans(annotate_turns(t, TESTDATA_CONFIG))
 
 
-@gate("kg_triple_counts")  # aggregation over rule output — rows-only
+@gate("kg_triple_counts")  # oracle registered below (GROUP BY over triples)
 def q_kg_triple_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     t = transcripts(spark, sf_dir, with_ts=False)
     return (extract_triples(t, TESTDATA_CONFIG)
-            .groupBy("pred").count().orderBy(F.desc("count"), "pred"))
+            .groupBy("pred").agg(F.count(F.lit(1)).alias("n_triples"))
+            .orderBy(F.desc("n_triples"), "pred"))
 
 
 # --------------------------------------------------------------------------
@@ -1527,12 +1598,33 @@ SELECT l_returnflag,
        sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) AS tp,
        sum(CASE WHEN l_discount > 0.05 AND l_quantity <= 25 THEN 1 ELSE 0 END) AS fp,
        sum(CASE WHEN l_discount <= 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) AS fn,
-       CAST(round(sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) * 1.0
-             / nullif(sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS precision_,
-       CAST(round(sum(CASE WHEN l_discount > 0.05 AND l_quantity > 25 THEN 1 ELSE 0 END) * 1.0
-             / nullif(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END), 0), 4) AS DOUBLE) AS recall_
+       sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS pred_pos,
+       sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS actual_pos
 FROM lineitem GROUP BY l_returnflag
 """)
+
+# --------------------------------------------------------------------------
+# Rule-chain oracles (nlp_lib_spark/oracles.py): DuckDB SQL replicas of the
+# dep parser and the RunRelex rule union, registered here to close the
+# round-1 "no_oracle" gap on the flagship chain.
+# --------------------------------------------------------------------------
+
+def _register_rule_chain_oracles() -> None:
+    from nlp_lib_spark import oracles as O
+    ORACLES["kg_dep_edges"] = O.dep_edges_oracle_sql()
+    ORACLES["kg_rule1_pairs"] = O.rule1_pairs_oracle_sql()
+    ORACLES["kg_rule2_pairs"] = O.rule2_pairs_oracle_sql()
+    ORACLES["kg_rule3_pairs"] = O.rule3_pairs_oracle_sql()
+    ORACLES["kg_triples"] = O.triples_oracle_sql()
+    ORACLES["kg_triple_counts"] = (
+        "SELECT pred, count(*) AS n_triples FROM ("
+        + O.triples_oracle_sql() + ") t GROUP BY pred")
+    ORACLES["kg_wgp_triples"] = O.wgp_triples_oracle_sql()
+    ORACLES["kg_edges"] = O.kg_edges_oracle_sql()
+
+
+_register_rule_chain_oracles()
+
 
 @gate("topk_terms", oracle="""
 SELECT w AS term, count(*) AS freq FROM (

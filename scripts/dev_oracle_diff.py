@@ -1,0 +1,103 @@
+"""Dev harness: diff the DuckDB rule-chain oracle SQL against the pure-Python
+kernels, per sentence, at a given sf dir.
+
+Usage: python3 scripts/dev_oracle_diff.py [sf_dir] [what]
+  what in {deps, r1, r2, r2b, r3, union, triples} (default: deps)
+"""
+from __future__ import annotations
+
+import sys
+from collections import defaultdict
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from nlp_lib_spark.kernels.pipeline import annotate_sentence
+from nlp_lib_spark.kernels.depgraph import DepGraph
+from nlp_lib_spark.kernels.rules import (Sent, predict_interactions, rule1,
+                                         rule2, rule2b, rule3)
+from nlp_lib_spark.kernels.text import split_sentences, strip_citations
+from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+from nlp_lib_spark.operators.transcripts import transcripts_select_sql
+from nlp_lib_spark import oracles
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+what = sys.argv[2] if len(sys.argv) > 2 else "deps"
+
+con = duckdb.connect()
+con.execute(
+    f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')")
+rows = con.execute(transcripts_select_sql("documents", "duckdb", with_ts=False)
+                   ).fetchall()
+
+# ---- Python ground truth ----
+rt = TESTDATA_CONFIG.build()
+py: dict[tuple, set] = defaultdict(set)
+sent_text: dict[tuple, list[str]] = {}
+for conv_id, turn_idx, role, text, tool in rows:
+    if not text:
+        continue
+    for sid, sentence in enumerate(split_sentences(strip_citations(text))):
+        ann = annotate_sentence(rt, sentence)
+        if ann is None or not (2 <= ann["entity_count"] <= 64):
+            continue
+        key = (conv_id, turn_idx, sid)
+        sent_text[key] = ann["blinded"]
+        s = Sent(ann["blinded"], ann["pos"], ann["domain"])
+        g = DepGraph(ann["edges"])
+        if what == "deps":
+            py[key] = set(ann["edges"])
+        elif what == "r1":
+            py[key] = rule1(s, g)
+        elif what == "r2":
+            py[key] = rule2(s, g)
+        elif what == "r2b":
+            py[key] = rule2b(s, g)
+        elif what == "r3":
+            py[key] = rule3(s, g)
+        elif what == "union":
+            py[key] = predict_interactions(ann["blinded"], ann["pos"],
+                                           ann["domain"], ann["edges"])
+        elif what == "triples":
+            from nlp_lib_spark.kernels.pipeline import triples_for_sentence
+            for (i, j, subj, pred, obj) in triples_for_sentence(rt, sentence):
+                py[key].add((i, j, subj, pred, obj))
+
+# ---- SQL side ----
+if what == "deps":
+    sql = oracles.dep_edges_oracle_sql()
+elif what == "r1":
+    sql = oracles.rule1_pairs_oracle_sql()
+elif what == "r2":
+    sql = oracles.rule2_pairs_oracle_sql()
+elif what == "r2b":
+    sql = oracles.rules_sql_prefix() + oracles._pairs_select("r2b_pairs")
+elif what == "r3":
+    sql = oracles.rule3_pairs_oracle_sql()
+elif what == "union":
+    sql = oracles.union_pairs_oracle_sql()
+elif what == "triples":
+    sql = oracles.triples_oracle_sql()
+
+sq: dict[tuple, set] = defaultdict(set)
+for row in con.execute(sql).fetchall():
+    key = (row[0], row[1], row[2])
+    sq[key].add(tuple(row[3:]))
+
+# ---- diff ----
+nbad = 0
+allkeys = set(py) | set(sq)
+for key in sorted(allkeys):
+    p, s = py.get(key, set()), sq.get(key, set())
+    if p != s:
+        nbad += 1
+        if nbad <= 8:
+            print(f"DIFF {key}: tokens={sent_text.get(key)}")
+            print(f"  py-only:  {sorted(p - s)}")
+            print(f"  sql-only: {sorted(s - p)}")
+ntotal = len(allkeys)
+npy = sum(len(v) for v in py.values())
+nsq = sum(len(v) for v in sq.values())
+print(f"[{what}] sentences={ntotal} mismatched={nbad} py_items={npy} sql_items={nsq}")
+sys.exit(1 if nbad else 0)
