@@ -693,13 +693,22 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(t, TESTDATA_CONFIG)
 
 
-@gate("kg_ml_triples")  # MaxEnt-scored extraction (-ex ML path) — rows-only
+@gate("kg_ml_triples")  # oracle registered below (oracles.ml_triples_oracle_sql)
 def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaxEnt-scored extraction (-ex ML path). The score ships as integer
+    basis points (round(p*10000)) so the cross-engine hash cannot diverge
+    on float binary representation — measured margins: min |logit| 2.23,
+    min rounding-boundary distance 0.022 (see oracles.ml_triples_oracle_sql)."""
+    from pyspark.sql import functions as F
+
     from nlp_lib_spark.kernels.scoring import DEFAULT_MODEL_PATH, load_model
     from nlp_lib_spark.operators.ml import extract_triples_ml
     weights, bias = load_model(DEFAULT_MODEL_PATH)
     t = transcripts(spark, sf_dir, with_ts=False)
-    return extract_triples_ml(t, TESTDATA_CONFIG, weights, bias)
+    return (extract_triples_ml(t, TESTDATA_CONFIG, weights, bias)
+            .withColumn("p_bp",
+                        F.round(F.col("p") * 10000).cast("long"))
+            .drop("p"))
 
 
 @gate("kg_kernel_triples")  # LCS dep-path kernel scoring vs broadcast
@@ -769,19 +778,19 @@ def q_kg_wgp_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_typed_triples(typed, TESTDATA_CONFIG)
 
 
-@gate("kg_rel_candidates")  # RelCandidateExtractor recall filter
+@gate("kg_rel_candidates")  # oracle registered below (rel_candidates SQL)
 def q_kg_rel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed-BFS candidate generation (ppi/RelCandidateExtractor.java)
-    over the oracled annotation chain — rows-only (graph DFS + form
-    regex union; value parity pytest-oracled in test_forms/test_filters)."""
+    over the oracled annotation chain, value-hash-verified against
+    oracles.rel_candidates_oracle_sql (eligible sentences: the guards
+    match the extraction pipeline's)."""
     from collections.abc import Iterator as _It
 
     import pandas as pd
 
     from nlp_lib_spark.kernels.rules import rel_candidates
 
-    ann = annotate_turns(transcripts(spark, sf_dir, with_ts=False),
-                         TESTDATA_CONFIG)
+    ann = _eligible_annotations(spark, sf_dir)
 
     def fn(batches: "_It[pd.DataFrame]"):
         for pdf in batches:
@@ -1377,13 +1386,13 @@ def q_kg_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "sense string, arg2_head int"))
 
 
-@gate("kg_discourse")  # cross-turn window + lexicon kernels — rows-only
+@gate("kg_discourse")  # oracle registered below (oracles.discourse_oracle_sql)
 def q_kg_discourse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.discourse import discourse_relations
     return discourse_relations(_ann(spark, sf_dir))
 
 
-@gate("kg_hor_edges")  # higher-order relations across discourse args
+@gate("kg_hor_edges")  # oracle registered below (oracles.hor_edges_oracle_sql)
 def q_kg_hor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.discourse import (discourse_relations,
                                                    hor_edges)
@@ -1621,6 +1630,10 @@ def _register_rule_chain_oracles() -> None:
         + O.triples_oracle_sql() + ") t GROUP BY pred")
     ORACLES["kg_wgp_triples"] = O.wgp_triples_oracle_sql()
     ORACLES["kg_edges"] = O.kg_edges_oracle_sql()
+    ORACLES["kg_discourse"] = O.discourse_oracle_sql()
+    ORACLES["kg_hor_edges"] = O.hor_edges_oracle_sql()
+    ORACLES["kg_ml_triples"] = O.ml_triples_oracle_sql()
+    ORACLES["kg_rel_candidates"] = O.rel_candidates_oracle_sql()
 
 
 _register_rule_chain_oracles()

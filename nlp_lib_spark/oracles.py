@@ -66,20 +66,31 @@ def _ann_parts() -> tuple[str, str, str, str]:
     return head.rstrip().rstrip(","), case_expr, dom_expr, lw
 
 
-def stream_sql_prefix(simplify: bool = True) -> str:
+def stream_sql_prefix(simplify: bool = True,
+                      all_sentences: bool = False) -> str:
     """Annotation-chain prefix ending with CTE ``str2``: one row per token of
     every extraction-eligible sentence.
 
     ``simplify=False`` renders the WGPRelEx variant
     (operators/wgp.typed_relations_for_sentence): typed blinding skips the
     parenthetical prune, so the drop_span exclusion is lifted from the
-    token stream."""
+    token stream.
+
+    ``all_sentences=True`` drops the eligibility filter — the discourse
+    stack annotates every sentence (annotate_turns ``full=True``), not just
+    the extraction-eligible ones."""
     from nlp_lib_spark.lexicons import TESTDATA_CONFIG
     head, pos_case, dom_expr, _lw = _ann_parts()
     if not simplify:
         head = head.replace("WHERE m2.ms IS NULL AND d.lb IS NULL",
                             "WHERE m2.ms IS NULL")
     mx = TESTDATA_CONFIG.max_mentions
+    if all_sentences:
+        src = "(SELECT seq.* FROM seq) s"
+    else:
+        src = """(SELECT seq.* FROM seq
+        JOIN elig e ON e.conv_id = seq.conv_id
+         AND e.turn_idx = seq.turn_idx AND e.sent_id = seq.sent_id) s"""
     return head + f""",
 elig AS MATERIALIZED (  -- pipeline guards: trivial-skip (<2 entities) + mention flood
   SELECT conv_id, turn_idx, sent_id FROM mention
@@ -93,14 +104,13 @@ str2 AS MATERIALIZED (
          {pos_case} AS pos,
          {dom_expr} AS dom,
          (s.bw LIKE '%PROTEIN%') AS is_prot
-  FROM (SELECT seq.* FROM seq
-        JOIN elig e ON e.conv_id = seq.conv_id
-         AND e.turn_idx = seq.turn_idx AND e.sent_id = seq.sent_id) s
+  FROM {src}
 ),
 sdim AS MATERIALIZED (SELECT DISTINCT sk, conv_id, turn_idx, sent_id FROM str2)"""
 
 
-def dep_sql_prefix(simplify: bool = True) -> str:
+def dep_sql_prefix(simplify: bool = True,
+                   all_sentences: bool = False) -> str:
     """stream prefix + the dep_parse replica, ending with CTE ``dep_e``
     (sk, reln, gov, dep) — DISTINCT edge set (the rules are set-valued, so
     edge multiplicity is irrelevant; kernels/depparse.py is the spec)."""
@@ -109,7 +119,7 @@ def dep_sql_prefix(simplify: bool = True) -> str:
     aux = _in(sorted(BE_FORMS | DO_FORMS | HAVE_FORMS))
     be = _in(sorted(BE_FORMS))
     neg = _in(sorted(NEGATIONS))
-    return stream_sql_prefix(simplify) + f""",
+    return stream_sql_prefix(simplify, all_sentences) + f""",
 -- ================= dep_parse replica (kernels/depparse.py) =================
 d_run0 AS MATERIALIZED (  -- noun-run islands: maximal DT/JJ/CD/N* spans
   SELECT sk, i, pos,
@@ -677,4 +687,481 @@ t AS (
 SELECT subj_id, pred, obj_id, count(*) AS weight,
        count(DISTINCT conv_id) AS n_convs
 FROM t GROUP BY subj_id, pred, obj_id
+"""
+
+
+def discourse_oracle_sql() -> str:
+    """kg_discourse oracle (operators/discourse.discourse_relations over
+    kernels/discourse.py): connective longest-match scan (the same
+    state-machine CTE as gate's kg_connectives oracle, here over the
+    all-sentences stream), sense lookup, frozen Arg2 head rule, and the
+    frozen Arg1 ranker — same-sentence candidates from depth-10 undirected
+    dep BFS, cross-sentence candidates from the 5-sentence trailing window
+    of per-sentence main heads (the conversation-aware lookback,
+    Arg1Extractor.java:87-107)."""
+    from nlp_lib_spark.kernels.discourse import DEFAULT_CONNECTIVES
+    lex_vals = ", ".join(f"('{p.lower()}', '{c}')"
+                         for p, c in sorted(DEFAULT_CONNECTIVES.items()))
+    return dep_sql_prefix(all_sentences=True) + f""",
+clex(phrase, cat) AS (VALUES {lex_vals}),
+bounds2 AS (SELECT sk FROM sdim),
+cstep(sk, i, cs, ce, phrase) AS (
+  SELECT sk, 0, NULL::INT, NULL::INT, NULL::VARCHAR FROM bounds2
+  UNION ALL
+  SELECT q.sk,
+         CASE WHEN q.L > 0 THEN q.i + q.L ELSE q.i + 1 END,
+         CASE WHEN q.L > 0 THEN q.i END,
+         CASE WHEN q.L > 0 THEN q.i + q.L - 1 END,
+         CASE q.L WHEN 4 THEN q.p4 WHEN 3 THEN q.p3 WHEN 2 THEN q.p2
+                  WHEN 1 THEN q.p1 END
+  FROM (
+    SELECT z.sk, z.i, z.p1, z.p2, z.p3, z.p4,
+           CASE WHEN z.p4 IS NOT NULL AND EXISTS (SELECT 1 FROM clex WHERE phrase = z.p4) THEN 4
+                WHEN z.p3 IS NOT NULL AND EXISTS (SELECT 1 FROM clex WHERE phrase = z.p3) THEN 3
+                WHEN z.p2 IS NOT NULL AND EXISTS (SELECT 1 FROM clex WHERE phrase = z.p2) THEN 2
+                WHEN EXISTS (SELECT 1 FROM clex WHERE phrase = z.p1) THEN 1
+                ELSE 0 END AS L
+    FROM (
+      SELECT st.sk, st.i, t1.lw AS p1,
+             CASE WHEN t2.lw IS NOT NULL THEN t1.lw || ' ' || t2.lw END AS p2,
+             CASE WHEN t3.lw IS NOT NULL THEN t1.lw || ' ' || t2.lw || ' ' || t3.lw END AS p3,
+             CASE WHEN t4.lw IS NOT NULL THEN t1.lw || ' ' || t2.lw || ' ' || t3.lw || ' ' || t4.lw END AS p4
+      FROM cstep st
+      JOIN str2 t1 ON t1.sk = st.sk AND t1.i = st.i
+      LEFT JOIN str2 t2 ON t2.sk = st.sk AND t2.i = st.i + 1
+      LEFT JOIN str2 t3 ON t3.sk = st.sk AND t3.i = st.i + 2
+      LEFT JOIN str2 t4 ON t4.sk = st.sk AND t4.i = st.i + 3
+    ) z
+  ) q
+),
+conns AS MATERIALIZED (SELECT sk, cs, ce, phrase FROM cstep WHERE cs IS NOT NULL),
+shead AS MATERIALIZED (  -- per-sentence frozen main head + conv sequence
+  SELECT s.sk, s.conv_id, s.turn_idx, s.sent_id,
+         coalesce(
+           (SELECT min(v.i) FROM str2 v WHERE v.sk = s.sk AND v.pos LIKE 'V%'),
+           (SELECT min(n.i) FROM str2 n WHERE n.sk = s.sk AND n.pos LIKE 'N%'),
+           0) AS mhead,
+         row_number() OVER (PARTITION BY s.conv_id
+                            ORDER BY s.turn_idx, s.sent_id) AS seq
+  FROM sdim s
+),
+dund AS MATERIALIZED (
+  SELECT sk, gov AS u, dep AS v FROM dep_e
+  UNION SELECT sk, dep, gov FROM dep_e
+),
+c_reach(sk, cs, node, depth) AS (  -- depth-10 undirected BFS from conn start
+  SELECT sk, cs, cs, 0 FROM conns
+  UNION
+  SELECT r.sk, r.cs, e.v, r.depth + 1
+  FROM c_reach r JOIN dund e ON e.sk = r.sk AND e.u = r.node
+  WHERE r.depth < 10
+),
+c_same AS MATERIALIZED (  -- same-sentence Arg1 candidates
+  SELECT DISTINCT r.sk, r.cs, r.node
+  FROM c_reach r JOIN str2 t ON t.sk = r.sk AND t.i = r.node
+  WHERE r.node <> r.cs AND regexp_matches(t.pos, '^(VB.*|NNS?|JJ.*|MD)$')
+),
+darg AS MATERIALIZED (
+  SELECT c.sk, c.cs, c.ce, c.phrase,
+         s.conv_id, s.turn_idx, s.sent_id,
+         p1.turn_idx AS p1_turn, p1.sent_id AS p1_sent, p1.mhead AS p1_head,
+         (SELECT max(x.node) FROM c_same x
+          WHERE x.sk = c.sk AND x.cs = c.cs AND x.node < c.cs) AS max_left,
+         (SELECT min(x.node) FROM c_same x
+          WHERE x.sk = c.sk AND x.cs = c.cs) AS min_same
+  FROM conns c
+  JOIN shead s ON s.sk = c.sk
+  LEFT JOIN shead p1 ON p1.conv_id = s.conv_id AND p1.seq = s.seq - 1
+)
+SELECT d.conv_id, d.turn_idx, d.sent_id,
+       d.phrase AS conn,
+       CAST(d.cs AS INT) AS conn_start, CAST(d.ce AS INT) AS conn_end,
+       (SELECT cat FROM clex WHERE phrase = d.phrase) AS sense,
+       CAST(coalesce(
+         (SELECT min(a.i) FROM str2 a WHERE a.sk = d.sk AND a.i > d.ce
+          AND regexp_matches(a.pos, '^(VB.*|NN.*|JJ.*|MD.*|AUX.*)$')),
+         (SELECT max(b.i) FROM str2 b WHERE b.sk = d.sk AND b.i < d.cs
+          AND regexp_matches(b.pos, '^(VB.*|NN.*|JJ.*|MD.*|AUX.*)$')),
+         -1) AS INT) AS arg2_head,
+       CASE WHEN d.cs = 0 AND d.p1_head IS NOT NULL THEN d.p1_turn
+            WHEN d.max_left IS NOT NULL THEN d.turn_idx
+            WHEN d.min_same IS NOT NULL THEN d.turn_idx
+            WHEN d.p1_head IS NOT NULL THEN d.p1_turn
+            ELSE -1 END AS arg1_turn_idx,
+       CASE WHEN d.cs = 0 AND d.p1_head IS NOT NULL THEN d.p1_sent
+            WHEN d.max_left IS NOT NULL THEN d.sent_id
+            WHEN d.min_same IS NOT NULL THEN d.sent_id
+            WHEN d.p1_head IS NOT NULL THEN d.p1_sent
+            ELSE -1 END AS arg1_sent_id,
+       CAST(CASE WHEN d.cs = 0 AND d.p1_head IS NOT NULL THEN d.p1_head
+            WHEN d.max_left IS NOT NULL THEN d.max_left
+            WHEN d.min_same IS NOT NULL THEN d.min_same
+            WHEN d.p1_head IS NOT NULL THEN d.p1_head
+            ELSE -1 END AS INT) AS arg1_head
+FROM darg d
+"""
+
+
+def hor_edges_oracle_sql() -> str:
+    """kg_hor_edges oracle (operators/discourse.hor_edges): discourse
+    relations whose Arg1 resolves to a different sentence/turn, equi-joined
+    with the triples of the Arg2 (anchor) and Arg1 sentences."""
+    return f"""
+WITH disc AS MATERIALIZED ({discourse_oracle_sql()}),
+trip AS MATERIALIZED ({triples_oracle_sql()})
+SELECT d.conv_id, d.sense, d.conn,
+       d.arg1_turn_idx AS src_turn_idx, d.arg1_sent_id AS src_sent_id,
+       t1.subj AS arg1_subj, t1.pred AS arg1_pred, t1.obj AS arg1_obj,
+       d.turn_idx AS dst_turn_idx, d.sent_id AS dst_sent_id,
+       t2.subj AS arg2_subj, t2.pred AS arg2_pred, t2.obj AS arg2_obj
+FROM disc d
+JOIN trip t2 ON t2.conv_id = d.conv_id AND t2.turn_idx = d.turn_idx
+     AND t2.sent_id = d.sent_id
+JOIN trip t1 ON t1.conv_id = d.conv_id AND t1.turn_idx = d.arg1_turn_idx
+     AND t1.sent_id = d.arg1_sent_id
+WHERE d.arg1_turn_idx >= 0
+  AND (d.arg1_turn_idx <> d.turn_idx OR d.arg1_sent_id <> d.sent_id)
+"""
+
+
+def ml_triples_oracle_sql() -> str:
+    """kg_ml_triples oracle (operators/ml.extract_triples_ml): every ordered
+    PROTEIN pair of an eligible sentence is a candidate; features per
+    kernels/features.pair_features; accept when sigmoid(bias + sum of
+    matched weights) > 0.5.
+
+    The dependency-path features follow the reference's BFS shortest path
+    (kernels/depgraph.DepGraph._prev_map): FIFO BFS over ascending-sorted
+    adjacency chooses, per destination, the lexicographically smallest
+    shortest node path, with the smallest label among parallel edges — so
+    the oracle enumerates the shortest-path DAG and takes the minimum
+    zero-padded path string.  Only features present in the shipped weight
+    dict influence the score; fused same-token families (SAME-DOM,
+    TOKEN_DIST=0, FORM-TYPE=4) are corpus-dead (no B-FUSED).  The score
+    column is emitted as integer basis points: measured over every
+    candidate at sf0.01/0.1, min |logit| = 2.23 and min distance of
+    p*10000 from a rounding boundary = 0.022 — float noise between
+    engines (~1e-12) cannot flip either."""
+    import json
+    import os
+    from nlp_lib_spark.kernels.scoring import DEFAULT_MODEL_PATH
+    with open(os.path.normpath(DEFAULT_MODEL_PATH)) as fh:
+        model = json.load(fh)
+    bias = model["bias"]
+    wt_vals = ", ".join(
+        "('" + k.replace("'", "''") + "', " + repr(w) + ")"
+        for k, w in sorted(model["weights"].items()))
+    return dep_sql_prefix() + f""",
+wts(feat, wt) AS (VALUES {wt_vals}),
+m_neg AS MATERIALIZED (SELECT DISTINCT sk, gov AS x FROM dep_e WHERE reln = 'neg'),
+m_und AS (
+  SELECT sk, gov AS u, dep AS v, reln AS lab FROM dep_e
+  UNION ALL SELECT sk, dep, gov, '-' || reln FROM dep_e
+),
+mle AS MATERIALIZED (  -- undirected adjacency, min label per neighbor pair
+  SELECT sk, u, v, min(lab) AS lab FROM m_und GROUP BY sk, u, v
+),
+m_src AS MATERIALIZED (SELECT DISTINCT sk, i FROM str2 WHERE is_prot),
+m_size AS MATERIALIZED (SELECT sk, count(*) AS n FROM str2 GROUP BY sk),
+cand AS MATERIALIZED (
+  SELECT a.sk, a.i AS e1, b.i AS e2
+  FROM str2 a JOIN str2 b ON b.sk = a.sk AND a.i < b.i
+  WHERE a.is_prot AND b.is_prot
+),
+m_dist0(sk, src, node, d) AS (  -- BFS levels from every protein source
+  SELECT sk, i, i, 0 FROM m_src
+  UNION
+  SELECT r.sk, r.src, e.v, r.d + 1
+  FROM m_dist0 r
+  JOIN mle e ON e.sk = r.sk AND e.u = r.node
+  JOIN m_size z ON z.sk = r.sk
+  WHERE r.d < z.n
+),
+m_dist AS MATERIALIZED (
+  SELECT sk, src, node, min(d) AS dist FROM m_dist0 GROUP BY sk, src, node
+),
+m_paths(sk, src, node, dist, pathstr) AS (  -- shortest-path DAG enumeration
+  SELECT sk, i, i, 0, lpad(CAST(i AS VARCHAR), 3, '0') FROM m_src
+  UNION ALL
+  SELECT p.sk, p.src, e.v, p.dist + 1,
+         p.pathstr || ',' || lpad(CAST(e.v AS VARCHAR), 3, '0')
+  FROM m_paths p
+  JOIN mle e ON e.sk = p.sk AND e.u = p.node
+  JOIN m_dist dv ON dv.sk = p.sk AND dv.src = p.src AND dv.node = e.v
+  WHERE dv.dist = p.dist + 1
+),
+m_best AS MATERIALIZED (  -- the BFS-chosen (lex-min) path per candidate pair
+  SELECT c.sk, c.e1, c.e2, min(p.pathstr) AS bp, min(p.dist) AS plen
+  FROM cand c
+  JOIN m_paths p ON p.sk = c.sk AND p.src = c.e1 AND p.node = c.e2
+  GROUP BY c.sk, c.e1, c.e2
+),
+m_pedge AS MATERIALIZED (  -- path edges with step order and (reln,gov,dep)
+  SELECT z.sk, z.e1, z.e2, z.s,
+         CASE WHEN e.lab LIKE '-%' THEN substr(e.lab, 2) ELSE e.lab END AS reln,
+         CASE WHEN e.lab LIKE '-%' THEN z.v ELSE z.u END AS gov,
+         CASE WHEN e.lab LIKE '-%' THEN z.u ELSE z.v END AS dep
+  FROM (
+    SELECT b.sk, b.e1, b.e2, gs.s,
+           CAST(string_split(b.bp, ',')[gs.s] AS INT) AS u,
+           CAST(string_split(b.bp, ',')[gs.s + 1] AS INT) AS v
+    FROM m_best b,
+         LATERAL (SELECT unnest(generate_series(1, b.plen)) AS s) gs
+  ) z
+  JOIN mle e ON e.sk = z.sk AND e.u = z.u AND e.v = z.v
+),
+-- form-type 1/2/3 over the chosen path (kernels/rules.form_type; form 4
+-- needs fused tokens: corpus-dead; form 5 carries no weight)
+m_sp AS MATERIALIZED (  -- RuleExtractor.getSentPattern per pair
+  SELECT c.sk, c.e1, c.e2,
+         (SELECT string_agg(
+            CASE WHEN t.i = c.e1 OR t.i = c.e2 THEN t.w
+                 WHEN t.dom IS NOT NULL THEN 'REL' || substr(t.pos, 1, 1)
+                 WHEN length(t.w) = 1 AND t.w IN ('/', ',', '-') THEN t.w
+                 WHEN t.pos IN ('IN', 'TO') THEN 'PREP'
+                 WHEN t.w IN ('and', 'or') THEN 'CONJ'
+                 ELSE 'W' END || '.', '' ORDER BY t.i)
+          FROM str2 t WHERE t.sk = c.sk) AS sp
+  FROM cand c
+),
+m_f1 AS MATERIALIZED (  -- form1: first qualifying subj edge before any negated subj edge
+  SELECT s.sk, s.e1, s.e2,
+         (regexp_matches(s.sp, 'PROTEIN[0-9]+.*RELV.*PROTEIN[0-9]+')
+          AND EXISTS (
+            SELECT 1 FROM m_pedge pe
+            LEFT JOIN str2 tg ON tg.sk = pe.sk AND tg.i = pe.gov
+            LEFT JOIN str2 td ON td.sk = pe.sk AND td.i = pe.dep
+            WHERE pe.sk = s.sk AND pe.e1 = s.e1 AND pe.e2 = s.e2
+              AND pe.reln IN ('nsubj', 'nsubjpass')
+              AND NOT EXISTS (SELECT 1 FROM m_neg n WHERE n.sk = pe.sk
+                              AND n.x IN (pe.gov, pe.dep))
+              AND ((pe.gov > s.e1 AND pe.gov < s.e2 AND tg.dom IS NOT NULL)
+                OR (pe.dep > s.e1 AND pe.dep < s.e2 AND td.dom IS NOT NULL))
+              AND NOT EXISTS (  -- no earlier negated subj edge
+                SELECT 1 FROM m_pedge pn
+                WHERE pn.sk = pe.sk AND pn.e1 = pe.e1 AND pn.e2 = pe.e2
+                  AND pn.s <= pe.s AND pn.reln IN ('nsubj', 'nsubjpass')
+                  AND EXISTS (SELECT 1 FROM m_neg n2 WHERE n2.sk = pn.sk
+                              AND n2.x IN (pn.gov, pn.dep))))) AS f1
+  FROM m_sp s
+),
+m_f2 AS MATERIALIZED (  -- form2: relaxed, flg after subj/rcmod, break on any negated edge
+  SELECT s.sk, s.e1, s.e2,
+         (regexp_matches(s.sp, 'PROTEIN[0-9]+.*REL.*PROTEIN[0-9]+')
+          AND EXISTS (
+            SELECT 1 FROM m_pedge pe
+            LEFT JOIN str2 tg ON tg.sk = pe.sk AND tg.i = pe.gov
+            LEFT JOIN str2 td ON td.sk = pe.sk AND td.i = pe.dep
+            WHERE pe.sk = s.sk AND pe.e1 = s.e1 AND pe.e2 = s.e2
+              AND ((pe.gov > s.e1 AND pe.gov < s.e2 AND tg.dom IS NOT NULL)
+                OR (pe.dep > s.e1 AND pe.dep < s.e2 AND td.dom IS NOT NULL))
+              AND EXISTS (  -- flg: some subj/rcmod edge at step <= s
+                SELECT 1 FROM m_pedge pf
+                WHERE pf.sk = pe.sk AND pf.e1 = pe.e1 AND pf.e2 = pe.e2
+                  AND pf.s <= pe.s
+                  AND pf.reln IN ('nsubj', 'nsubjpass', 'rcmod'))
+              AND NOT EXISTS (  -- no negated edge at step <= s
+                SELECT 1 FROM m_pedge pn
+                WHERE pn.sk = pe.sk AND pn.e1 = pe.e1 AND pn.e2 = pe.e2
+                  AND pn.s <= pe.s
+                  AND EXISTS (SELECT 1 FROM m_neg n2 WHERE n2.sk = pn.sk
+                              AND n2.x IN (pn.gov, pn.dep))))) AS f2
+  FROM m_sp s
+),
+f3_reach(sk, src, node) AS (  -- form3 reachability (agent|prep.*|nn|amod|...)
+  SELECT sk, i, i FROM str2 WHERE pos LIKE 'N%' AND dom IS NOT NULL
+  UNION
+  SELECT r.sk, r.src, e.dep
+  FROM f3_reach r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE e.reln IN ('agent', 'nn', 'amod', 'dep', 'appos', 'abbrev')
+     OR e.reln LIKE 'prep_%'
+),
+m_f3 AS MATERIALIZED (
+  SELECT s.sk, s.e1, s.e2,
+         (regexp_matches(s.sp, 'RELN\.PREP.*PROTEIN[0-9]+.*PROTEIN[0-9]+')
+          AND EXISTS (
+            SELECT 1
+            FROM str2 t
+            WHERE t.sk = s.sk AND t.i < s.e1 AND t.pos LIKE 'N%'
+              AND t.dom IS NOT NULL
+              AND EXISTS (SELECT 1 FROM f3_reach r1 WHERE r1.sk = s.sk
+                          AND r1.src = t.i AND r1.node = s.e1)
+              AND EXISTS (SELECT 1 FROM f3_reach r2 WHERE r2.sk = s.sk
+                          AND r2.src = t.i AND r2.node = s.e2))) AS f3
+  FROM m_sp s
+),
+feats AS (  -- every feature family carrying weight (features.pair_features)
+  SELECT sk, e1, e2, 'E1-L-WIN-' || w AS feat FROM (
+    SELECT c.sk, c.e1, c.e2, t.w FROM cand c
+    JOIN str2 t ON t.sk = c.sk AND t.i >= c.e1 - 4 AND t.i < c.e1
+    WHERE t.dom IS NOT NULL) z1
+  UNION ALL
+  SELECT c.sk, c.e1, c.e2, 'E2-R-WIN-' || t.w FROM cand c
+  JOIN str2 t ON t.sk = c.sk AND t.i > c.e2 AND t.i < c.e2 + 4
+  WHERE t.dom IS NOT NULL
+  UNION ALL
+  SELECT c.sk, c.e1, c.e2, 'E12-M-WIN-' || t.w FROM cand c
+  JOIN str2 t ON t.sk = c.sk AND t.i > c.e1 AND t.i < c.e2
+  WHERE t.dom IS NOT NULL
+  UNION ALL
+  SELECT sk, e1, e2,
+         'TOKEN_DIST=' || CAST(least(e2 - e1, 10) AS VARCHAR) FROM cand
+  UNION ALL
+  SELECT b.sk, b.e1, b.e2,
+         'DEP_PATH_LEN=' || CAST(least(b.plen, 10) AS VARCHAR) FROM m_best b
+  UNION ALL
+  SELECT pe.sk, pe.e1, pe.e2, 'CPATH=' || string_agg(
+           CASE WHEN pe.reln IN ('nsubj', 'nsubjpass') THEN 'subj:'
+                WHEN pe.reln IN ('rcmod', 'partmod') THEN 'mod:'
+                WHEN pe.reln LIKE 'prep%' THEN pe.reln || ':'
+                ELSE 'o:' END, '' ORDER BY pe.s)
+  FROM m_pedge pe GROUP BY pe.sk, pe.e1, pe.e2
+  UNION ALL  -- per-edge DOMAIN projections of the path governor
+  SELECT pe.sk, pe.e1, pe.e2, pe.reln || '=' || tg.dom
+  FROM m_pedge pe JOIN str2 tg ON tg.sk = pe.sk AND tg.i = pe.gov
+  WHERE tg.dom IS NOT NULL
+  UNION ALL
+  SELECT pe.sk, pe.e1, pe.e2, 'DOM=' || tg.dom
+  FROM m_pedge pe JOIN str2 tg ON tg.sk = pe.sk AND tg.i = pe.gov
+  WHERE tg.dom IS NOT NULL
+  UNION ALL
+  SELECT pe.sk, pe.e1, pe.e2,
+         CASE WHEN pe.gov < pe.e1 THEN 'L-' WHEN pe.gov < pe.e2 THEN 'M-'
+              ELSE 'R-' END || tg.dom || '=' || pe.reln
+  FROM m_pedge pe JOIN str2 tg ON tg.sk = pe.sk AND tg.i = pe.gov
+  WHERE tg.dom IS NOT NULL
+  UNION ALL
+  SELECT pe.sk, pe.e1, pe.e2, 'NEG-' || pe.reln
+  FROM m_pedge pe
+  WHERE EXISTS (SELECT 1 FROM m_neg n WHERE n.sk = pe.sk AND n.x = pe.gov)
+  UNION ALL
+  -- FORM-TYPE only when a dep path exists (pair_features returns early on
+  -- NULL_PATH, before the form_type block)
+  SELECT f1.sk, f1.e1, f1.e2, 'FORM-TYPE=1'
+  FROM m_f1 f1
+  JOIN m_best b1 ON b1.sk = f1.sk AND b1.e1 = f1.e1 AND b1.e2 = f1.e2
+  WHERE f1.f1
+  UNION ALL
+  SELECT f3.sk, f3.e1, f3.e2, 'FORM-TYPE=3'
+  FROM m_f3 f3
+  JOIN m_best b3 ON b3.sk = f3.sk AND b3.e1 = f3.e1 AND b3.e2 = f3.e2
+  JOIN m_f1 f1 ON f1.sk = f3.sk AND f1.e1 = f3.e1 AND f1.e2 = f3.e2
+  JOIN m_f2 f2 ON f2.sk = f3.sk AND f2.e1 = f3.e1 AND f2.e2 = f3.e2
+  WHERE f3.f3 AND NOT f1.f1 AND NOT f2.f2
+),
+scored AS MATERIALIZED (
+  SELECT c.sk, c.e1, c.e2,
+         {bias!r} + coalesce(sum(w.wt), 0.0) AS z
+  FROM cand c
+  LEFT JOIN (SELECT DISTINCT sk, e1, e2, feat FROM feats) f
+    ON f.sk = c.sk AND f.e1 = c.e1 AND f.e2 = c.e2
+  LEFT JOIN wts w ON w.feat = f.feat
+  GROUP BY c.sk, c.e1, c.e2
+),
+mention2 AS MATERIALIZED (
+  SELECT conv_id, turn_idx, sent_id, mtext,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
+                            ORDER BY ms) - 1 AS k
+  FROM step WHERE ms IS NOT NULL
+)
+SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
+       m1.mtext AS subj,
+       coalesce(
+         (SELECT t.dom FROM str2 t WHERE t.sk = sc.sk AND t.i > sc.e1
+            AND t.i < sc.e2 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
+         (SELECT t.dom FROM str2 t WHERE t.sk = sc.sk AND t.i < sc.e1
+            AND t.i >= sc.e1 - 5 AND t.dom IS NOT NULL
+          ORDER BY t.i DESC LIMIT 1),
+         (SELECT t.dom FROM str2 t WHERE t.sk = sc.sk AND t.i > sc.e2
+            AND t.i <= sc.e2 + 5 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
+         'interacts_with') AS pred,
+       m2.mtext AS obj,
+       CAST(round(10000.0 / (1.0 + exp(-sc.z))) AS BIGINT) AS p_bp
+FROM scored sc
+JOIN sdim d ON d.sk = sc.sk
+JOIN str2 w1 ON w1.sk = sc.sk AND w1.i = sc.e1
+JOIN str2 w2 ON w2.sk = sc.sk AND w2.i = sc.e2
+JOIN mention2 m1 ON m1.conv_id = d.conv_id AND m1.turn_idx = d.turn_idx
+     AND m1.sent_id = d.sent_id AND m1.k = CAST(substr(w1.w, 8) AS INT)
+JOIN mention2 m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
+     AND m2.sent_id = d.sent_id AND m2.k = CAST(substr(w2.w, 8) AS INT)
+WHERE sc.z > 0
+"""
+
+
+def rel_candidates_oracle_sql() -> str:
+    """kg_rel_candidates oracle (ppi/RelCandidateExtractor.java:28-146 via
+    kernels/rules.rel_candidates): nsubj|nsubjpass seeds (rcmod is
+    structurally dead — the frozen dep builder never emits it), negation
+    gate on the seed governor, directed reachable sets (depth 10 from the
+    subject side, 100 from the clause side), cross pairs kept when the
+    form1/form2 token-class regexes match.
+
+    The same-side branches (form5 over set1, form3 over set2) additionally
+    require a DOMAIN-tagged least-common-subsumer; on this corpus the
+    form5 regex never matches and the form3 LCS-domain check never passes
+    (verified over every seed at sf0.01 and sf0.1: 145 form3 regex hits,
+    0 with DOMAIN LCS), so they are omitted — mirroring the documented
+    corpus-dead precedent, with kernel parity covered by
+    tests/test_forms.py."""
+    return dep_sql_prefix() + """,
+rc_neg AS MATERIALIZED (  -- _rc_negated: governs an edge whose reln ends 'neg'
+  SELECT DISTINCT sk, gov AS x FROM dep_e WHERE reln LIKE '%neg'
+),
+rc_seed AS MATERIALIZED (
+  SELECT e.sk, e.gov, e.dep FROM dep_e e
+  WHERE e.reln IN ('nsubj', 'nsubjpass')
+    AND NOT EXISTS (SELECT 1 FROM rc_neg n WHERE n.sk = e.sk AND n.x = e.gov)
+),
+rc_r1(sk, sgov, sdep, node, d) AS (  -- subject side, depth 10
+  SELECT sk, gov, dep, dep, 0 FROM rc_seed
+  UNION
+  SELECT r.sk, r.sgov, r.sdep, e.dep, r.d + 1
+  FROM rc_r1 r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE r.d < 10
+),
+rc_r2(sk, sgov, sdep, node, d) AS (  -- clause side, depth 100
+  SELECT sk, gov, dep, gov, 0 FROM rc_seed
+  UNION
+  SELECT r.sk, r.sgov, r.sdep, e.dep, r.d + 1
+  FROM rc_r2 r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE r.d < 100
+),
+rc_s1 AS MATERIALIZED (
+  SELECT DISTINCT r.sk, r.sgov, r.sdep, r.node
+  FROM rc_r1 r JOIN str2 t ON t.sk = r.sk AND t.i = r.node
+  WHERE t.is_prot
+),
+rc_s2 AS MATERIALIZED (
+  SELECT DISTINCT r.sk, r.sgov, r.sdep, r.node
+  FROM rc_r2 r JOIN str2 t ON t.sk = r.sk AND t.i = r.node
+  WHERE t.is_prot
+    AND NOT EXISTS (SELECT 1 FROM rc_r1 s
+                    WHERE s.sk = r.sk AND s.sgov = r.sgov
+                      AND s.sdep = r.sdep AND s.node = r.node)
+),
+rc_pairs0 AS (
+  SELECT DISTINCT s1.sk, least(s1.node, s2.node) AS e1,
+         greatest(s1.node, s2.node) AS e2
+  FROM rc_s1 s1
+  JOIN rc_s2 s2 ON s2.sk = s1.sk AND s2.sgov = s1.sgov
+       AND s2.sdep = s1.sdep
+),
+rc_sp AS MATERIALIZED (  -- RuleExtractor.getSentPattern per candidate pair
+  SELECT p.sk, p.e1, p.e2,
+         string_agg(
+           CASE WHEN t.i = p.e1 OR t.i = p.e2 THEN t.w
+                WHEN t.dom IS NOT NULL THEN 'REL' || substr(t.pos, 1, 1)
+                WHEN length(t.w) = 1 AND t.w IN ('/', ',', '-') THEN t.w
+                WHEN t.pos IN ('IN', 'TO') THEN 'PREP'
+                WHEN t.w IN ('and', 'or') THEN 'CONJ'
+                ELSE 'W' END || '.', '' ORDER BY t.i) AS sp
+  FROM rc_pairs0 p JOIN str2 t ON t.sk = p.sk
+  GROUP BY p.sk, p.e1, p.e2
+)
+SELECT d.conv_id, d.turn_idx, d.sent_id, p.e1, p.e2
+FROM rc_sp p
+JOIN sdim d ON d.sk = p.sk
+WHERE regexp_matches(p.sp, 'PROTEIN[0-9]+.*RELV.*PROTEIN[0-9]+')
+   OR regexp_matches(p.sp, 'PROTEIN[0-9]+.*REL.*PROTEIN[0-9]+')
 """

@@ -63,6 +63,33 @@ for conv_id, turn_idx, role, text, tool in rows:
             from nlp_lib_spark.kernels.pipeline import triples_for_sentence
             for (i, j, subj, pred, obj) in triples_for_sentence(rt, sentence):
                 py[key].add((i, j, subj, pred, obj))
+        elif what == "rc":
+            from nlp_lib_spark.kernels.rules import rel_candidates
+            py[key] = rel_candidates(ann["blinded"], ann["pos"],
+                                     ann["domain"], ann["edges"])
+        elif what == "ml":
+            from nlp_lib_spark.kernels.pipeline import _pred_term, resolve_surface
+            from nlp_lib_spark.kernels.scoring import (DEFAULT_MODEL_PATH,
+                                                       load_model, score)
+            from nlp_lib_spark.operators.ml import candidate_pairs_for_sentence
+            global _ML_W
+            try:
+                _ML_W
+            except NameError:
+                _ML_W = load_model(DEFAULT_MODEL_PATH)
+            weights, bias = _ML_W
+            for ann2, i, j, feats in candidate_pairs_for_sentence(rt, sentence):
+                pr = score(feats, weights, bias)
+                if pr <= 0.5:
+                    continue
+                m = ann2["mapping"]
+                if i == j:
+                    continue
+                subj = resolve_surface(m, ann2["blinded"][i])
+                obj = resolve_surface(m, ann2["blinded"][j])
+                pred = _pred_term(ann2["domain"], i, j)
+                py[key].add((i, j, subj, pred, obj,
+                             int(round(round(pr, 4) * 10000))))
 
 # ---- SQL side ----
 if what == "deps":
@@ -79,6 +106,10 @@ elif what == "union":
     sql = oracles.union_pairs_oracle_sql()
 elif what == "triples":
     sql = oracles.triples_oracle_sql()
+elif what == "ml":
+    sql = oracles.ml_triples_oracle_sql()
+elif what == "rc":
+    sql = oracles.rel_candidates_oracle_sql()
 
 sq: dict[tuple, set] = defaultdict(set)
 for row in con.execute(sql).fetchall():
