@@ -711,13 +711,16 @@ def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("p"))
 
 
-@gate("kg_kernel_triples")  # LCS dep-path kernel scoring vs broadcast
+@gate("kg_kernel_triples")  # oracle registered below (kernel closed-form SQL)
 def q_kg_kernel_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel-inspired scoring path (libsvm/LCSDepPathKernel.java
     runtime shape): candidates scored by best alignment against a
-    broadcast prototype set. The LCS dynamic program is not
-    SQL-expressible — rows-only check; value parity is pytest-oracled
-    (tests/test_kernelscore.py distribution-invariance test)."""
+    broadcast prototype set.  Value-hash-oracled: the prototype
+    backbones collapse the LCS dynamic program to a closed form (see
+    oracles.kernel_triples_oracle_sql); the score ships in integer
+    parts-per-million (measured 0.0556 min rounding-boundary margin)."""
+    from pyspark.sql import functions as F
+
     from nlp_lib_spark.operators.kernel_score import (build_prototypes,
                                                       extract_triples_kernel)
     protos = build_prototypes(TESTDATA_CONFIG, [
@@ -726,8 +729,11 @@ def q_kg_kernel_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the column regulates a row.",
     ])
     t = transcripts(spark, sf_dir, with_ts=False)
-    return extract_triples_kernel(t, TESTDATA_CONFIG, protos,
-                                  threshold=0.5)
+    return (extract_triples_kernel(t, TESTDATA_CONFIG, protos,
+                                   threshold=0.5)
+            .withColumn("score_ppm",
+                        F.round(F.col("score") * 1000000).cast("long"))
+            .drop("score"))
 
 
 @gate("kg_wgp_triples")  # WGPRelEx typed genotype/phenotype path
@@ -1041,16 +1047,64 @@ WITH g AS (
   FROM documents WHERE doc_id < 80
 )
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.grams, b.grams)) * 1.0 /
-             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))), 4) AS jac
+       CAST(round(len(list_intersect(a.grams, b.grams)) * 10000.0 /
+             (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))) AS BIGINT) AS jac_bp
 FROM g a JOIN g b ON a.doc_id < b.doc_id
 WHERE len(list_intersect(a.grams, b.grams)) * 1.0 /
-      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.2
+      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.02
 """)
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs. The driver corpus has no planted
+    near-dups at sf0.01, so the gate threshold sits at 0.02 (vs the
+    operator's 0.2 default) to keep the gate non-vacuous — it must
+    actually exercise the intersection/union math to verify anything.
+    Similarity ships as integer basis points (verified margin from a
+    rounding tie: 0.0075 across every sf)."""
     from nlp_lib_spark.operators.dedup import ngram_jaccard_pairs
+    from pyspark.sql import functions as F
     register_views(spark, sf_dir)
-    return ngram_jaccard_pairs(spark.table("documents"))
+    return (ngram_jaccard_pairs(spark.table("documents"), threshold=0.02)
+            .select("doc_a", "doc_b",
+                    F.round(F.col("jac") * 10000).cast("long")
+                    .alias("jac_bp")))
+
+
+@gate("media_features", oracle="""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       array_to_string(list_transform(generate_series(0, 15), k ->
+         (strpos('0123456789abcdef', substr(md5(text), 2*k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(md5(text), 2*k + 2, 1)) - 1
+       ), ',') AS feature_sig
+FROM documents
+""")
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing, driver-verified: documents become opaque
+    binary payloads (utf-8 bytes) with typed kind metadata; the
+    deterministic fake decode (operators/multimodal.extract_media_features,
+    the md5-derived feature path at the real codecs' plug seam) runs as
+    the Arrow mapInPandas operator, and the gate recovers the exact md5
+    feature bytes as a joined integer signature (floats never cross the
+    hash: each float feature decodes back to its generating byte via
+    round(x*128+128); scalar string because the driver's array-column
+    normalization is unspecified)."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    media = spark.sql("""
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       encode(text, 'UTF-8') AS payload
+FROM documents""")
+    return (extract_media_features(media, mode="fake")
+            .select("media_id", "kind", "n_bytes",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(round(x * 128 + 128) AS INT)), ',')")
+                    .alias("feature_sig")))
 
 
 @gate("token_counts", oracle="""
@@ -1634,6 +1688,7 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_hor_edges"] = O.hor_edges_oracle_sql()
     ORACLES["kg_ml_triples"] = O.ml_triples_oracle_sql()
     ORACLES["kg_rel_candidates"] = O.rel_candidates_oracle_sql()
+    ORACLES["kg_kernel_triples"] = O.kernel_triples_oracle_sql()
 
 
 _register_rule_chain_oracles()

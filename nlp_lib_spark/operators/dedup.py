@@ -82,13 +82,25 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text") -> DataFrame:
+                      text_col: str = "text",
+                      bucket_cap: int = 1000) -> DataFrame:
     """Near-dup candidate pairs via LSH banding (2 slots per band).
 
     Bands explode row-locally and candidate pairs are generated inside
     each bucket (groupBy band -> sorted id list -> pair explode) — no
     self-join, so the signature subtree computes once and the band table
-    shuffles once."""
+    shuffles once.
+
+    ``bucket_cap`` defuses degenerate buckets (a band value shared by a
+    flood of near-identical or empty documents would otherwise OOM the
+    collect buffer and explode quadratically): a ``row_number`` window
+    keeps the ``bucket_cap`` smallest ids per (band_idx, band_val)
+    BEFORE the collect, bounding both memory and pair count at cap^2.
+    The cap sits far above organic bucket sizes, so on non-adversarial
+    data the output is identical; for a truncated bucket the kept-id
+    pairs are still emitted (a bounded-recall candidate cut, the
+    standard LSH posture at scale)."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
     sig = minhash_signatures(df, id_col, text_col)
     band_structs = ", ".join(
@@ -97,7 +109,10 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     bands = sig.select(
         id_col, F.expr(f"explode(array({band_structs}))").alias("b")
     ).select(id_col, "b.band_idx", "b.band_val")
-    buckets = (bands.groupBy("band_idx", "band_val")
+    w = Window.partitionBy("band_idx", "band_val").orderBy(id_col)
+    capped = (bands.withColumn("__rn", F.row_number().over(w))
+              .filter(F.col("__rn") <= bucket_cap).drop("__rn"))
+    buckets = (capped.groupBy("band_idx", "band_val")
                .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
                .filter(F.size("ids") > 1))
     pairs = buckets.select(F.explode(F.expr(

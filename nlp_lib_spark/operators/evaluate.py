@@ -62,9 +62,26 @@ def rule_eval(iob: DataFrame, deps: DataFrame,
     gold = gold_pairs(iob).filter(F.col("label") == 1) \
                           .select("doc_id", "sent_id", "e1", "e2")
     key = ["doc_id", "sent_id", "e1", "e2"]
-    tp = pred.join(gold, key, "inner").count()
-    fp = pred.join(gold, key, "left_anti").count()
-    fn = gold.join(pred, key, "left_anti").count()
+    # ONE action: a full-outer join + single agg, so the expensive
+    # rule_predictions mapInPandas chain runs exactly once (the previous
+    # three .count() actions recomputed it per action — at corpus scale
+    # that tripled the eval cost).
+    p = pred.withColumn("__p", F.lit(1))
+    g = gold.withColumn("__g", F.lit(1))
+    row = (p.join(g, key, "full_outer")
+           .agg(F.sum(F.when(F.col("__p").isNotNull()
+                             & F.col("__g").isNotNull(), 1)
+                      .otherwise(0)).alias("tp"),
+                F.sum(F.when(F.col("__p").isNotNull()
+                             & F.col("__g").isNull(), 1)
+                      .otherwise(0)).alias("fp"),
+                F.sum(F.when(F.col("__p").isNull()
+                             & F.col("__g").isNotNull(), 1)
+                      .otherwise(0)).alias("fn"))
+           .first())
+    tp = int(row["tp"] or 0)
+    fp = int(row["fp"] or 0)
+    fn = int(row["fn"] or 0)
     precision = tp / max(1, tp + fp)
     recall = tp / max(1, tp + fn)
     f1 = (2 * precision * recall / (precision + recall)
@@ -176,3 +193,76 @@ def cross_corpus_eval(train_x: list[list[str]], train_y: list[int],
         elif not pred and label:
             fn += 1
     return _prf(tp, fp, fn)
+
+
+# --------------------------------------------------------------------------
+# Train-time utilities: hyperparameter grid search + seeded shuffle
+# (ppi/filter/GridSearch.java:27-71, ppi/MLExtractor.shuffle:154-165)
+# --------------------------------------------------------------------------
+
+def grid_search_c(x: list[list[str]], y: list[int], n_folds: int = 5,
+                  start: int = -5, end: int = 15, step: int = 2) -> float:
+    """Grid search over C = 2^i (GridSearch.search, java:30-44): for each
+    C run the contiguous n-fold CV of GridSearch.evaluate (java:46-71)
+    and return the C with the best mean F-score (strict >, so the first
+    best wins on ties — replicated).
+
+    The reference trains an SVM per cell; this engine's runtime model is
+    the logistic scorer, so C regularizes as l2 = 1/C.  Driver-side by
+    design: the grid is tiny and training corpora are corpus-scale-small
+    (SURVEY §3.2); featurization upstream stays distributed.
+    """
+    from nlp_lib_spark.kernels.scoring import score, train_logreg
+    size = len(y)
+    chunk = size // n_folds
+    best_f, best_c = 0.0, 0.0
+    for i in range(start, end + 1, step):
+        c = 2.0 ** i
+        total_f = 0.0
+        begin, stop = 0, chunk - 1
+        for _fold in range(n_folds):
+            tr_x = x[:begin] + x[stop + 1:]
+            tr_y = y[:begin] + y[stop + 1:]
+            te_x = x[begin:stop + 1]
+            te_y = y[begin:stop + 1]
+            w, b = train_logreg(tr_x, tr_y, l2=1.0 / c)
+            tp = fp = fn = 0
+            for feats, label in zip(te_x, te_y):
+                pred = score(feats, w, b) > 0.5
+                if pred and label:
+                    tp += 1
+                elif pred and not label:
+                    fp += 1
+                elif not pred and label:
+                    fn += 1
+            p = tp / (tp + fp) if tp + fp else 0.0
+            r = tp / (tp + fn) if tp + fn else 0.0
+            total_f += (2 * p * r / (p + r)) if p + r else 0.0
+            begin = stop + 1
+            stop = min(begin + chunk - 1, size - 1)
+        mean_f = total_f / n_folds
+        if mean_f > best_f:
+            best_f, best_c = mean_f, c
+    return best_c
+
+
+def fisher_yates(items: list, seed: int) -> list:
+    """Seeded Fisher-Yates (MLExtractor.shuffle, java:154-165 — the
+    reference runs it unseeded; determinism is this engine's contract)."""
+    import random
+    rng = random.Random(seed)
+    out = list(items)
+    n = len(out)
+    for i in range(n - 1):
+        r = rng.randrange(i, n)
+        if r != i:
+            out[i], out[r] = out[r], out[i]
+    return out
+
+
+def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
+    """Distributed analogue of the doc-id shuffle before fold splitting:
+    a deterministic random order via ``orderBy(rand(seed))`` (SURVEY
+    §2.8).  Train-time only — a full sort at extraction scale would be a
+    needless global shuffle."""
+    return df.orderBy(F.rand(seed), *df.columns[:1])

@@ -49,10 +49,22 @@ def salted_agg(df: DataFrame, key_cols: list[str],
 
 def capped_collect(df: DataFrame, key_cols: list[str], value_col: str,
                    cap: int = 10000) -> DataFrame:
-    """groupBy key -> sorted list of values truncated at ``cap`` + flag."""
-    out = (df.groupBy(*key_cols)
+    """groupBy key -> sorted list of values truncated at ``cap`` + flag.
+
+    The cap is enforced BEFORE ``collect_list``: a ``row_number`` window
+    (spillable sort) keeps only the ``cap`` smallest values per key, so a
+    hot key never materializes an unbounded aggregation buffer — the
+    post-hoc ``slice`` of the naive version truncates only after the full
+    list already sat in executor memory.  ``n_total`` comes from an
+    unordered count window in the same shuffle; the groupBy reuses the
+    window's hash partitioning, so the whole operator is one exchange."""
+    from pyspark.sql import Window
+    wk = Window.partitionBy(*key_cols)
+    out = (df
+           .withColumn("__rn", F.row_number().over(wk.orderBy(value_col)))
+           .withColumn("__n", F.count(F.lit(1)).over(wk))
+           .filter(F.col("__rn") <= cap)
+           .groupBy(*key_cols)
            .agg(F.sort_array(F.collect_list(value_col)).alias("values"),
-                F.count(F.lit(1)).alias("n_total")))
-    return (out
-            .withColumn("truncated", F.col("n_total") > F.lit(cap))
-            .withColumn("values", F.slice("values", 1, cap)))
+                F.first("__n").alias("n_total")))
+    return out.withColumn("truncated", F.col("n_total") > F.lit(cap))

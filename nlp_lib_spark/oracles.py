@@ -1165,3 +1165,222 @@ JOIN sdim d ON d.sk = p.sk
 WHERE regexp_matches(p.sp, 'PROTEIN[0-9]+.*RELV.*PROTEIN[0-9]+')
    OR regexp_matches(p.sp, 'PROTEIN[0-9]+.*REL.*PROTEIN[0-9]+')
 """
+
+
+def kernel_triples_oracle_sql() -> str:
+    """kg_kernel_triples oracle (operators/kernel_score.extract_triples_kernel
+    over kernels/kernelscore.py): every protein pair scored by its best
+    LCS-dep-path alignment against the broadcast prototype set, accepted at
+    score >= 0.5.
+
+    SQL-expressibility rests on measured structure (sf0.01 + sf0.1, every
+    candidate):
+
+    * the LCS (first common ancestor in BFS order over the conj-skipped
+      upward closure) is ALWAYS the unique minimum-depth common ancestor —
+      zero depth ties — so the oracle picks min (depth, node);
+    * the getLCS2 DOMAIN-governor promotion and the undirected no-LCS
+      fallback of backbone_path never fire (lcs = -1 occurs only for
+      disconnected pairs, which score 0 and are never emitted), and no
+      half-path is missing;
+    * every prototype backbone is the 5-item [e, -nsubj, verb, dobj, e]
+      shape, so the parity-locked LCS dynamic program collapses to a
+      closed form: max over aligned (reln, word, reln) position triples
+      a < b < c plus the two non-extendable boundary singletons (last
+      reln vs '-nsubj' matched to slot 1; first reln vs 'dobj' matched to
+      slot 3) — verified identical to the full DP on every candidate;
+    * directed half-paths replicate SimpleDepGraph's ascending-neighbor
+      BFS as the lexicographically minimal shortest directed path;
+    * the score is emitted in integer parts-per-million: exact-0.5
+      acceptances are pure rationals (m=5: c/18), and the minimum
+      distance of s*1e6 from a rounding boundary is 0.0556 — far above
+      cross-engine pow()/division noise.
+    """
+    from nlp_lib_spark.gate import _sql_set, _stem_sql
+    from nlp_lib_spark.kernels.stem import stem
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.kernel_score import build_prototypes
+    protos = build_prototypes(TESTDATA_CONFIG, [
+        "the spark activates the table.",
+        "a vector binds the stream.",
+        "the column regulates a row.",
+    ])
+    cases = []
+    for p in protos:
+        path = p["path"]
+        assert len(path) == 5, path
+        toks, pos, dom = p["ctx"]
+        widx = int(path[2])
+        assert dom[widx] is not None
+        r1, r3 = path[1], path[3]
+        assert r1 == "-nsubj" and r3 == "dobj", path
+        cases.append((stem(toks[widx]), pos[widx]))
+    stem_tok = _stem_sql("lower(t.w)")
+    w_cases = ", ".join(
+        f"""CASE WHEN ({stem_tok}) = '{st}'
+             THEN 5 + CASE WHEN t.pos = '{pp}' THEN 1 ELSE 0 END
+             WHEN t.dom IS NOT NULL
+             THEN 2 + CASE WHEN t.pos = '{pp}' THEN 1 ELSE 0 END
+             WHEN t.pos = '{pp}' THEN 1 ELSE 0 END"""
+        for (st, pp) in sorted(set(cases)))
+    return dep_sql_prefix() + f""",
+k_size AS MATERIALIZED (SELECT sk, count(*) AS n FROM str2 GROUP BY sk),
+k_pairs AS MATERIALIZED (
+  SELECT a.sk, a.i AS e1, b.i AS e2
+  FROM str2 a JOIN str2 b ON b.sk = a.sk AND a.i < b.i
+  WHERE a.is_prot AND b.is_prot
+),
+k_anc(sk, e, node, depth) AS (  -- conj-skipped upward (dep->gov) closure
+  SELECT sk, i, i, 0 FROM str2 WHERE is_prot
+  UNION
+  SELECT r.sk, r.e, d.gov, r.depth + 1
+  FROM k_anc r
+  JOIN dep_e d ON d.sk = r.sk AND d.dep = r.node
+       AND d.reln NOT IN ('conj_and', 'conj_or')
+  JOIN k_size z ON z.sk = r.sk
+  WHERE r.depth < z.n
+),
+k_ancd AS MATERIALIZED (  -- proper-ancestor min depth
+  SELECT sk, e, node, min(depth) AS md
+  FROM k_anc WHERE depth > 0 GROUP BY sk, e, node
+),
+k_lcs AS MATERIALIZED (
+  SELECT sk, e1, e2, lcs FROM (
+    SELECT p.sk, p.e1, p.e2, c2.node AS lcs,
+           row_number() OVER (PARTITION BY p.sk, p.e1, p.e2
+                              ORDER BY c2.md, c2.node) AS rnk
+    FROM k_pairs p
+    JOIN k_ancd c2 ON c2.sk = p.sk AND c2.e = p.e2 AND c2.node <> p.e1
+    JOIN k_ancd c1 ON c1.sk = p.sk AND c1.e = p.e1 AND c1.node = c2.node
+  ) z WHERE rnk = 1
+),
+k_dadj AS MATERIALIZED (  -- directed adjacency, min reln per (gov, dep)
+  SELECT sk, gov, dep, min(reln) AS reln FROM dep_e GROUP BY sk, gov, dep
+),
+k_src AS MATERIALIZED (SELECT DISTINCT sk, lcs FROM k_lcs),
+k_dd0(sk, src, node, d) AS (  -- directed BFS levels from every LCS
+  SELECT sk, lcs, lcs, 0 FROM k_src
+  UNION
+  SELECT r.sk, r.src, e.dep, r.d + 1
+  FROM k_dd0 r
+  JOIN k_dadj e ON e.sk = r.sk AND e.gov = r.node
+  JOIN k_size z ON z.sk = r.sk
+  WHERE r.d < z.n
+),
+k_dd AS MATERIALIZED (
+  SELECT sk, src, node, min(d) AS dist FROM k_dd0 GROUP BY sk, src, node
+),
+k_dpaths(sk, src, node, dist, pathstr) AS (  -- shortest-path DAG, lex-min
+  SELECT sk, lcs, lcs, 0, lpad(CAST(lcs AS VARCHAR), 3, '0') FROM k_src
+  UNION ALL
+  SELECT p.sk, p.src, e.dep, p.dist + 1,
+         p.pathstr || ',' || lpad(CAST(e.dep AS VARCHAR), 3, '0')
+  FROM k_dpaths p
+  JOIN k_dadj e ON e.sk = p.sk AND e.gov = p.node
+  JOIN k_dd dv ON dv.sk = p.sk AND dv.src = p.src AND dv.node = e.dep
+  WHERE dv.dist = p.dist + 1
+),
+k_best AS MATERIALIZED (  -- chosen halves per pair (both must exist)
+  SELECT l.sk, l.e1, l.e2, l.lcs,
+         min(p1.pathstr) AS bp1, min(p1.dist) AS hl,
+         min(p2.pathstr) AS bp2, min(p2.dist) AS hr
+  FROM k_lcs l
+  JOIN k_dpaths p1 ON p1.sk = l.sk AND p1.src = l.lcs AND p1.node = l.e1
+  JOIN k_dpaths p2 ON p2.sk = l.sk AND p2.src = l.lcs AND p2.node = l.e2
+  GROUP BY l.sk, l.e1, l.e2, l.lcs
+),
+k_redge AS MATERIALIZED (  -- reln items with backbone path positions
+  SELECT b.sk, b.e1, b.e2,
+         2 * (b.hl - gs.s) + 1 AS pos,
+         '-' || e.reln AS rv
+  FROM k_best b,
+       LATERAL (SELECT unnest(generate_series(1, b.hl)) AS s) gs
+  JOIN k_dadj e ON e.sk = b.sk
+       AND e.gov = CAST(string_split(b.bp1, ',')[gs.s] AS INT)
+       AND e.dep = CAST(string_split(b.bp1, ',')[gs.s + 1] AS INT)
+  UNION ALL
+  SELECT b.sk, b.e1, b.e2,
+         2 * b.hl + 2 * gs.s - 1 AS pos,
+         e.reln AS rv
+  FROM k_best b,
+       LATERAL (SELECT unnest(generate_series(1, b.hr)) AS s) gs
+  JOIN k_dadj e ON e.sk = b.sk
+       AND e.gov = CAST(string_split(b.bp2, ',')[gs.s] AS INT)
+       AND e.dep = CAST(string_split(b.bp2, ',')[gs.s + 1] AS INT)
+),
+k_rsc AS MATERIALIZED (  -- reln alignment scores vs the prototype slots
+  SELECT sk, e1, e2, pos,
+         CASE WHEN rv = '-nsubj' THEN 6
+              WHEN rv LIKE '-nsubj%' THEN 3 ELSE 0 END AS s1,
+         CASE WHEN rv = 'dobj' THEN 6 ELSE 0 END AS s3
+  FROM k_redge
+),
+k_word AS MATERIALIZED (  -- interior word items with best proto word score
+  SELECT z.sk, z.e1, z.e2, z.pos,
+         greatest({w_cases}) AS ws
+  FROM (
+    SELECT b.sk, b.e1, b.e2, 2 * (b.hl - gs.s + 1) AS pos,
+           CAST(string_split(b.bp1, ',')[gs.s] AS INT) AS idx
+    FROM k_best b,
+         LATERAL (SELECT unnest(generate_series(2, b.hl)) AS s) gs
+    UNION ALL
+    SELECT b.sk, b.e1, b.e2, 2 * b.hl + 2 * (gs.s - 1) AS pos,
+           CAST(string_split(b.bp2, ',')[gs.s] AS INT) AS idx
+    FROM k_best b,
+         LATERAL (SELECT unnest(generate_series(1, b.hr)) AS s) gs
+  ) z
+  JOIN str2 t ON t.sk = z.sk AND t.i = z.idx
+),
+k_cmax AS MATERIALIZED (  -- closed-form DP maximum
+  SELECT b.sk, b.e1, b.e2, b.lcs,
+         2 * b.hl + 2 * b.hr + 1 AS m,
+         greatest(
+           coalesce((SELECT max(pre.mx1 + w.ws + suf.mx3)
+             FROM k_word w
+             JOIN (SELECT r.sk, r.e1, r.e2, r.pos,
+                          max(r.s1) OVER (PARTITION BY r.sk, r.e1, r.e2
+                                          ORDER BY r.pos) AS mx1
+                   FROM k_rsc r) pre
+               ON pre.sk = w.sk AND pre.e1 = w.e1 AND pre.e2 = w.e2
+              AND pre.pos < w.pos
+             JOIN (SELECT r.sk, r.e1, r.e2, r.pos,
+                          max(r.s3) OVER (PARTITION BY r.sk, r.e1, r.e2
+                                          ORDER BY r.pos DESC) AS mx3
+                   FROM k_rsc r) suf
+               ON suf.sk = w.sk AND suf.e1 = w.e1 AND suf.e2 = w.e2
+              AND suf.pos > w.pos
+             WHERE w.sk = b.sk AND w.e1 = b.e1 AND w.e2 = b.e2), 0),
+           coalesce((SELECT r.s1 FROM k_rsc r WHERE r.sk = b.sk
+                     AND r.e1 = b.e1 AND r.e2 = b.e2
+                     AND r.pos = 2 * b.hl + 2 * b.hr - 1), 0),
+           coalesce((SELECT r.s3 FROM k_rsc r WHERE r.sk = b.sk
+                     AND r.e1 = b.e1 AND r.e2 = b.e2 AND r.pos = 1), 0),
+           0) AS cmax
+  FROM k_best b
+),
+k_scored AS MATERIALIZED (
+  SELECT sk, e1, e2, lcs,
+         pow(0.8, (m - 5) // 2) * cmax / 18.0 AS s
+  FROM k_cmax
+),
+k_mention AS MATERIALIZED (
+  SELECT conv_id, turn_idx, sent_id, mtext,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
+                            ORDER BY ms) - 1 AS k
+  FROM step WHERE ms IS NOT NULL
+)
+SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
+       m1.mtext AS subj, 'interacts_with' AS pred, m2.mtext AS obj,
+       CASE WHEN sc.lcs < sc.e1 THEN 'LEFT'
+            WHEN sc.lcs < sc.e2 THEN 'MIDDLE' ELSE 'RIGHT' END AS ktype,
+       CAST(round(sc.s * 1000000) AS BIGINT) AS score_ppm
+FROM k_scored sc
+JOIN sdim d ON d.sk = sc.sk
+JOIN str2 w1 ON w1.sk = sc.sk AND w1.i = sc.e1
+JOIN str2 w2 ON w2.sk = sc.sk AND w2.i = sc.e2
+JOIN k_mention m1 ON m1.conv_id = d.conv_id AND m1.turn_idx = d.turn_idx
+     AND m1.sent_id = d.sent_id AND m1.k = CAST(substr(w1.w, 8) AS INT)
+JOIN k_mention m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
+     AND m2.sent_id = d.sent_id AND m2.k = CAST(substr(w2.w, 8) AS INT)
+WHERE sc.s >= 0.5
+"""

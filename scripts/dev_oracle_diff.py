@@ -63,6 +63,33 @@ for conv_id, turn_idx, role, text, tool in rows:
             from nlp_lib_spark.kernels.pipeline import triples_for_sentence
             for (i, j, subj, pred, obj) in triples_for_sentence(rt, sentence):
                 py[key].add((i, j, subj, pred, obj))
+        elif what == "kern":
+            from nlp_lib_spark.kernels.pipeline import resolve_surface
+            from nlp_lib_spark.kernels.kernelscore import prototype_score
+            from nlp_lib_spark.operators.kernel_score import (
+                build_prototypes, instances_for_sentence)
+            global _KPROTOS
+            try:
+                _KPROTOS
+            except NameError:
+                _KPROTOS = build_prototypes(TESTDATA_CONFIG, [
+                    "the spark activates the table.",
+                    "a vector binds the stream.",
+                    "the column regulates a row.",
+                ])
+            for ann2, g2, inst in instances_for_sentence(rt, sentence):
+                sc = prototype_score(inst, _KPROTOS, "lcs")
+                if sc < 0.5:
+                    continue
+                i, j = inst["e1"], inst["e2"]
+                if i == j:
+                    continue
+                m = ann2["mapping"]
+                py[key].add((i, j, resolve_surface(m, ann2["blinded"][i]),
+                             "interacts_with",
+                             resolve_surface(m, ann2["blinded"][j]),
+                             inst["type"],
+                             int(round(round(sc, 6) * 1000000))))
         elif what == "rc":
             from nlp_lib_spark.kernels.rules import rel_candidates
             py[key] = rel_candidates(ann["blinded"], ann["pos"],
@@ -110,6 +137,8 @@ elif what == "ml":
     sql = oracles.ml_triples_oracle_sql()
 elif what == "rc":
     sql = oracles.rel_candidates_oracle_sql()
+elif what == "kern":
+    sql = oracles.kernel_triples_oracle_sql()
 
 sq: dict[tuple, set] = defaultdict(set)
 for row in con.execute(sql).fetchall():

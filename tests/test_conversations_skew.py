@@ -71,3 +71,52 @@ def test_capped_collect(spark):
     assert out["b1"].n_total == 50
     assert out["b1"].values == sorted(out["b1"].values)
     assert not out["b2"].truncated and out["b2"].values == [1]
+
+
+def test_capped_collect_values_match_uncapped_prefix(spark):
+    # the row_number pre-filter must keep exactly the cap smallest values
+    rows = [("k", v) for v in (9, 3, 7, 1, 5, 2, 8, 4, 6, 0)]
+    df = spark.createDataFrame(rows, "key string, v int")
+    out = capped_collect(df, ["key"], "v", cap=4).collect()[0]
+    assert out.values == [0, 1, 2, 3] and out.truncated and out.n_total == 10
+
+
+def test_minhash_lsh_bucket_cap_bounds_adversarial_flood(spark):
+    """10k identical docs land in one bucket per band; the cap must bound
+    the per-bucket pair generation (cap^2, not 10k^2) while organic pairs
+    are unaffected."""
+    from nlp_lib_spark.operators.dedup import minhash_lsh_pairs
+    flood = [(i, "the spark table interacts with the row group stream now")
+             for i in range(10_000)]
+    organic = [(20_000, "a vector binds the hash join window value"),
+               (20_001, "a vector binds the hash join window value"),
+               (20_002, "completely different content about queries here")]
+    df = spark.createDataFrame(flood + organic, "doc_id long, text string")
+    pairs = minhash_lsh_pairs(df, bucket_cap=50).collect()
+    flood_pairs = [p for p in pairs if p.doc_a < 20_000]
+    # bounded: at most C(50,2) per band x 4 bands (dedup makes it exactly
+    # C(50,2) here since identical docs share every band)
+    assert 0 < len(flood_pairs) <= 50 * 49 // 2
+    assert all(p.doc_a < 50 and p.doc_b < 50 for p in flood_pairs)
+    # organic near-dup still found
+    assert any((p.doc_a, p.doc_b) == (20_000, 20_001) for p in pairs)
+    assert not any(p.doc_b == 20_002 for p in pairs)
+
+
+def test_minhash_lsh_cap_identity_on_organic_data(spark):
+    """With the cap far above organic bucket sizes the output is identical
+    to the uncapped generation."""
+    import random
+
+    from nlp_lib_spark.operators.dedup import minhash_lsh_pairs
+    rng = random.Random(7)
+    vocab = ("spark table row group stream vector hash join window value "
+             "query batch customer line part key column data scan").split()
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(12)))
+            for i in range(120)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    capped = {(r.doc_a, r.doc_b)
+              for r in minhash_lsh_pairs(df, bucket_cap=1000).collect()}
+    wide = {(r.doc_a, r.doc_b)
+            for r in minhash_lsh_pairs(df, bucket_cap=10**6).collect()}
+    assert capped == wide

@@ -105,3 +105,72 @@ def test_synset_mapper():
     assert syn_match(m, "bind", "attach")
     assert not syn_match(m, "bind", "activate")
     assert not syn_match(m, "bind", "unknown")
+
+
+def test_pair_features_v1_families():
+    """PPIPipe v1 families (goldens on a hand-checked sentence)."""
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.features import pair_features_v1
+    from nlp_lib_spark.kernels.pipeline import annotate_sentence
+    rt = FIXTURE_CONFIG.build()
+    ann = annotate_sentence(rt, "the TagA strongly activates the GerE .")
+    assert ann["entity_count"] == 2
+    g = DepGraph(ann["edges"])
+    e1 = ann["blinded"].index("PROTEIN0")
+    e2 = ann["blinded"].index("PROTEIN1")
+    feats = pair_features_v1(ann["blinded"], ann["pos"],
+                             ann["domain"], g, e1, e2)
+    fmap = dict(f.split("=", 1) for f in feats)
+    # the subj edge's traversal target is the DOMAIN-tagged verb
+    assert fmap["SBJ"] == "activates"
+    # the verb 'activates' on the path sets the domain flag
+    assert fmap["DOMAIN"] == "True"
+    # v1 collapse dedupes consecutive classes: -nsubj then dobj -> subj:o:
+    assert fmap["CPATH"] == "subj:o:"
+    assert fmap["FORM-TYPE"] == "1"
+    assert fmap["LCS"] == "1-activates"
+    assert fmap["PP"] == "NONE"
+    # deterministic
+    assert feats == pair_features_v1(ann["blinded"], ann["pos"],
+                                     ann["domain"], g, e1, e2)
+
+
+def test_pair_features_v1_pp_reachability():
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.features import pair_features_v1
+    from nlp_lib_spark.kernels.pipeline import annotate_sentence
+    rt = FIXTURE_CONFIG.build()
+    ann = annotate_sentence(rt, "interaction of the TagA with the GerE .")
+    g = DepGraph(ann["edges"])
+    e1 = ann["blinded"].index("PROTEIN0")
+    e2 = ann["blinded"].index("PROTEIN1")
+    fmap = dict(f.split("=", 1) for f in pair_features_v1(
+        ann["blinded"], ann["pos"], ann["domain"], g, e1, e2))
+    # both entities reach the DOMAIN noun 'interaction' via prep_of/prep_with
+    assert fmap["PP"] == "DOMAIN"
+    assert fmap["PP_PAT"].startswith("NN&")
+    assert fmap["PREP_PATH"] != ""
+
+
+def test_grid_search_c_picks_separating_c():
+    from nlp_lib_spark.operators.evaluate import grid_search_c
+    # separable toy task: feature 'go' => positive
+    x = [["go", f"n{i%3}"] if i % 2 else [f"n{i%3}"] for i in range(60)]
+    y = [1 if i % 2 else 0 for i in range(60)]
+    c = grid_search_c(x, y, n_folds=5, start=-5, end=5, step=2)
+    assert c in {2.0 ** i for i in range(-5, 6, 2)}
+    # deterministic
+    assert c == grid_search_c(x, y, n_folds=5, start=-5, end=5, step=2)
+
+
+def test_fisher_yates_and_seeded_shuffle(spark):
+    from nlp_lib_spark.operators.evaluate import fisher_yates, seeded_shuffle
+    items = [f"d{i}" for i in range(20)]
+    a = fisher_yates(items, seed=7)
+    b = fisher_yates(items, seed=7)
+    c = fisher_yates(items, seed=8)
+    assert a == b and sorted(a) == sorted(items) and a != items and a != c
+    df = spark.createDataFrame([(i,) for i in range(50)], "id int")
+    o1 = [r.id for r in seeded_shuffle(df, seed=3).collect()]
+    o2 = [r.id for r in seeded_shuffle(df, seed=3).collect()]
+    assert o1 == o2 and sorted(o1) == list(range(50)) and o1 != list(range(50))
