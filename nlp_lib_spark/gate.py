@@ -1369,6 +1369,104 @@ FROM eff
 """
 
 
+def _kmeans_ivf_oracle_sql(k: int = 3, query_max_id: int = 10,
+                           n_centroids: int = 8, iters: int = 2,
+                           nprobe: int = 2, scale: int = 1000) -> str:
+    """DuckDB replica of the k-means IVF (operators/dedup.ann_topk_kmeans_ivf):
+    the Lloyd loop unrolls to ``iters`` assign/recompute CTE pairs; every
+    quantizer step is integer-exact (int vectors, int centroids, BIGINT
+    distances, min-cid tie-break) so both engines compute identical cells."""
+    parts = [f"""
+WITH qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)
+           * {scale} + 0.5) AS BIGINT)) AS qarr,
+         embedding
+  FROM embeddings
+),
+qd AS (
+  SELECT vec_id, generate_subscripts(qarr, 1) - 1 AS d, unnest(qarr) AS v
+  FROM qv
+),
+c0d AS (
+  SELECT cid, generate_subscripts(qarr, 1) - 1 AS d, unnest(qarr) AS c
+  FROM (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid,
+               qarr
+        FROM (SELECT vec_id, qarr FROM qv
+              ORDER BY vec_id LIMIT {n_centroids}) z0) z1
+)"""]
+    prev = "c0d"
+    for i in range(iters):
+        parts.append(f""",
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.dist, s.cid) AS rnk
+    FROM (SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist
+          FROM qd q JOIN {prev} c ON c.d = q.d
+          GROUP BY q.vec_id, c.cid) s
+  ) r WHERE rnk = 1
+),
+c{i + 1}d AS (
+  SELECT p.cid, p.d, coalesce(n.c, p.c) AS c
+  FROM {prev} p LEFT JOIN (
+    SELECT a.cid, q.d,
+           CAST(floor(sum(q.v) * 1.0 / count(*) + 0.5) AS BIGINT) AS c
+    FROM a{i} a JOIN qd q ON q.vec_id = a.vec_id
+    GROUP BY a.cid, q.d) n
+  ON n.cid = p.cid AND n.d = p.d
+)""")
+        prev = f"c{i + 1}d"
+    parts.append(f""",
+cells AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.dist, s.cid) AS rnk
+    FROM (SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist
+          FROM qd q JOIN {prev} c ON c.d = q.d
+          GROUP BY q.vec_id, c.cid) s
+  ) r WHERE rnk = 1
+),
+probe AS (
+  SELECT vec_id, cid FROM (
+    SELECT s.vec_id, s.cid,
+           row_number() OVER (PARTITION BY s.vec_id
+                              ORDER BY s.dist, s.cid) AS rnk
+    FROM (SELECT q.vec_id, c.cid, sum((q.v - c.c) * (q.v - c.c)) AS dist
+          FROM qd q JOIN {prev} c ON c.d = q.d
+          WHERE q.vec_id < {query_max_id}
+          GROUP BY q.vec_id, c.cid) s
+  ) r WHERE rnk <= {nprobe}
+),
+cand AS (
+  SELECT pq.vec_id AS query_id, cv.vec_id AS neighbor_id,
+         round(list_cosine_similarity(qq.embedding, cv.embedding), 4) AS sim
+  FROM probe pq
+  JOIN qv qq ON qq.vec_id = pq.vec_id
+  JOIN cells ac ON ac.cid = pq.cid
+  JOIN qv cv ON cv.vec_id = ac.vec_id AND cv.vec_id <> pq.vec_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM cand
+) r WHERE rnk <= {k}
+""")
+    return "".join(parts)
+
+
+@gate("ann_topk_ivf_kmeans", oracle=_kmeans_ivf_oracle_sql())
+def q_ann_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the k-means coarse quantizer — the high-dimensional
+    scale path (the 2-dim grid quantizer gate stays as the demo baseline)."""
+    from nlp_lib_spark.operators.dedup import ann_topk_kmeans_ivf
+    register_views(spark, sf_dir)
+    return ann_topk_kmeans_ivf(spark.table("embeddings"))
+
+
 @gate("kg_chunks", oracle=_chunks_oracle_sql())
 def q_kg_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shallow BIO chunk layer (the OChunker / GeniaTagger CHUNK slot)

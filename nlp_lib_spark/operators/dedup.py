@@ -241,3 +241,108 @@ SELECT query_id, neighbor_id, sim FROM (
   FROM cand
 ) WHERE rnk <= {k}
 """)
+
+
+def ann_topk_kmeans_ivf(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding", k: int = 3,
+                        query_max_id: int = 10, n_centroids: int = 8,
+                        iters: int = 2, nprobe: int = 2,
+                        scale: int = 1000) -> DataFrame:
+    """IVF top-k with a k-means coarse quantizer (replaces the 2-dim grid
+    demo as the scale path: the quantizer adapts to the data in ALL
+    dimensions, so recall does not collapse in high-d).
+
+    Determinism is engineered for cross-engine parity (the pr_eval
+    lesson — float summation order must never flip a result):
+
+    * vectors quantize to integers ``floor(x*scale + 0.5)`` (floor of an
+      exact double is engine-stable, unlike round-half ties);
+    * centroids are INTEGER vectors — ``floor(sum*1.0/count + 0.5)`` of
+      member ints (one IEEE division, then exact floor);
+    * assignment distance is an exact BIGINT sum of squared differences
+      with a min-centroid-id tie-break — no float comparisons anywhere
+      in the Lloyd loop;
+    * init = the ``n_centroids`` smallest ids' vectors; empty clusters
+      keep their previous centroid.
+
+    The per-iteration centroid recompute is a tiny k x dim aggregate
+    collected to the driver and rebroadcast (the canonical Spark k-means
+    shape); the full-data passes stay distributed.  Final ranking is
+    cosine over the original floats among vectors in the ``nprobe``
+    nearest cells of each query."""
+    from pyspark.sql import functions as F
+    spark = df.sparkSession
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+               f"* {scale} + 0.5) AS BIGINT))").alias("qarr"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).localCheckpoint()  # reused every Lloyd pass
+
+    init = (q.orderBy("vid").limit(n_centroids)
+            .select("qarr").collect())
+    cents = [list(r.qarr) for r in init]
+
+    def assign_expr(cs: list[list[int]]):
+        arr = ("array(" + ", ".join(
+            "array(" + ", ".join(str(v) for v in c) + ")" for c in cs)
+            + ")")
+        # exact integer distance per centroid; argmin with min-cid tiebreak
+        return F.expr(f"""
+array_position(transform({arr}, c ->
+  aggregate(zip_with(qarr, c, (a, b) -> (a - b) * (a - b)), 0L,
+            (s, v) -> s + v)),
+ array_min(transform({arr}, c ->
+  aggregate(zip_with(qarr, c, (a, b) -> (a - b) * (a - b)), 0L,
+            (s, v) -> s + v)))) - 1
+""")
+
+    for _ in range(iters):
+        assigned = q.withColumn("cid", assign_expr(cents))
+        agg = (assigned
+               .select("cid", F.posexplode("qarr").alias("d", "v"))
+               .groupBy("cid", "d")
+               .agg(F.floor(F.sum("v") * 1.0 / F.count(F.lit(1)) + 0.5)
+                    .alias("c"))
+               .collect())
+        new = [list(c) for c in cents]  # empty clusters keep old centroid
+        for r in agg:
+            new[int(r.cid)][int(r.d)] = int(r.c)
+        cents = new
+
+    cells = q.withColumn("cid", assign_expr(cents))
+    cells.createOrReplaceTempView("__ivf_cells")
+    cent_rows = [(ci, di, v) for ci, c in enumerate(cents)
+                 for di, v in enumerate(c)]
+    spark.createDataFrame(cent_rows, "cid int, d int, c long") \
+         .createOrReplaceTempView("__ivf_cents")
+    cos = _COS.format(a="qv.emb", b="cv.emb")
+    return spark.sql(f"""
+WITH probe AS (
+  SELECT vid, cid FROM (
+    SELECT q.vid, c.cid,
+           row_number() OVER (PARTITION BY q.vid
+                              ORDER BY c.dist, c.cid) AS rnk
+    FROM __ivf_cells q
+    JOIN (SELECT q2.vid AS pvid, ct.cid,
+                 sum((element_at(q2.qarr, ct.d + 1) - ct.c)
+                     * (element_at(q2.qarr, ct.d + 1) - ct.c)) AS dist
+          FROM __ivf_cells q2 JOIN __ivf_cents ct ON true
+          WHERE q2.vid < {query_max_id}
+          GROUP BY q2.vid, ct.cid) c ON c.pvid = q.vid
+    WHERE q.vid < {query_max_id}
+  ) WHERE rnk <= {nprobe}
+),
+cand AS (
+  SELECT qv.vid AS query_id, cv.vid AS neighbor_id, {cos} AS sim
+  FROM probe p
+  JOIN __ivf_cells qv ON qv.vid = p.vid
+  JOIN __ivf_cells cv ON cv.cid = p.cid AND cv.vid <> qv.vid
+)
+SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM cand
+) WHERE rnk <= {k}
+""")

@@ -169,3 +169,21 @@ def test_dedup_operators_parametrize_columns(spark):
     pairs = {(r.doc_a, r.doc_b)
              for r in minhash_lsh_pairs(df, "item_id", "body").collect()}
     assert (1, 4) in pairs and (1, 3) not in pairs
+
+
+def test_kmeans_ivf_recall_vs_bruteforce(spark):
+    """The k-means coarse quantizer must hold recall in 64 dims where the
+    2-dim grid demo collapses; determinism across runs is exact (integer
+    Lloyd arithmetic)."""
+    from nlp_lib_spark.operators.dedup import (ann_topk_bruteforce,
+                                               ann_topk_kmeans_ivf)
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    bf = {(r.query_id, r.neighbor_id)
+          for r in ann_topk_bruteforce(emb, k=3).collect()}
+    km1 = {(r.query_id, r.neighbor_id, r.sim)
+           for r in ann_topk_kmeans_ivf(emb, k=3).collect()}
+    km2 = {(r.query_id, r.neighbor_id, r.sim)
+           for r in ann_topk_kmeans_ivf(emb, k=3).collect()}
+    assert km1 == km2
+    pairs = {(q, n) for (q, n, _s) in km1}
+    assert len(bf & pairs) / len(bf) >= 0.8
