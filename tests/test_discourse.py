@@ -134,3 +134,100 @@ def test_connective_features_tree_block():
     assert "SELF=ADVP&PARENT=S" in feats
     # right sibling of ADVP is ','
     assert any(f.startswith("RIGHT@+1-,") for f in feats)
+
+
+# ---------------------------------------------------------------- CRF family
+def _marker_corpus(n=80, seed=4):
+    """Synthetic DIS_CON-style B/I/O task: multi-word connectives from a
+    fixed lexicon are the positive spans."""
+    import random
+    rng = random.Random(seed)
+    conns = [["however"], ["moreover"], ["on", "the", "other", "hand"],
+             ["as", "a", "result"]]
+    fillers = "the spark table binds value stream row window query".split()
+    data = []
+    for _ in range(n):
+        toks, tags = [], []
+        for _w in range(rng.randrange(3, 7)):
+            toks.append(rng.choice(fillers)); tags.append("O")
+        if rng.random() < 0.85:
+            c = rng.choice(conns)
+            toks.extend(c)
+            tags.extend(["B-DIS_CON"] + ["I-DIS_CON"] * (len(c) - 1))
+        for _w in range(rng.randrange(2, 6)):
+            toks.append(rng.choice(fillers)); tags.append("O")
+        pos = ["NN"] * len(toks)
+        data.append(((toks, pos), tags))
+    return data
+
+
+def test_viterbi_matches_bruteforce():
+    import itertools
+
+    from nlp_lib_spark.kernels.crf import (_emit_key, _trans_key, START,
+                                           position_features, viterbi)
+    tokens = ["a", "b", "a", "c"]
+    pos = ["X", "Y", "X", "Z"]
+    tags = ["O", "B"]
+    # deterministic synthetic weights
+    w = {}
+    for t in tags:
+        for i in range(len(tokens)):
+            for f in position_features(tokens, pos, i):
+                w[_emit_key(t, f)] = ((hash(t + f) % 7) - 3) * 0.5
+    for p in [START] + tags:
+        for t in tags:
+            w[_trans_key(p, t)] = ((hash(p + t) % 5) - 2) * 0.25
+
+    def seq_score(seq):
+        s = 0.0
+        prev = START
+        for i, t in enumerate(seq):
+            s += sum(w.get(_emit_key(t, f), 0.0)
+                     for f in position_features(tokens, pos, i))
+            s += w.get(_trans_key(prev, t), 0.0)
+            prev = t
+        return s
+
+    best = max(itertools.product(tags, repeat=len(tokens)),
+               key=lambda seq: (seq_score(seq),
+                                tuple(-ord(t[0]) for t in seq)))
+    got = viterbi(tokens, pos, tags, w)
+    assert seq_score(tuple(got)) == seq_score(best)
+
+
+def test_crf_trains_discourse_marker_tagging():
+    from nlp_lib_spark.kernels.crf import train_perceptron, viterbi, tagset_of
+    data = _marker_corpus(n=80, seed=4)
+    heldout = _marker_corpus(n=30, seed=99)
+    x = [d[0] for d in data]
+    y = [d[1] for d in data]
+    w = train_perceptron(x, y)
+    assert w == train_perceptron(x, y)  # deterministic
+    tags = tagset_of(w)
+    assert set(tags) == {"O", "B-DIS_CON", "I-DIS_CON"}
+    n_tok = n_ok = 0
+    for (toks, pos), gold in heldout:
+        pred = viterbi(toks, pos, tags, w)
+        n_tok += len(gold)
+        n_ok += sum(1 for a, b in zip(pred, gold) if a == b)
+    assert n_ok / n_tok >= 0.97, n_ok / n_tok
+
+
+def test_crf_annotate_distributed_matches_kernel(spark):
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.crf import train_perceptron, viterbi, tagset_of
+    from nlp_lib_spark.operators.seqtag import crf_annotate
+    data = _marker_corpus(n=40, seed=11)
+    w = train_perceptron([d[0] for d in data], [d[1] for d in data])
+    tags = tagset_of(w)
+    rows = [{"conv_id": f"c{i%5}", "turn_idx": i // 5, "sent_id": 0,
+             "blinded": d[0][0], "pos": d[0][1]}
+            for i, d in enumerate(data)]
+    ann = spark.createDataFrame(pd.DataFrame(rows))
+    out = {(r.conv_id, r.turn_idx): list(r.tags)
+           for r in crf_annotate(ann, w).collect()}
+    for i, d in enumerate(data):
+        key = (f"c{i%5}", i // 5)
+        assert out[key] == viterbi(d[0][0], d[0][1], tags, w)
