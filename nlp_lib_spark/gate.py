@@ -1004,7 +1004,15 @@ def _band_sql(table: str, dialect: str) -> str:
 @gate("minhash_lsh_pairs", oracle=f"""
 WITH sig AS (
   SELECT doc_id, {_minhash_cols('duckdb')} FROM documents
-), bands AS ({_band_sql('sig', 'duckdb')})
+), bands0 AS ({_band_sql('sig', 'duckdb')}),
+bands AS (  -- mirror the operator's bucket_cap (1000 smallest ids/bucket)
+  SELECT doc_id, band_idx, band_val FROM (
+    SELECT doc_id, band_idx, band_val,
+           row_number() OVER (PARTITION BY band_idx, band_val
+                              ORDER BY doc_id) AS rn
+    FROM bands0) z
+  WHERE rn <= 1000
+)
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id

@@ -53,8 +53,11 @@ def _emit_key(tag: str, feat: str) -> str:
     return tag + "\x00" + feat
 
 
+_TRANS = "\x00T\x00"  # sentinel no tag name can collide with
+
+
 def _trans_key(prev: str, tag: str) -> str:
-    return "T\x00" + prev + "\x00" + tag
+    return _TRANS + prev + "\x00" + tag
 
 
 def viterbi(tokens: list[str], pos: list[str], tags: list[str],
@@ -85,7 +88,6 @@ def viterbi(tokens: list[str], pos: list[str], tags: list[str],
             bp[t] = best_p
         score = nxt
         back.append(bp)
-    last = max(tagset, key=lambda t: (score[t],))  # lex-min on ties via sort
     # resolve final ties deterministically: max score, then lex-min tag
     best = max(score.values())
     last = min(t for t in tagset if score[t] == best)
@@ -137,8 +139,8 @@ def tagset_of(weights: Weights) -> list[str]:
     """Recover the tag inventory from a weight dict."""
     tags = set()
     for k in weights:
-        if k.startswith("T\x00"):
-            _, p, t = k.split("\x00")
+        if k.startswith(_TRANS):
+            p, t = k[len(_TRANS):].split("\x00")
             if p != START:
                 tags.add(p)
             tags.add(t)

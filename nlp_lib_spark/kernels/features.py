@@ -181,11 +181,14 @@ def pair_features_v1(tokens: list[str], pos: list[str],
         for k in range(1, len(labels)):
             if _re.fullmatch(r"-?prep_between", labels[k]) and \
                _re.fullmatch(r"-?prep_between", labels[k - 1]):
-                f["PREP_BETWEEN="] = "TRUE"
+                # the reference's map keys carry a quirky trailing '='
+                # ("PREP_BETWEEN=", PPIPipe.java:390); normalized here so
+                # the rendered feature is single-'=' like every family
+                f["PREP_BETWEEN"] = "TRUE"
                 break
             if _re.fullmatch(r"-?prep.*", labels[k]) and \
                _re.fullmatch(r"-?prep.*", labels[k - 1]):
-                f["PREP_PREP="] = "TRUE"
+                f["PREP_PREP"] = "TRUE"
                 break
         f["PREP_PATH"] = "".join(lab + ":" for lab in labels
                                  if _re.fullmatch(r"-?prep_.*", lab))

@@ -215,7 +215,10 @@ def grid_search_c(x: list[list[str]], y: list[int], n_folds: int = 5,
     from nlp_lib_spark.kernels.scoring import score, train_logreg
     size = len(y)
     chunk = size // n_folds
-    best_f, best_c = 0.0, 0.0
+    # best_c starts at the first grid cell so a degenerate corpus (every
+    # fold F=0) still returns a valid C instead of 0.0 (which would blow
+    # up the l2 = 1/C mapping downstream)
+    best_f, best_c = 0.0, 2.0 ** start
     for i in range(start, end + 1, step):
         c = 2.0 ** i
         total_f = 0.0
@@ -261,8 +264,11 @@ def fisher_yates(items: list, seed: int) -> list:
 
 
 def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
-    """Distributed analogue of the doc-id shuffle before fold splitting:
-    a deterministic random order via ``orderBy(rand(seed))`` (SURVEY
-    §2.8).  Train-time only — a full sort at extraction scale would be a
+    """Distributed analogue of the doc-id shuffle before fold splitting
+    (SURVEY §2.8).  Deterministic REGARDLESS of partition layout: Spark's
+    ``rand(seed)`` draws per-partition (seed + partitionIndex), so its
+    order changes with the input's split count — instead the sort key is
+    a content hash salted with the seed, which is a pure function of the
+    row.  Train-time only — a full sort at extraction scale would be a
     needless global shuffle."""
-    return df.orderBy(F.rand(seed), *df.columns[:1])
+    return df.orderBy(F.xxhash64(F.lit(seed), *df.columns), *df.columns)

@@ -55,13 +55,16 @@ def capped_collect(df: DataFrame, key_cols: list[str], value_col: str,
     (spillable sort) keeps only the ``cap`` smallest values per key, so a
     hot key never materializes an unbounded aggregation buffer — the
     post-hoc ``slice`` of the naive version truncates only after the full
-    list already sat in executor memory.  ``n_total`` comes from an
+    list already sat in executor memory.  NULL values sort last so they
+    never consume cap slots (``collect_list`` drops them, matching the
+    naive version's cap-smallest-non-null semantics).  ``n_total`` comes from an
     unordered count window in the same shuffle; the groupBy reuses the
     window's hash partitioning, so the whole operator is one exchange."""
     from pyspark.sql import Window
     wk = Window.partitionBy(*key_cols)
     out = (df
-           .withColumn("__rn", F.row_number().over(wk.orderBy(value_col)))
+           .withColumn("__rn", F.row_number().over(
+               wk.orderBy(F.col(value_col).asc_nulls_last())))
            .withColumn("__n", F.count(F.lit(1)).over(wk))
            .filter(F.col("__rn") <= cap)
            .groupBy(*key_cols)

@@ -40,7 +40,8 @@ for conv_id, turn_idx, role, text, tool in rows:
         continue
     for sid, sentence in enumerate(split_sentences(strip_citations(text))):
         ann = annotate_sentence(rt, sentence)
-        if ann is None or not (2 <= ann["entity_count"] <= 64):
+        if ann is None or not (
+                2 <= ann["entity_count"] <= TESTDATA_CONFIG.max_mentions):
             continue
         key = (conv_id, turn_idx, sid)
         sent_text[key] = ann["blinded"]

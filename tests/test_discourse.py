@@ -169,15 +169,17 @@ def test_viterbi_matches_bruteforce():
     tokens = ["a", "b", "a", "c"]
     pos = ["X", "Y", "X", "Z"]
     tags = ["O", "B"]
-    # deterministic synthetic weights
+    # deterministic synthetic weights (seeded — hash() is salted per run)
+    import random as _random
+    rng = _random.Random(17)
     w = {}
     for t in tags:
         for i in range(len(tokens)):
             for f in position_features(tokens, pos, i):
-                w[_emit_key(t, f)] = ((hash(t + f) % 7) - 3) * 0.5
+                w[_emit_key(t, f)] = (rng.randrange(7) - 3) * 0.5
     for p in [START] + tags:
         for t in tags:
-            w[_trans_key(p, t)] = ((hash(p + t) % 5) - 2) * 0.25
+            w[_trans_key(p, t)] = (rng.randrange(5) - 2) * 0.25
 
     def seq_score(seq):
         s = 0.0
