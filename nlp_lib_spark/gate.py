@@ -827,7 +827,7 @@ def _clauses_oracle_sql() -> str:
     from nlp_lib_spark.kernels.clauses import SUBORDINATORS
     subs = ", ".join(f"'{w}'" for w in sorted(SUBORDINATORS))
     return f"""
-WITH postok AS (SELECT * FROM ({_pos_oracle_sql()}) q),
+WITH postok AS MATERIALIZED (SELECT * FROM ({_pos_oracle_sql()}) q),
 flags AS (
   SELECT p.conv_id, p.turn_idx, p.sent_id, p.idx,
          (p.idx = 0
@@ -1279,7 +1279,7 @@ def _connectives_oracle_sql() -> str:
     lex_vals = ", ".join(f"('{p.lower()}', '{c}')"
                          for p, c in sorted(DEFAULT_CONNECTIVES.items()))
     return f"""
-WITH RECURSIVE postok AS (SELECT * FROM ({_pos_oracle_sql()}) q),
+WITH RECURSIVE postok AS MATERIALIZED (SELECT * FROM ({_pos_oracle_sql()}) q),
 clex(phrase, cat) AS (VALUES {lex_vals}),
 bounds AS (
   SELECT conv_id, turn_idx, sent_id, max(idx) AS mx
@@ -1346,7 +1346,7 @@ def _chunks_oracle_sql() -> str:
     closed form 'nearest preceding non-RB token is verb-based', which is
     a single IGNORE NULLS last_value window."""
     return f"""
-WITH postok AS (SELECT * FROM ({_pos_oracle_sql()}) q),
+WITH postok AS MATERIALIZED (SELECT * FROM ({_pos_oracle_sql()}) q),
 t AS (
   SELECT conv_id, turn_idx, sent_id, idx,
          CASE WHEN token LIKE '%PROTEIN%' THEN 'NP'
