@@ -89,3 +89,38 @@ def test_windowed_watermark_matches_batch(spark, tmp_path):
         streamed.sort_values(key).reset_index(drop=True),
         batch.sort_values(key).reset_index(drop=True))
     assert streamed["n_turns"].sum() == len(pdf)
+
+
+def test_stateful_conversation_counts_match_batch(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: draining
+    the input one file per trigger must end at the same per-conversation
+    totals as a single batch aggregation (state makes batch boundaries
+    invisible)."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.streaming.stateful import run_stateful_once
+    turns, _ = generate_transcripts(n_convs=12, seed=21)
+    pdf = pd.DataFrame(turns, columns=["conv_id", "turn_idx", "role",
+                                       "text", "tool", "ts_epoch"])
+    src = (spark.createDataFrame(pdf)
+           .withColumn("turn_idx", F.col("turn_idx").cast("int"))
+           .withColumn("ts", F.timestamp_seconds("ts_epoch"))
+           .drop("ts_epoch"))
+    in_dir = str(tmp_path / "state_in")
+    # several files so availableNow + maxFilesPerTrigger=1 yields several
+    # micro-batches with interleaved conversations
+    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+
+    got = {r.conv_id: (r.n_turns, r.n_triples, r.max_turn_idx)
+           for r in run_stateful_once(spark, in_dir, FIXTURE_CONFIG).collect()}
+
+    batch_turns = spark.read.parquet(in_dir)
+    per_conv = (batch_turns.groupBy("conv_id")
+                .agg(F.count(F.lit(1)).alias("n_turns"),
+                     F.max("turn_idx").alias("max_turn_idx")))
+    triples = (extract_triples(batch_turns, FIXTURE_CONFIG)
+               .groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_triples")))
+    want = {}
+    for r in per_conv.join(triples, "conv_id", "left").collect():
+        want[r.conv_id] = (r.n_turns, r.n_triples or 0, r.max_turn_idx)
+    assert got == want
