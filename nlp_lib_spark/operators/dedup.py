@@ -283,22 +283,24 @@ def ann_topk_kmeans_ivf(df: DataFrame, id_col: str = "vec_id",
             .select("qarr").collect())
     cents = [list(r.qarr) for r in init]
 
-    def assign_expr(cs: list[list[int]]):
+    def with_cid(frame, cs: list[list[int]]):
+        """Exact integer distance per centroid; argmin with min-cid
+        tiebreak.  The distance array is materialized in its own column so
+        the argmin does not recompute the transform."""
         arr = ("array(" + ", ".join(
             "array(" + ", ".join(str(v) for v in c) + ")" for c in cs)
             + ")")
-        # exact integer distance per centroid; argmin with min-cid tiebreak
-        return F.expr(f"""
-array_position(transform({arr}, c ->
+        return (frame
+                .withColumn("__d", F.expr(f"""
+transform({arr}, c ->
   aggregate(zip_with(qarr, c, (a, b) -> (a - b) * (a - b)), 0L,
-            (s, v) -> s + v)),
- array_min(transform({arr}, c ->
-  aggregate(zip_with(qarr, c, (a, b) -> (a - b) * (a - b)), 0L,
-            (s, v) -> s + v)))) - 1
-""")
+            (s, v) -> s + v))"""))
+                .withColumn("cid", F.expr(
+                    "array_position(__d, array_min(__d)) - 1"))
+                .drop("__d"))
 
     for _ in range(iters):
-        assigned = q.withColumn("cid", assign_expr(cents))
+        assigned = with_cid(q, cents)
         agg = (assigned
                .select("cid", F.posexplode("qarr").alias("d", "v"))
                .groupBy("cid", "d")
@@ -310,7 +312,7 @@ array_position(transform({arr}, c ->
             new[int(r.cid)][int(r.d)] = int(r.c)
         cents = new
 
-    cells = q.withColumn("cid", assign_expr(cents))
+    cells = with_cid(q, cents)
     cells.createOrReplaceTempView("__ivf_cells")
     cent_rows = [(ci, di, v) for ci, c in enumerate(cents)
                  for di, v in enumerate(c)]

@@ -46,6 +46,29 @@ def _in(vals) -> str:
     return ", ".join("'" + v.replace("'", "''") + "'" for v in vals)
 
 
+
+_MENTION2_CTE = """
+  SELECT conv_id, turn_idx, sent_id, mtext,
+         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
+                            ORDER BY ms) - 1 AS k
+  FROM step WHERE ms IS NOT NULL
+"""
+
+
+def _pred_sql(pair: str) -> str:
+    """The _pred_term coalesce (kernels/pipeline._pred_term) over str2 for a
+    pair alias exposing (sk, e1, e2)."""
+    return f"""coalesce(
+         (SELECT t.dom FROM str2 t WHERE t.sk = {pair}.sk AND t.i > {pair}.e1
+            AND t.i < {pair}.e2 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
+         (SELECT t.dom FROM str2 t WHERE t.sk = {pair}.sk AND t.i < {pair}.e1
+            AND t.i >= {pair}.e1 - 5 AND t.dom IS NOT NULL
+          ORDER BY t.i DESC LIMIT 1),
+         (SELECT t.dom FROM str2 t WHERE t.sk = {pair}.sk AND t.i > {pair}.e2
+            AND t.i <= {pair}.e2 + 5 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
+         'interacts_with')"""
+
+
 def _ann_parts() -> tuple[str, str, str, str]:
     """(head_through_seq, pos_case_expr, domain_value_expr, lw) lifted from
     gate._pos_oracle_sql — the same rsplit composition gate's rule2b oracle
@@ -590,24 +613,11 @@ def triples_oracle_sql() -> str:
     placeholder->surface via the gazetteer mention map, predicate = nearest
     DOMAIN key term (_pred_term), fallback 'interacts_with'.  Fused
     same-token pairs (i==j) cannot occur on this corpus (no B-FUSED)."""
-    return rules_sql_prefix() + """,
-mention2 AS MATERIALIZED (  -- placeholder ordinal -> surface text
-  SELECT conv_id, turn_idx, sent_id, mtext,
-         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                            ORDER BY ms) - 1 AS k
-  FROM step WHERE ms IS NOT NULL
-)
+    return rules_sql_prefix() + f""",
+mention2 AS MATERIALIZED ({_MENTION2_CTE})
 SELECT d.conv_id, d.turn_idx, d.sent_id, p.e1, p.e2,
        m1.mtext AS subj,
-       coalesce(
-         (SELECT t.dom FROM str2 t WHERE t.sk = p.sk AND t.i > p.e1
-            AND t.i < p.e2 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
-         (SELECT t.dom FROM str2 t WHERE t.sk = p.sk AND t.i < p.e1
-            AND t.i >= p.e1 - 5 AND t.dom IS NOT NULL
-          ORDER BY t.i DESC LIMIT 1),
-         (SELECT t.dom FROM str2 t WHERE t.sk = p.sk AND t.i > p.e2
-            AND t.i <= p.e2 + 5 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
-         'interacts_with') AS pred,
+       {_pred_sql('p')} AS pred,
        m2.mtext AS obj
 FROM u_pairs p
 JOIN sdim d ON d.sk = p.sk
@@ -629,25 +639,12 @@ def wgp_triples_oracle_sql() -> str:
     a sentence is GENOTYPE (k even) / PHENOTYPE (k odd) — then runs the same
     rule union WITHOUT the parenthetical prune and keeps cross-type pairs
     only, emitting (doc_id, sent_id, genotype, pred, phenotype)."""
-    return rules_sql_prefix(simplify=False) + """,
-mention2 AS MATERIALIZED (
-  SELECT conv_id, turn_idx, sent_id, mtext,
-         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                            ORDER BY ms) - 1 AS k
-  FROM step WHERE ms IS NOT NULL
-)
+    return rules_sql_prefix(simplify=False) + f""",
+mention2 AS MATERIALIZED ({_MENTION2_CTE})
 SELECT d.conv_id || ':' || CAST(d.turn_idx AS VARCHAR) AS doc_id,
        d.sent_id,
        CASE WHEN m1.k % 2 = 0 THEN m1.mtext ELSE m2.mtext END AS genotype,
-       coalesce(
-         (SELECT t.dom FROM str2 t WHERE t.sk = p.sk AND t.i > p.e1
-            AND t.i < p.e2 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
-         (SELECT t.dom FROM str2 t WHERE t.sk = p.sk AND t.i < p.e1
-            AND t.i >= p.e1 - 5 AND t.dom IS NOT NULL
-          ORDER BY t.i DESC LIMIT 1),
-         (SELECT t.dom FROM str2 t WHERE t.sk = p.sk AND t.i > p.e2
-            AND t.i <= p.e2 + 5 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
-         'interacts_with') AS pred,
+       {_pred_sql('p')} AS pred,
        CASE WHEN m1.k % 2 = 0 THEN m2.mtext ELSE m1.mtext END AS phenotype
 FROM u_pairs p
 JOIN sdim d ON d.sk = p.sk
@@ -1058,23 +1055,10 @@ scored AS MATERIALIZED (
   LEFT JOIN wts w ON w.feat = f.feat
   GROUP BY c.sk, c.e1, c.e2
 ),
-mention2 AS MATERIALIZED (
-  SELECT conv_id, turn_idx, sent_id, mtext,
-         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                            ORDER BY ms) - 1 AS k
-  FROM step WHERE ms IS NOT NULL
-)
+mention2 AS MATERIALIZED ({_MENTION2_CTE})
 SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
        m1.mtext AS subj,
-       coalesce(
-         (SELECT t.dom FROM str2 t WHERE t.sk = sc.sk AND t.i > sc.e1
-            AND t.i < sc.e2 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
-         (SELECT t.dom FROM str2 t WHERE t.sk = sc.sk AND t.i < sc.e1
-            AND t.i >= sc.e1 - 5 AND t.dom IS NOT NULL
-          ORDER BY t.i DESC LIMIT 1),
-         (SELECT t.dom FROM str2 t WHERE t.sk = sc.sk AND t.i > sc.e2
-            AND t.i <= sc.e2 + 5 AND t.dom IS NOT NULL ORDER BY t.i LIMIT 1),
-         'interacts_with') AS pred,
+       {_pred_sql('sc')} AS pred,
        m2.mtext AS obj,
        CAST(round(10000.0 / (1.0 + exp(-sc.z))) AS BIGINT) AS p_bp
 FROM scored sc
@@ -1363,12 +1347,7 @@ k_scored AS MATERIALIZED (
          pow(0.8, (m - 5) // 2) * cmax / 18.0 AS s
   FROM k_cmax
 ),
-k_mention AS MATERIALIZED (
-  SELECT conv_id, turn_idx, sent_id, mtext,
-         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                            ORDER BY ms) - 1 AS k
-  FROM step WHERE ms IS NOT NULL
-)
+k_mention AS MATERIALIZED ({_MENTION2_CTE})
 SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
        m1.mtext AS subj, 'interacts_with' AS pred, m2.mtext AS obj,
        CASE WHEN sc.lcs < sc.e1 THEN 'LEFT'
