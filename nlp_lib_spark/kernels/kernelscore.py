@@ -442,3 +442,177 @@ def prototype_score(inst: dict, prototypes: list[dict],
         if v > best:
             best = v
     return best
+
+
+# ---------------------------------------------------------------------------
+# SimpleKernel / EditDistanceKernel / global-context kernel
+# (ppi/filter/SimpleKernel.java, ppi/filter/EditDistanceKernel.java)
+# ---------------------------------------------------------------------------
+
+def _lcs_index(inst: dict) -> int:
+    """getLCSIndexInPath (SimpleKernel.java:222-234 / EditDistanceKernel
+    .java:85-97): recomputed from ``lcs`` — 0 when absent."""
+    idx = _index_in_path(inst["path"], inst["lcs"])
+    return idx if idx >= 0 else 0
+
+
+def _sk_set(inst: dict, start: int, end: int) -> set[str]:
+    """SimpleKernel.makeHashSet (java:253-299): path words (last hyphen
+    part), REL-<pos-initial> for DOMAIN words, relns with prep family
+    markers and nsubjpass->nsubj collapse."""
+    tokens, pos, domain = inst["ctx"]
+    path = inst["path"]
+    out: set[str] = set()
+    for i in range(start, end + 1):
+        if i % 2 == 0:
+            idx = int(path[i])
+            word = tokens[idx].lower()
+            if "-" in word:
+                word = word.rsplit("-", 1)[1]
+            out.add(word)
+            if domain[idx] is not None:
+                out.add("REL-" + pos[idx][:1])
+        else:
+            reln = path[i]
+            if reln.startswith("prep"):
+                out.add("prep")
+            elif reln.startswith("-prep"):
+                out.add("-prep")
+            if reln == "nsubjpass":
+                reln = "nsubj"
+            elif reln == "-nsubjpass":
+                reln = "-nsubj"
+            out.add(reln)
+    return out
+
+
+def _norm_dot(a: set[str], b: set[str]) -> float:
+    d = math.sqrt(len(a) * len(b))
+    return len(a & b) / d if d > 0 else float(len(a & b))
+
+
+def simple_kernel(i1: dict, i2: dict) -> float:
+    """SimpleKernel.evaluateSimpleKernel (java:120-157): type gate, then
+    normalized set overlaps of the left / right / full backbone halves."""
+    if i1["type"] != i2["type"] or i1["path"] is None or i2["path"] is None:
+        return 0.0
+    l1, l2 = _lcs_index(i1), _lcs_index(i2)
+    left1 = _sk_set(i1, 1, l1)
+    left2 = _sk_set(i2, 1, l2)
+    right1 = _sk_set(i1, l1, len(i1["path"]) - 1)
+    right2 = _sk_set(i2, l2, len(i2["path"]) - 1)
+    return (_norm_dot(left1, left2) + _norm_dot(right1, right2)
+            + _norm_dot(left1 | right1, left2 | right2))
+
+
+_GC_POS = frozenset("vnjrit")
+
+
+def _gc_vector(inst: dict, start: int, end: int) -> set[str]:
+    """SimpleKernel.getVector (java:90-108): lowercase words (last hyphen
+    part), placeholders skipped, content POS initials only."""
+    tokens, pos, _domain = inst["ctx"]
+    out: set[str] = set()
+    for i in range(start, end + 1):
+        word = tokens[i].lower()
+        if "-" in word:
+            word = word.rsplit("-", 1)[1]
+        if tokens[i].startswith("PROTEIN"):
+            continue
+        if pos[i][:1].lower() in _GC_POS:
+            out.add(word)
+    return out
+
+
+def global_context_kernel(i1: dict, i2: dict, domain=None,
+                          synsets: dict | None = None) -> float:
+    """SimpleKernel.evaluateGlobalContextKernel (java:44-88): cosine of the
+    fore-between / between / between-after word-set windows.  ``domain`` +
+    ``synsets`` enable the dot2 synset-bridged match for DOMAIN terms
+    (java:308-331 via kernels/synsets.syn_match); without them the plain
+    set dot applies."""
+    if i1["type"] != i2["type"]:
+        return 0.0
+
+    def dot2(a: set[str], b: set[str]) -> float:
+        score = 0
+        for w in a:
+            if w in b:
+                score += 1
+            elif (domain is not None and synsets is not None
+                  and domain.is_domain_term(w)):
+                from nlp_lib_spark.kernels.synsets import syn_set
+                sw = syn_set(synsets, w)
+                if sw and any((syn_set(synsets, v) or frozenset()) & sw
+                              for v in b):
+                    score += 1
+        return float(score)
+
+    score = 0.0
+    n1 = len(i1["ctx"][0])
+    n2 = len(i2["ctx"][0])
+    windows = []
+    if i1["e1"] > 0 and i2["e1"] > 0:
+        windows.append(((0, i1["e1"] - 1), (0, i2["e1"] - 1)))
+    if i1["e2"] > i1["e1"] + 1 and i2["e2"] > i2["e1"] + 1:
+        windows.append(((i1["e1"], i1["e2"]), (i2["e1"], i2["e2"])))
+    if i1["e2"] < n1 - 1 and i2["e2"] < n2 - 1:
+        windows.append(((i1["e2"] + 1, n1 - 1), (i2["e2"] + 1, n2 - 1)))
+    for (a_rng, b_rng) in windows:
+        a = _gc_vector(i1, *a_rng)
+        b = _gc_vector(i2, *b_rng)
+        s = dot2(a, b)
+        d = math.sqrt(len(a) * len(b))
+        score += s / d if d > 0 else s
+    return score
+
+
+def edit_distance_kernel(i1: dict, i2: dict) -> float:
+    """EditDistanceKernel.evaluate (java:21-41): type gate, then
+    exp(-editdist/maxlen) over the left / right / full backbone segments.
+    Word equality uses the frozen stem as the BASE-lemma stand-in (the
+    reference reads GeniaTagger's BASE tag; this engine's morphological
+    normalizer is kernels/stem), PROTEIN placeholders match each other,
+    and DOMAIN words with equal POS initials match (java:57-64)."""
+    if i1["type"] != i2["type"] or i1["path"] is None or i2["path"] is None:
+        return 0.0
+    t1, p1, d1 = i1["ctx"]
+    t2, p2, d2 = i2["ctx"]
+    path1, path2 = i1["path"], i2["path"]
+
+    def seg(s1: int, e1: int, s2: int, e2: int) -> float:
+        len1 = e1 - s1 + 1
+        len2 = e2 - s2 + 1
+        c = [[0] * (len2 + 1) for _ in range(len1 + 1)]
+        for i in range(len1 + 1):
+            c[i][0] = i
+        for j in range(len2 + 1):
+            c[0][j] = j
+        for i in range(1, len1 + 1):
+            for j in range(1, len2 + 1):
+                a = s1 + i - 1
+                b = s2 + j - 1
+                match = False
+                if a % 2 == b % 2:
+                    if a % 2 == 0:
+                        p = int(path1[a])
+                        q = int(path2[b])
+                        w1, w2 = stem(t1[p]), stem(t2[q])
+                        if w1 == w2 or ("PROTEIN" in t1[p]
+                                        and "PROTEIN" in t2[q]):
+                            match = True
+                        elif (d1[p] is not None and d2[q] is not None
+                              and p1[p][:1] == p2[q][:1]):
+                            match = True
+                    else:
+                        match = path1[a] == path2[b]
+                if match:
+                    c[i][j] = c[i - 1][j - 1]
+                else:
+                    c[i][j] = min(c[i - 1][j], c[i][j - 1]) + 1
+        return math.exp(-1.0 * c[len1][len2] / max(len1, len2))
+
+    l1, l2 = _lcs_index(i1), _lcs_index(i2)
+    return (seg(0, l1, 0, l2)
+            + seg(l1, len(path1) - 1, l2, len(path2) - 1)
+            + seg(0, len(path1) - 1, 0, len(path2) - 1))

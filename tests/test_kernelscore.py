@@ -265,3 +265,66 @@ def test_kernel_path_resolves_fused_surfaces():
     assert resolve_surface(m, "PROTEIN2") == "row"
     assert resolve_surface(m, "PROTEIN0/PROTEIN1") == "spark/table"
     assert resolve_surface(m, "PROTEIN9") == "PROTEIN9"  # unknown passthrough
+
+
+# --------------------------- SimpleKernel / EditDistance / global context
+def _mk_inst(rt, sentence, which=(0, 1)):
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.kernelscore import relation_instance
+    from nlp_lib_spark.kernels.pipeline import annotate_sentence
+    ann = annotate_sentence(rt, sentence)
+    g = DepGraph(ann["edges"])
+    prot = [i for i, t in enumerate(ann["blinded"]) if "PROTEIN" in t]
+    dom = [d if d else None for d in ann["domain"]]
+    return relation_instance(ann["blinded"], ann["pos"], dom, g,
+                             prot[which[0]], prot[which[1]])
+
+
+def test_simple_kernel_identity_and_type_gate():
+    from nlp_lib_spark.fixtures import FIXTURE_CONFIG
+    from nlp_lib_spark.kernels.kernelscore import simple_kernel
+    rt = FIXTURE_CONFIG.build()
+    a = _mk_inst(rt, "the TagA activates the GerE .")
+    b = _mk_inst(rt, "the p53 inhibits the cdk2 .")
+    # self-similarity: three perfectly-overlapping normalized dots = 3
+    assert simple_kernel(a, a) == 3.0
+    s = simple_kernel(a, b)
+    assert 0.0 < s < 3.0
+    assert simple_kernel(a, b) == simple_kernel(b, a)
+    gated = dict(b)
+    gated["type"] = "LEFT" if b["type"] != "LEFT" else "RIGHT"
+    assert simple_kernel(a, gated) == 0.0
+
+
+def test_edit_distance_kernel_goldens():
+    import math
+
+    from nlp_lib_spark.fixtures import FIXTURE_CONFIG
+    from nlp_lib_spark.kernels.kernelscore import edit_distance_kernel
+    rt = FIXTURE_CONFIG.build()
+    a = _mk_inst(rt, "the TagA activates the GerE .")
+    b = _mk_inst(rt, "the p53 inhibits the cdk2 .")
+    # identical structure: zero edits in every segment -> exp(0)*3
+    assert edit_distance_kernel(a, a) == 3.0
+    # same backbone shape, different protein ids match as PROTEIN,
+    # activ/inhibit stems differ but both are DOMAIN verbs (POS V match)
+    assert edit_distance_kernel(a, b) == 3.0
+    c = _mk_inst(rt, "TagB binds p21 and also regulates MyoD , p53 .",
+                 which=(0, 1))
+    v = edit_distance_kernel(a, c)
+    assert 0.0 < v <= 3.0 and v == edit_distance_kernel(c, a)
+    assert math.isclose(edit_distance_kernel(c, c), 3.0)
+
+
+def test_global_context_kernel_windows():
+    from nlp_lib_spark.fixtures import FIXTURE_CONFIG
+    from nlp_lib_spark.kernels.kernelscore import global_context_kernel
+    rt = FIXTURE_CONFIG.build()
+    a = _mk_inst(rt, "the TagA strongly activates the GerE today .")
+    b = _mk_inst(rt, "the p53 strongly activates the cdk2 today .")
+    s = global_context_kernel(a, b)
+    # identical contexts: between + after windows cosine 1 each; the fore
+    # window holds only 'the' (non-content POS) so it contributes 0
+    assert s == 2.0
+    d = _mk_inst(rt, "a p53 weakly inhibits a cdk2 now .")
+    assert 0.0 <= global_context_kernel(a, d) < 3.0
