@@ -187,3 +187,46 @@ def test_kmeans_ivf_recall_vs_bruteforce(spark):
     assert km1 == km2
     pairs = {(q, n) for (q, n, _s) in km1}
     assert len(bf & pairs) / len(bf) >= 0.8
+
+
+def test_pdtb_to_conn_training_rows(spark, tmp_path):
+    """PDTB2ConnDB transform: explicit connective spans become B/I-CONN
+    rows in the sentence whose raw-document offsets contain them."""
+    from nlp_lib_spark.sources.pdtb_prep import explicit_conn_training_rows
+    from nlp_lib_spark.sources.readers import read_pdtb_relations
+    # raw doc: "the spark binds . however , the table merges because of x ."
+    #           0123456789...
+    doc = "the spark binds . however , the table merges because of x ."
+    s1 = "the spark binds ."
+    s2 = "however , the table merges because of x ."
+    off2 = doc.index(s2)
+    conn1 = doc.index("however")
+    conn2 = doc.index("because")
+    cols = [""] * 48
+    cols[0] = "Explicit"
+    cols[3] = f"{conn1}..{conn1 + len('however') - 1}"
+    cols[5] = "however"
+    cols[8] = "however"
+    cols[11] = "Comparison"
+    line1 = "|".join(cols)
+    cols[3] = f"{conn2}..{conn2 + len('because') - 1}"
+    cols[5] = cols[8] = "because"
+    cols[11] = "Contingency"
+    line2 = "|".join(cols)
+    pipe = tmp_path / "wsj_0001.pipe"
+    pipe.write_text(line1 + "\n" + line2 + "\n")
+    rels = read_pdtb_relations(spark, str(pipe))
+    fname = rels.select("file").first().file
+    sentences = spark.createDataFrame(
+        [(fname, 0, 0, s1), (fname, 1, off2, s2)],
+        "file string, sent_id int, start_offset int, text string")
+    rows = {r.conn_head: r for r in
+            explicit_conn_training_rows(rels, sentences).collect()}
+    assert set(rows) == {"however", "because"}
+    hw = rows["however"]
+    assert hw.sent_id == 1 and hw.sense == "Comparison"
+    assert list(hw.iob) == ["B-CONN"] + ["O"] * 8
+    bc = rows["because"]
+    assert bc.sent_id == 1
+    assert list(bc.iob) == ["O"] * 5 + ["B-CONN"] + ["O"] * 3
+    assert list(bc.tokens) == s2.split(" ")
