@@ -558,3 +558,85 @@ def predict_interactions(tokens: list[str], pos: list[str],
     out |= rule3(s, g)
     out |= rule5(s, g)
     return out
+
+
+# ----------------------- unshipped experiment rules (completeness port)
+# RelexRule4 / RelexRule6 exist in the reference but are NOT wired into the
+# shipped union (RunRelex.java:141-153) — predict_interactions deliberately
+# excludes them; they are available for experiment parity.
+_R6_RE = re.compile(r"PROT1W?(PUNC|CONJ|PROT)+W?PROT2W?REL")
+
+
+def rule4(s: Sent, g: DepGraph) -> set[Pair]:
+    """RelexRule4 (relx/ppi/RelexRule4.java:22-38): protein pairs that are
+    dep-disconnected or joined by a single appos/nn hop."""
+    out: set[Pair] = set()
+    n = len(s)
+    for i in range(n):
+        if not s.is_protein(i):
+            continue
+        for j in range(i + 1, n):
+            if not s.is_protein(j):
+                continue
+            labels = g.path_labels(i, j)
+            if labels is None:
+                out.add((i, j))
+            elif len(labels) == 1 and re.fullmatch(r"-?(appos|nn)",
+                                                   labels[0]):
+                out.add((i, j))
+    return out
+
+
+def _r6_sent_pattern(s: Sent, e1: int, e2: int) -> str:
+    # RelexRule6.getSentPattern (java:73-95): full-sentence class string,
+    # no '.' separators, PUNC bucket for [/,:;-]
+    parts: list[str] = []
+    for i in range(len(s)):
+        tok = s.tokens[i]
+        if i == e1:
+            parts.append("PROT1")
+        elif i == e2:
+            parts.append("PROT2")
+        elif "PROTEIN" in tok:
+            parts.append("PROT")
+        elif s.domain[i] is not None:
+            parts.append("REL" + (s.pos[i][:1] or "W"))
+        elif re.fullmatch(r"[/,:;-]", tok):
+            parts.append("PUNC")
+        elif s.pos[i] in ("IN", "TO"):
+            parts.append("PREP")
+        elif re.fullmatch(r"and|or", tok):
+            parts.append("CONJ")
+        else:
+            parts.append("W")
+    return "".join(parts)
+
+
+def rule6(s: Sent, g: DepGraph) -> set[Pair]:
+    """RelexRule6 (relx/ppi/RelexRule6.java:26-46): close pairs sharing a
+    DOMAIN-tagged non-negated subject governor, plus the coordinated-list
+    surface pattern ``PROT1 .. PROT2 .. REL``."""
+    out: set[Pair] = set()
+    n = len(s)
+
+    def gov_set(idx: int) -> set[int]:
+        return {gv for (reln, gv, dp) in g.dep_edges(idx, r"nsubj|nsubjpass")}
+
+    def negated(idx: int) -> bool:
+        return any(e[0].endswith("neg") for e in g.gov_edges(idx))
+
+    for i in range(n):
+        if not s.is_protein(i):
+            continue
+        set_i = gov_set(i)
+        for j in range(i + 1, n):
+            if not s.is_protein(j):
+                continue
+            set_j = gov_set(j)
+            shared = any(v in set_i and s.domain[v] is not None
+                         and not negated(v) for v in set_j)
+            if shared and (j - i) < 5:
+                out.add((i, j))
+            if _R6_RE.search(_r6_sent_pattern(s, i, j)):
+                out.add((i, j))
+    return out

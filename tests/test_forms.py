@@ -553,3 +553,44 @@ def test_rule2_matches_verbatim_reference():
         got = rule2(s, DepGraph(edges))
         exp = reference_rule2(toks, pos, dom, edges)
         assert got == exp, (toks, pos, dom, edges, got, exp)
+
+
+# --------------------- unshipped experiment rules (RelexRule4/RelexRule6)
+def test_rule4_disconnected_and_single_hop():
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule4
+    toks = ["PROTEIN0", "xx", "PROTEIN1", "yy", "PROTEIN2"]
+    s = Sent(toks, ["NN"] * 5, [None] * 5)
+    # 0-2 joined by one nn hop; 4 disconnected from both
+    g = DepGraph([("nn", 2, 0), ("det", 2, 1)])
+    got = rule4(s, g)
+    assert (0, 2) in got            # single nn hop
+    assert (0, 4) in got and (2, 4) in got  # disconnected
+    # two-hop pairs are excluded
+    g2 = DepGraph([("nn", 2, 0), ("nn", 4, 2)])
+    assert (0, 4) not in rule4(s, g2)
+
+
+def test_rule6_shared_subject_and_list_pattern():
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import Sent, rule6
+    # shared DOMAIN verb governs both proteins via distributed nsubj
+    toks = ["PROTEIN0", "and", "PROTEIN1", "interact", "."]
+    pos = ["NN", "CC", "NN", "VBP", "."]
+    dom = [None, None, None, "interact", None]
+    g = DepGraph([("conj_and", 0, 2), ("nsubj", 3, 0), ("nsubj", 3, 2)])
+    assert (0, 2) in rule6(Sent(toks, pos, dom), g)
+    # negated shared governor blocks the subject branch, but the list
+    # pattern PROT1 CONJ PROT2 W? REL still fires via the regex
+    gneg = DepGraph([("conj_and", 0, 2), ("nsubj", 3, 0), ("nsubj", 3, 2),
+                     ("neg", 3, 4)])
+    assert (0, 2) in rule6(Sent(toks, pos, dom), gneg)
+    # far-apart pair without the surface pattern: no fire
+    toks2 = ["PROTEIN0", "w", "w", "w", "w", "w", "PROTEIN1", "binds"]
+    pos2 = ["NN", "NN", "NN", "NN", "NN", "NN", "NN", "VBZ"]
+    dom2 = [None] * 7 + ["binds"]
+    g2 = DepGraph([("nsubj", 7, 0), ("nsubj", 7, 6)])
+    got = rule6(Sent(toks2, pos2, dom2), g2)
+    # j - i = 6 >= 5 blocks the subject branch; but PROT1W+PROT2W?REL...
+    # pattern needs (PUNC|CONJ|PROT)+ between — plain W's don't match
+    assert (0, 6) not in got
