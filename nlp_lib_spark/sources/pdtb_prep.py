@@ -59,3 +59,34 @@ transform(toks, (tok, pos) ->
     ELSE 'O'
   END)
 """).alias("iob"))
+
+
+def trees_to_raw(trees: DataFrame, tree_col: str = "tree") -> DataFrame:
+    """GSPTB2Raw (corpus/pdtb/GSPTB2Raw.java:52-74): gold Penn trees ->
+    space-joined raw sentences, dropping trace leaves (preterminal
+    ``-NONE-``).  The reference walks section dirs and writes one raw
+    file per .mrg; here one Arrow pass adds a ``raw`` column."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.tree import leaves, parse_penn
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            raws = []
+            for t in pdf[tree_col]:
+                root = parse_penn(t) if t else None
+                if root is None:
+                    raws.append("")
+                    continue
+                raws.append(" ".join(
+                    lf.word for lf in leaves(root)
+                    if lf.label != "-NONE-"))
+            pdf = pdf.copy()
+            pdf["raw"] = raws
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in trees.schema.fields) + ", raw string"
+    return trees.mapInPandas(fn, schema=schema)

@@ -230,3 +230,14 @@ def test_pdtb_to_conn_training_rows(spark, tmp_path):
     assert bc.sent_id == 1
     assert list(bc.iob) == ["O"] * 5 + ["B-CONN"] + ["O"] * 3
     assert list(bc.tokens) == s2.split(" ")
+
+
+def test_trees_to_raw_drops_traces(spark):
+    from nlp_lib_spark.sources.pdtb_prep import trees_to_raw
+    df = spark.createDataFrame(
+        [(0, "(S (NP (NN spark)) (VP (VBZ binds) (-NONE- *T*) (NP (DT the) (NN table))))"),
+         (1, "(ROOT)")],
+        "tree_id int, tree string")
+    got = {r.tree_id: r.raw for r in trees_to_raw(df).collect()}
+    assert got[0] == "spark binds the table"
+    assert got[1] == ""
