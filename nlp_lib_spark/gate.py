@@ -1546,6 +1546,27 @@ def q_kg_connectives(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "sense string, arg2_head int"))
 
 
+@gate("kg_crf_tags")  # oracle registered below (oracles.crf_tags_oracle_sql)
+def q_kg_crf_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained discourse-marker sequence tagger (kernels/crf.py averaged
+    perceptron, the CRF annotator family's trained counterpart) decoded
+    per sentence in Arrow batches — value-hash-verified against an exact
+    SQL Viterbi over the integer-quantized committed model."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.seqtag import crf_annotate
+    path = os.path.join(os.path.dirname(__file__), "models",
+                        "discourse_crf.json")
+    with open(path) as fh:
+        weights = json.load(fh)["weights"]
+    tagged = crf_annotate(_ann(spark, sf_dir), weights)
+    return (tagged.select("conv_id", "turn_idx", "sent_id",
+                          F.posexplode("tags").alias("idx", "tag")))
+
+
 @gate("kg_discourse")  # oracle registered below (oracles.discourse_oracle_sql)
 def q_kg_discourse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.discourse import discourse_relations
@@ -1795,6 +1816,7 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_ml_triples"] = O.ml_triples_oracle_sql()
     ORACLES["kg_rel_candidates"] = O.rel_candidates_oracle_sql()
     ORACLES["kg_kernel_triples"] = O.kernel_triples_oracle_sql()
+    ORACLES["kg_crf_tags"] = O.crf_tags_oracle_sql()
 
 
 _register_rule_chain_oracles()

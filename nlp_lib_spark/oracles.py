@@ -1363,3 +1363,127 @@ JOIN k_mention m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
      AND m2.sent_id = d.sent_id AND m2.k = CAST(substr(w2.w, 8) AS INT)
 WHERE sc.s >= 0.5
 """
+
+
+def crf_tags_oracle_sql() -> str:
+    """kg_crf_tags oracle: exact Viterbi decode of the trained
+    discourse-marker sequence model (kernels/crf.py) in SQL.
+
+    The committed model quantizes every weight to an integer (x 1e6,
+    scripts/train_crf.py), so every Viterbi score is an exact BIGINT sum —
+    the recursion carries one score and one back-path column per tag and
+    resolves ties toward the lexicographically smaller tag exactly like
+    the kernel, making the decode bit-identical across engines with no
+    float anywhere."""
+    import json
+    import os
+
+    from nlp_lib_spark.kernels.crf import START, _TRANS
+    model_path = os.path.join(os.path.dirname(__file__), "models",
+                              "discourse_crf.json")
+    with open(model_path) as fh:
+        weights = json.load(fh)["weights"]
+    emit: dict[tuple[str, str], int] = {}
+    trans: dict[tuple[str, str], int] = {}
+    tags: set[str] = set()
+    for k, v in weights.items():
+        if k.startswith(_TRANS):
+            p, t = k[len(_TRANS):].split("\x00")
+            trans[(p, t)] = int(v)
+            if p != START:
+                tags.add(p)
+            tags.add(t)
+        else:
+            t, feat = k.split("\x00", 1)
+            emit[(t, feat)] = int(v)
+            tags.add(t)
+    tagset = sorted(tags)
+    nt = len(tagset)
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    e_vals = ", ".join(f"({q(t)}, {q(f)}, {w})"
+                       for (t, f), w in sorted(emit.items()))
+    T = [[trans.get((p, t), 0) for t in tagset] for p in tagset]
+    T0 = [trans.get((START, t), 0) for t in tagset]
+
+    base_cols = ", ".join(
+        f"e.e{j} + {T0[j]} AS s{j}, CAST({j} AS VARCHAR) AS p{j}"
+        for j in range(nt))
+
+    def best_pred(j: int) -> tuple[str, str]:
+        """(score_expr, path_expr) for tag j at step i: max over
+        predecessors with lex-min (index) tie-break."""
+        score = f"v.s0 + {T[0][j]}"
+        path = "v.p0"
+        for p in range(1, nt):
+            cand = f"v.s{p} + {T[p][j]}"
+            score_new = f"greatest({score}, {cand})"
+            path = (f"CASE WHEN ({score}) >= ({cand}) THEN {path} "
+                    f"ELSE v.p{p} END")
+            score = score_new
+        return score, path
+
+    step_cols = []
+    for j in range(nt):
+        sc, pa = best_pred(j)
+        step_cols.append(f"({sc}) + e.e{j} AS s{j}, "
+                         f"({pa}) || ',' || CAST({j} AS VARCHAR) AS p{j}")
+    step_cols_sql = ", ".join(step_cols)
+
+    final_score = "v.s0"
+    final_path = "v.p0"
+    for j in range(1, nt):
+        final_path = (f"CASE WHEN ({final_score}) >= (v.s{j}) "
+                      f"THEN {final_path} ELSE v.p{j} END")
+        final_score = f"greatest({final_score}, v.s{j})"
+
+    tag_vals = ", ".join(f"({j}, {q(t)})" for j, t in enumerate(tagset))
+    e_cols = ", ".join(
+        f"coalesce(sum(CASE WHEN w.tag = {q(tagset[j])} THEN w.wt END), 0) AS e{j}"
+        for j in range(nt))
+    return stream_sql_prefix(all_sentences=True) + f""",
+wts_e(tag, feat, wt) AS (VALUES {e_vals}),
+tagnames(tid, tag) AS (VALUES {tag_vals}),
+c_feat AS MATERIALIZED (  -- the 8 position features (kernels/crf.py)
+  SELECT sk, i, unnest([
+    'w=' || lw,
+    'pre3=' || substr(lw, 1, 3),
+    'suf3=' || substr(lw, greatest(1, length(lw) - 2)),
+    'pos=' || pos,
+    'pw=' || coalesce(lag(lw) OVER win, '<S>'),
+    'nw=' || coalesce(lead(lw) OVER win, '</S>'),
+    'ppos=' || coalesce(lag(pos) OVER win, '<S>'),
+    'npos=' || coalesce(lead(pos) OVER win, '</S>')
+  ]) AS feat
+  FROM str2
+  WINDOW win AS (PARTITION BY sk ORDER BY i)
+),
+c_emis AS MATERIALIZED (  -- exact integer emission score per (token, tag)
+  SELECT f.sk, f.i, {e_cols}
+  FROM c_feat f LEFT JOIN wts_e w ON w.feat = f.feat
+  GROUP BY f.sk, f.i
+),
+c_n AS MATERIALIZED (SELECT sk, count(*) AS n FROM str2 GROUP BY sk),
+c_vit(sk, i, {", ".join(f"s{j}, p{j}" for j in range(nt))}) AS (
+  SELECT e.sk, 0, {base_cols}
+  FROM c_emis e WHERE e.i = 0
+  UNION ALL
+  SELECT v.sk, v.i + 1, {step_cols_sql}
+  FROM c_vit v JOIN c_emis e ON e.sk = v.sk AND e.i = v.i + 1
+),
+c_done AS MATERIALIZED (
+  SELECT v.sk, {final_path} AS best_path
+  FROM c_vit v JOIN c_n n ON n.sk = v.sk
+  WHERE v.i = n.n - 1
+)
+SELECT d.conv_id, d.turn_idx, d.sent_id,
+       CAST(gs.s - 1 AS INT) AS idx, tn.tag
+FROM c_done c
+JOIN sdim d ON d.sk = c.sk,
+LATERAL (SELECT unnest(generate_series(1,
+           len(string_split(c.best_path, ',')))) AS s) gs
+JOIN tagnames tn
+  ON tn.tid = CAST(string_split(c.best_path, ',')[gs.s] AS INT)
+"""
