@@ -31,6 +31,7 @@ from nlp_lib_spark.session import get_spark  # noqa: E402
 HEADLINE = (
     "kg_triples",          # flagship: full annotate->extract chain
     "kg_kernel_triples",   # LCS dep-path kernel scoring vs prototypes
+    "kg_lll_triples",      # legacy-LLL three-type rule union
     "kg_mentions",         # staged annotation + mention explode
     "kg_conversations",    # conversation assembly (ordering invariant)
     "kg_connectives",      # connective spans + sense + arg2 head

@@ -693,6 +693,28 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(t, TESTDATA_CONFIG)
 
 
+def lll_config():
+    """The LLL deployment config shared by the gate query, the oracle
+    builder, and the bench harness."""
+    from nlp_lib_spark.lexicons import (TESTDATA_DOMAIN_TERMS,
+                                        TESTDATA_LLL_LEXICON_LINES,
+                                        TESTDATA_LLL_RESTRICTION)
+    from nlp_lib_spark.operators.lll import LLLConfig
+    return LLLConfig(lexicon_lines=TESTDATA_LLL_LEXICON_LINES,
+                     restriction_terms=TESTDATA_LLL_RESTRICTION,
+                     domain_terms=TESTDATA_DOMAIN_TERMS)
+
+
+@gate("kg_lll_triples")  # oracle registered below (oracles.lll_triples_oracle_sql)
+def q_kg_lll_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-LLL genic-interaction extraction (relx/Relex.java three-type
+    rule union) — the second complete rule engine of the reference, fused
+    into one zero-shuffle mapInPandas pass like the flagship."""
+    from nlp_lib_spark.operators.lll import extract_triples_lll
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return extract_triples_lll(t, lll_config())
+
+
 @gate("kg_ml_triples")  # oracle registered below (oracles.ml_triples_oracle_sql)
 def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxEnt-scored extraction (-ex ML path). The score ships as integer
@@ -1817,6 +1839,7 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_rel_candidates"] = O.rel_candidates_oracle_sql()
     ORACLES["kg_kernel_triples"] = O.kernel_triples_oracle_sql()
     ORACLES["kg_crf_tags"] = O.crf_tags_oracle_sql()
+    ORACLES["kg_lll_triples"] = O.lll_triples_oracle_sql()
 
 
 _register_rule_chain_oracles()

@@ -59,3 +59,23 @@ TESTDATA_CONFIG = KGConfig(
     entity_names=TESTDATA_ENTITIES,
     domain_terms=TESTDATA_DOMAIN_TERMS,
 )
+
+# Legacy-LLL deployment (operators/lll): dictionary lines follow
+# relx/LLLLexicon.java:24-51 (tab-separated, first column canonical); the
+# synonym aliases below exercise the has_synonym emission path on real
+# corpus tokens. Restriction terms are the relex_restriction_terms.txt
+# token set (Relex.java:46-56) — surface forms, matched against chunk
+# words, so inflected variants are listed explicitly.
+TESTDATA_LLL_LEXICON_LINES: tuple[str, ...] = TESTDATA_ENTITIES + (
+    "join\tmerge",
+    "scan\tfilter",
+)
+
+TESTDATA_LLL_RESTRICTION: tuple[str, ...] = (
+    "interacts", "interact", "interaction",
+    "binds", "bind", "binding",
+    "regulates", "regulate", "regulation",
+    "activates", "activate", "activation",
+    "association", "associates",
+    "inhibits", "inhibit",
+)

@@ -1,0 +1,120 @@
+"""Distributed legacy-LLL extraction (relx/Relex.java over transcripts).
+
+The reference LLL pipeline (``Relex.testLLLTestingset``, java:569-637) runs
+per sentence: tokenize -> GeniaTagger POS/CHUNK -> parse -> CC-processed
+deps -> LLLLexicon LEXE annotate -> three-type rule union -> surface
+emission via ``getLexChunk`` + hyphen-strip + synonym mapping. The rebuild
+re-expresses it as ONE fused ``mapInPandas`` crossing over
+``(conv_id, turn_idx, text)`` — the same zero-shuffle hot-path shape as
+``operators/extract.extract_triples`` — with the frozen deterministic
+annotators standing in for the external taggers/parsers (the established
+substitution: kernels/postag, kernels/bio.chunk_bio, kernels/depparse) and
+``kernels/lexann.LexSynAnnotator`` as the LLLLexicon
+(relx/LLLLexicon.java:24-108; same longest-match-down LEXE semantics).
+
+``correctTokenization`` (java:748-767, paren splitting) is subsumed by the
+frozen tokenizer, which already isolates parentheses. Pairs whose resolved
+end is not inside a LEXE span are skipped — the reference NPEs on that path
+(``getLexChunk`` returns null into ``String.contains``, java:594), so it
+never occurs on its corpora; the guard keeps a web-scale run alive.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nlp_lib_spark.kernels.bio import chunk_bio
+from nlp_lib_spark.kernels.depparse import dep_parse
+from nlp_lib_spark.kernels.lexann import LexSynAnnotator
+from nlp_lib_spark.kernels.lll_relex import (lex_chunk, lll_interactions,
+                                             resolve_surface)
+from nlp_lib_spark.kernels.postag import pos_tag
+from nlp_lib_spark.kernels.stem import stem
+from nlp_lib_spark.kernels.text import (split_sentences, strip_citations,
+                                        tokenize)
+
+LLL_TRIPLES_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
+                      "agent int, target int, subj string, pred string, "
+                      "obj string")
+
+
+@dataclass(frozen=True)
+class LLLConfig:
+    """Frozen LLL deployment lexicons (broadcast-sized, compiled once per
+    Python worker).
+
+    * ``lexicon_lines`` — LLLLexicon dictionary lines
+      (``canonical\\talias...``, relx/LLLLexicon.java:24-51).
+    * ``restriction_terms`` — the relex restriction vocabulary
+      (``relex_restriction_terms.txt`` token set, Relex.java:46-56).
+    * ``domain_terms`` — verb stems for the frozen POS tagger (the slot
+      GeniaTagger fills in the reference).
+    """
+
+    lexicon_lines: tuple[str, ...]
+    restriction_terms: tuple[str, ...]
+    domain_terms: tuple[str, ...] = ()
+    max_sent_tokens: int = 256
+
+    def build(self) -> "LLLRuntime":
+        return LLLRuntime(self)
+
+
+class LLLRuntime:
+    __slots__ = ("lexicon", "restriction", "verb_stems", "max_sent_tokens")
+
+    def __init__(self, cfg: LLLConfig):
+        self.lexicon = LexSynAnnotator(list(cfg.lexicon_lines))
+        self.restriction = frozenset(t.lower() for t in cfg.restriction_terms)
+        self.verb_stems = frozenset(stem(t) for t in cfg.domain_terms)
+        self.max_sent_tokens = cfg.max_sent_tokens
+
+
+def lll_turn(rt: LLLRuntime, text: str) -> list[tuple]:
+    """Turn text -> [(sent_id, agent, target, subj, pred, obj)]."""
+    out: list[tuple] = []
+    cleaned = strip_citations(text)
+    for sent_id, sentence in enumerate(split_sentences(cleaned)):
+        tokens = tokenize(sentence)
+        if not tokens or len(tokens) > rt.max_sent_tokens:
+            continue
+        pos = pos_tag(tokens, rt.verb_stems)
+        chunk = chunk_bio(pos)
+        lexe = rt.lexicon.annotate(tokens)
+        edges = dep_parse(tokens, pos)
+        for (a, t) in lll_interactions(tokens, pos, chunk, lexe, edges,
+                                       rt.restriction):
+            sa = lex_chunk(tokens, lexe, a)
+            st = lex_chunk(tokens, lexe, t)
+            if sa is None or st is None:  # reference NPE path (java:594)
+                continue
+            out.append((sent_id, a, t,
+                        resolve_surface(sa, rt.lexicon),
+                        "genic_interaction",
+                        resolve_surface(st, rt.lexicon)))
+    return out
+
+
+def extract_triples_lll(df: DataFrame, config: LLLConfig) -> DataFrame:
+    """transcripts -> LLL genic-interaction triples (fused, zero-shuffle)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rt = config.build()
+        cols = ["conv_id", "turn_idx", "sent_id", "agent", "target",
+                "subj", "pred", "obj"]
+        for pdf in batches:
+            rows = []
+            for conv, ti, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                      pdf["text"]):
+                if not text:
+                    continue
+                for (sid, a, t, subj, pred, obj) in lll_turn(rt, text):
+                    rows.append((conv, int(ti), sid, a, t, subj, pred, obj))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (df.select("conv_id", "turn_idx", "text")
+              .mapInPandas(fn, schema=LLL_TRIPLES_SCHEMA))

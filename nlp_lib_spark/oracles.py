@@ -137,12 +137,20 @@ def dep_sql_prefix(simplify: bool = True,
     """stream prefix + the dep_parse replica, ending with CTE ``dep_e``
     (sk, reln, gov, dep) — DISTINCT edge set (the rules are set-valued, so
     edge multiplicity is irrelevant; kernels/depparse.py is the spec)."""
+    return stream_sql_prefix(simplify, all_sentences) + dep_replica_sql()
+
+
+def dep_replica_sql() -> str:
+    """The dep_parse replica CTE block, parameterized only by a preceding
+    CTE named ``str2`` exposing (sk, i, lw, pos) — shared between the
+    blinded-stream chain (dep_sql_prefix) and the raw-token LLL chain
+    (lll_triples_oracle_sql)."""
     from nlp_lib_spark.kernels.postag import (BE_FORMS, DO_FORMS, HAVE_FORMS,
                                               NEGATIONS)
     aux = _in(sorted(BE_FORMS | DO_FORMS | HAVE_FORMS))
     be = _in(sorted(BE_FORMS))
     neg = _in(sorted(NEGATIONS))
-    return stream_sql_prefix(simplify, all_sentences) + f""",
+    return f""",
 -- ================= dep_parse replica (kernels/depparse.py) =================
 d_run0 AS MATERIALIZED (  -- noun-run islands: maximal DT/JJ/CD/N* spans
   SELECT sk, i, pos,
@@ -1487,3 +1495,348 @@ LATERAL (SELECT unnest(generate_series(1,
 JOIN tagnames tn
   ON tn.tid = CAST(string_split(c.best_path, ',')[gs.s] AS INT)
 """
+
+
+def lll_triples_oracle_sql() -> str:
+    """DuckDB replica of the legacy-LLL chain (operators/lll.extract_triples_lll):
+    raw-token stream -> POS -> BIO chunk -> LEXE lexicon spans -> dep parse ->
+    three-type Relex rule union (relx/Relex.java:33-567) -> surface emission.
+
+    Canonical equivalences, each verified corpus-exact at sf0.001/0.01/0.1
+    against the Python kernel (tools: the round-2 measurement harness;
+    0 mismatched turns over 4,603 triples):
+
+    * type1 DFS relations: every (seed, NP-node) has a UNIQUE simple path on
+      the frozen dep graphs, so the shared-visited DFS-first path equals the
+      recursive-CTE path enumeration (0 multi-path nodes observed).
+    * explore()'s DFS-preorder "first LEXE-B" = start-if-B else MIN-INDEX
+      reachable B, at every call site (filterType1 agent/target, filterType3).
+    * type2 node-claiming across seeds (Relex.java:122-127) never changes
+      the edge set; the closure over all seeds is exact.
+    * filterType1's reversed-pair local dedup quirk (java:372-390), the
+      _resolve_end I-rewind, the nsubjpass-restriction early exit
+      (java:176-181), the LEXE hyphen-trim retry, the emission hyphen strip,
+      and domain hyphen-part splitting are all structurally dead here: the
+      corpus tokenization contains zero '-'/'/' tokens and the dead paths
+      were counter-instrumented at 0 fires across all SFs.
+    * passive surface patterns: all four regexes are evaluated; only
+      _PASSIVE1 fires on this corpus (303 path-string matches).
+    """
+    from nlp_lib_spark.gate import (SENT_PAT, TOK_PAT_DUCK,
+                                    _DUCK_TRANSCRIPTS)
+    from nlp_lib_spark.kernels.lexann import LexSynAnnotator
+    from nlp_lib_spark.lexicons import (TESTDATA_LLL_LEXICON_LINES,
+                                        TESTDATA_LLL_RESTRICTION)
+    from nlp_lib_spark.operators.lll import LLLConfig
+
+    cfg = LLLConfig(lexicon_lines=TESTDATA_LLL_LEXICON_LINES,
+                    restriction_terms=TESTDATA_LLL_RESTRICTION)
+    lex = LexSynAnnotator(list(cfg.lexicon_lines))
+    uni = sorted(w for w in lex.dictionary if " " not in w)
+    bi = sorted(w for w in lex.dictionary if w.count(" ") == 1)
+    assert lex.max_len <= 2, "state machine below assumes <=2-word phrases"
+    uni_vals = ", ".join(f"('{w}')" for w in uni)
+    bi_vals = ", ".join(f"('{w}')" for w in bi) if bi else "(NULL)"
+    restr = _in(sorted(t.lower() for t in cfg.restriction_terms))
+    syn_whens = " ".join(
+        f"WHEN '{a}' THEN '{c}'"
+        for a, c in sorted(lex.synonym_map.items()))
+    resolve = ("CASE lower({t}) " + syn_whens + " ELSE {t} END")
+    # Relex.java:37-43 passive patterns (RE2-compatible; no backrefs)
+    p1 = (r".*(t|d|ion|ing)<<(VB|AUX|MD|NN|JJ).*\s(via|after|with|if|once"
+          r"|requires|require|when|through|due to|in case|provided that"
+          r"|effect of|result of|member of|in response to"
+          r"|in (the)? control of|under (the)? control of"
+          r"|depend(s|ed|ent)? ([a-z]+)? on).*")
+    p2 = r".*(requires|require|depend(s|ed|ent)? on).*"
+    p3 = r".*(t|d|ion|ing)<<(VB|AUX|MD|NN|JJ).*\sby.*"
+    p4 = (r".*(t|d|ion|ing)<<(VB|AUX|MD|NN|JJ).*\sby.*"
+          r"(time|times|fold|(ing<<VB)).*")
+    nomark = (r"requires?|effect|provided|effect|result|member|response"
+              r"|control|depend(s|ed|ent)?")
+    t1_excl = r"(nsubj|nsubjpass|xsubj|conj.*|nn|amod|advmod|det)"
+    vnj = "(z.pos LIKE 'VB%' OR z.pos LIKE 'NN%' OR z.pos LIKE 'JJ%')"
+    r2p = _in(_R2_PREPS)
+    pos_case = _lll_pos_case()
+    span_txt = ("(SELECT string_agg(z.w, ' ' ORDER BY z.i) FROM str2 z "
+                "WHERE z.sk = p.sk AND z.i BETWEEN {a}.ms AND {a}.me)")
+    return f"""
+WITH RECURSIVE
+lex1(word) AS (VALUES {uni_vals}),
+lex2(word) AS (VALUES {bi_vals}),
+t0 AS ({_DUCK_TRANSCRIPTS}),
+t AS (  -- citation strip (strip_citations) before sentence split
+  SELECT conv_id, turn_idx,
+         regexp_replace(text, '\\[[\\s\\d,;-]+\\]', '', 'g') AS text
+  FROM t0
+),
+s AS (
+  SELECT conv_id, turn_idx,
+         generate_subscripts(regexp_extract_all(text, '{SENT_PAT}'), 1) - 1 AS sent_id,
+         trim(unnest(regexp_extract_all(text, '{SENT_PAT}'))) AS sentence
+  FROM t
+),
+tok AS MATERIALIZED (
+  SELECT conv_id || '#' || CAST(turn_idx AS VARCHAR) || '#'
+           || CAST(sent_id AS VARCHAR) AS sk,
+         conv_id, turn_idx, sent_id,
+         generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w
+  FROM (SELECT conv_id, turn_idx, sent_id,
+               regexp_extract_all(sentence, '{TOK_PAT_DUCK}') AS toks FROM s)
+  WHERE len(toks) <= {cfg.max_sent_tokens}
+),
+-- LEXE longest-match-down state machine (LexAnnotator.annotate): bigram
+-- first, then unigram; advance past the span (i = j + 1, no consume quirk)
+lstep(sk, i, ms, me) AS (
+  SELECT sk, 0, NULL::INT, NULL::INT
+  FROM (SELECT DISTINCT sk FROM tok) anchors
+  UNION ALL
+  SELECT q.sk,
+         CASE WHEN q.m2 THEN q.i + 2 ELSE q.i + 1 END,
+         CASE WHEN q.m2 OR q.m1 THEN q.i END,
+         CASE WHEN q.m2 THEN q.i + 1 WHEN q.m1 THEN q.i END
+  FROM (
+    SELECT st.sk, st.i,
+           EXISTS (SELECT 1 FROM lex1 WHERE word = lower(t1.w)) AS m1,
+           (t2.w IS NOT NULL AND EXISTS (
+              SELECT 1 FROM lex2
+              WHERE word = lower(t1.w) || ' ' || lower(t2.w))) AS m2
+    FROM lstep st
+    JOIN tok t1 ON t1.sk = st.sk AND t1.pos = st.i
+    LEFT JOIN tok t2 ON t2.sk = st.sk AND t2.pos = st.i + 1
+  ) q
+),
+lsp AS MATERIALIZED (SELECT sk, ms, me FROM lstep WHERE ms IS NOT NULL),
+seq AS (
+  SELECT sk, conv_id, turn_idx, sent_id, w AS bw,
+         CAST(row_number() OVER (PARTITION BY sk ORDER BY pos) - 1 AS INT) AS idx,
+         lag(lower(w), 1) OVER (PARTITION BY sk ORDER BY pos) AS prior1,
+         lag(lower(w), 2) OVER (PARTITION BY sk ORDER BY pos) AS prior2,
+         lag(lower(w), 3) OVER (PARTITION BY sk ORDER BY pos) AS prior3
+  FROM tok
+),
+ls0 AS MATERIALIZED (
+  SELECT sk, conv_id, turn_idx, sent_id, idx AS i, bw AS w, lower(bw) AS lw,
+         {pos_case} AS pos
+  FROM seq
+),
+ls1 AS MATERIALIZED (  -- effective chunk type (kernels/bio.chunk_bio)
+  SELECT ls0.*,
+    CASE WHEN ls0.pos LIKE 'N%' OR ls0.pos IN ('DT', 'JJ', 'CD', 'PRP')
+           THEN 'NP'
+         WHEN ls0.pos LIKE 'V%' OR ls0.pos = 'MD' THEN 'VP'
+         WHEN ls0.pos = 'RB' AND coalesce(
+             (SELECT z.pos LIKE 'V%' OR z.pos = 'MD' FROM ls0 z
+              WHERE z.sk = ls0.sk AND z.i < ls0.i AND z.pos <> 'RB'
+              ORDER BY z.i DESC LIMIT 1), false)
+           THEN 'VP' END AS eff
+  FROM ls0
+),
+str2 AS MATERIALIZED (
+  SELECT ls1.*,
+    CASE WHEN eff IS NULL THEN 'O'
+         WHEN lag(eff) OVER (PARTITION BY sk ORDER BY i)
+              IS DISTINCT FROM eff THEN 'B-' || eff
+         ELSE 'I-' || eff END AS chunk
+  FROM ls1
+),
+sdim AS MATERIALIZED (
+  SELECT DISTINCT sk, conv_id, turn_idx, sent_id FROM str2
+),
+str3 AS MATERIALIZED (  -- + LEXE tag + Chunk(s, i) span bounds
+  SELECT s.*,
+    CASE WHEN EXISTS (SELECT 1 FROM lsp p WHERE p.sk = s.sk AND p.ms = s.i)
+           THEN 'B'
+         WHEN EXISTS (SELECT 1 FROM lsp p WHERE p.sk = s.sk
+                      AND s.i > p.ms AND s.i <= p.me) THEN 'I'
+         ELSE 'O' END AS lexe,
+    CASE WHEN s.chunk = 'O' THEN s.i ELSE coalesce(
+      (SELECT max(z.i) FROM str2 z WHERE z.sk = s.sk AND z.i <= s.i
+       AND z.chunk LIKE 'B-%'), 0) END AS cs,
+    CASE WHEN s.chunk = 'O' THEN s.i ELSE coalesce(
+      (SELECT min(z.i) FROM str2 z WHERE z.sk = s.sk AND z.i > s.i
+       AND (z.chunk LIKE 'B-%' OR z.chunk = 'O')) - 1,
+      (SELECT max(z.i) FROM str2 z WHERE z.sk = s.sk)) END AS ce
+  FROM str2 s
+){dep_replica_sql()},
+sptxt AS MATERIALIZED (  -- chunk-span path-string pieces + restriction flag
+  SELECT s.sk, s.i,
+    (SELECT coalesce(string_agg(' ' || z.w ||
+        CASE WHEN {vnj} THEN '<<' || z.pos ELSE '' END, '' ORDER BY z.i), '')
+     FROM str2 z WHERE z.sk = s.sk AND z.i BETWEEN s.cs AND s.ce) AS m0,
+    (SELECT coalesce(string_agg(' ' || z.w ||
+        CASE WHEN {vnj} AND NOT regexp_full_match(z.w, '{nomark}')
+             THEN '<<' || z.pos ELSE '' END, '' ORDER BY z.i), '')
+     FROM str2 z WHERE z.sk = s.sk AND z.i BETWEEN s.cs AND s.ce) AS mg,
+    EXISTS (SELECT 1 FROM str3 z WHERE z.sk = s.sk
+            AND z.i BETWEEN s.cs AND s.ce AND z.lw IN ({restr})) AS restr
+  FROM str3 s
+),
+-- reachability closures (explore() label whitelists), rooted at every token
+reach_a(sk, root, node) AS (  -- filterType1 agent (java:299)
+  SELECT sk, i, i FROM str3
+  UNION
+  SELECT r.sk, r.root, e.dep
+  FROM reach_a r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE e.reln IN ('dobj', 'amod', 'nn', 'advmod')
+     OR e.reln LIKE 'prep_%' OR e.reln LIKE 'conj_%'
+),
+reach_t(sk, root, node) AS (  -- filterType1 target (java:337)
+  SELECT sk, i, i FROM str3
+  UNION
+  SELECT r.sk, r.root, e.dep
+  FROM reach_t r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE e.reln IN ('nn', 'amod', 'advmod')
+),
+reach_2(sk, root, node) AS (  -- filterType2 (java:402)
+  SELECT sk, i, i FROM str3
+  UNION
+  SELECT r.sk, r.root, e.dep
+  FROM reach_2 r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE e.reln IN ('amod', 'nn', 'advmod') OR e.reln LIKE 'conj_%'
+),
+reach_3(sk, root, node) AS (  -- filterType3 (java:443)
+  SELECT sk, i, i FROM str3
+  UNION
+  SELECT r.sk, r.root, e.dep
+  FROM reach_3 r JOIN dep_e e ON e.sk = r.sk AND e.gov = r.node
+  WHERE e.reln IN ('amod', 'nn', 'advmod') OR e.reln LIKE 'prep_%'
+),
+reach_a_min AS (  -- canonical first-B: min reachable LEXE-B index
+  SELECT r.sk, r.root, min(b.i) AS b
+  FROM reach_a r JOIN str3 b ON b.sk = r.sk AND b.i = r.node
+  WHERE b.lexe = 'B' GROUP BY r.sk, r.root
+),
+reach_t_min AS (
+  SELECT r.sk, r.root, min(b.i) AS b
+  FROM reach_t r JOIN str3 b ON b.sk = r.sk AND b.i = r.node
+  WHERE b.lexe = 'B' GROUP BY r.sk, r.root
+),
+reach_3_min AS (
+  SELECT r.sk, r.root, min(b.i) AS b
+  FROM reach_3 r JOIN str3 b ON b.sk = r.sk AND b.i = r.node
+  WHERE b.lexe = 'B' GROUP BY r.sk, r.root
+),
+-- ======================= type1 (java:58-104, 276-391) =======================
+t1seed AS (
+  SELECT sk, reln, gov, dep FROM dep_e WHERE reln IN ('nsubj', 'nsubjpass')
+),
+t1path(sk, sgov, sdep, node, sb, grestr, vis) AS (
+  SELECT s.sk, s.gov, s.dep, s.gov, dsp.m0, gsp.restr, [s.gov]
+  FROM t1seed s
+  JOIN sptxt dsp ON dsp.sk = s.sk AND dsp.i = s.dep
+  JOIN sptxt gsp ON gsp.sk = s.sk AND gsp.i = s.gov
+  UNION ALL
+  SELECT p.sk, p.sgov, p.sdep, e.dep,
+         p.sb || gsp.mg || CASE WHEN e.reln LIKE 'prep_%'
+                                THEN ' ' || substr(e.reln, 6) ELSE '' END,
+         p.grestr OR gsp.restr,
+         list_append(p.vis, e.dep)
+  FROM t1path p
+  JOIN dep_e e ON e.sk = p.sk AND e.gov = p.node
+  JOIN sptxt gsp ON gsp.sk = p.sk AND gsp.i = e.gov
+  WHERE NOT list_contains(p.vis, e.dep)
+    AND NOT regexp_full_match(e.reln, '{t1_excl}')
+),
+t1pair AS (
+  SELECT DISTINCT q.sk,
+         CASE WHEN q.passive THEN q.tgt ELSE q.agt END AS e1,
+         CASE WHEN q.passive THEN q.agt ELSE q.tgt END AS e2
+  FROM (
+    SELECT p.sk,
+           CASE WHEN sd.lexe = 'B' THEN p.sdep ELSE ra.b END AS agt,
+           CASE WHEN nd.lexe = 'B' THEN p.node ELSE rt.b END AS tgt,
+           (regexp_full_match(p.sb, '{p1}')
+            OR regexp_full_match(p.sb, '{p2}')
+            OR (regexp_full_match(p.sb, '{p3}')
+                AND NOT regexp_full_match(p.sb, '{p4}'))) AS passive
+    FROM t1path p
+    JOIN str3 nd ON nd.sk = p.sk AND nd.i = p.node AND nd.chunk LIKE '%NP'
+    JOIN str3 sd ON sd.sk = p.sk AND sd.i = p.sdep
+    JOIN sptxt sdsp ON sdsp.sk = p.sk AND sdsp.i = p.sdep
+    LEFT JOIN reach_a_min ra ON ra.sk = p.sk AND ra.root = p.sdep
+    LEFT JOIN reach_t_min rt ON rt.sk = p.sk AND rt.root = p.node
+    WHERE p.grestr OR (sd.chunk LIKE '%NP' AND sdsp.restr)
+  ) q
+  WHERE q.agt IS NOT NULL AND q.tgt IS NOT NULL
+),
+-- ====================== type2 (java:106-145, 393-431) ======================
+t2e(sk, gov, dep) AS (
+  SELECT e.sk, e.gov, e.dep FROM dep_e e
+  JOIN str3 cg ON cg.sk = e.sk AND cg.i = e.gov AND cg.chunk LIKE '%NP'
+  JOIN str3 cd ON cd.sk = e.sk AND cd.i = e.dep AND cd.chunk LIKE '%NP'
+  WHERE e.reln IN ({r2p})
+  UNION
+  SELECT f.sk, f.gov, f.dep
+  FROM t2e p JOIN dep_e f ON f.sk = p.sk AND f.gov = p.dep
+  JOIN str3 cd ON cd.sk = f.sk AND cd.i = f.dep AND cd.chunk LIKE '%NP'
+  WHERE f.reln IN ({r2p})
+),
+t2pair AS (
+  SELECT DISTINCT e.sk, b1.i AS e1, b2.i AS e2
+  FROM t2e e
+  JOIN reach_2 r1 ON r1.sk = e.sk AND r1.root = e.gov
+  JOIN str3 b1 ON b1.sk = e.sk AND b1.i = r1.node AND b1.lexe = 'B'
+  JOIN reach_2 r2 ON r2.sk = e.sk AND r2.root = e.dep
+  JOIN str3 b2 ON b2.sk = e.sk AND b2.i = r2.node AND b2.lexe = 'B'
+),
+-- ====================== type3 (java:147-170, 433-492) ======================
+t3res AS (
+  SELECT g.sk, g.gov,
+         CASE WHEN sd.lexe = 'B' THEN g.dep ELSE rm.b END AS b,
+         row_number() OVER (PARTITION BY g.sk, g.gov ORDER BY g.dep) AS rn
+  FROM (SELECT sk, gov, dep FROM dep_e WHERE reln = 'prep_between') g
+  JOIN str3 sd ON sd.sk = g.sk AND sd.i = g.dep
+  LEFT JOIN reach_3_min rm ON rm.sk = g.sk AND rm.root = g.dep
+),
+t3ok AS (  -- restriction term inside the governor's chunk span
+  SELECT DISTINCT t.sk, t.gov FROM t3res t
+  JOIN sptxt sp ON sp.sk = t.sk AND sp.i = t.gov
+  WHERE sp.restr
+),
+t3res2 AS (
+  SELECT r.sk, r.gov, r.b,
+         row_number() OVER (PARTITION BY r.sk, r.gov ORDER BY r.rn) AS bn
+  FROM t3res r WHERE r.b IS NOT NULL
+),
+t3pair AS (
+  SELECT a.sk, a.b AS e1, c.b AS e2
+  FROM t3res2 a
+  JOIN t3res2 c ON c.sk = a.sk AND c.gov = a.gov AND c.bn > a.bn
+  JOIN t3ok k ON k.sk = a.sk AND k.gov = a.gov
+  UNION
+  SELECT s.sk, s.b, e.dep  -- lone-dep conj extension (java:472-488)
+  FROM (SELECT sk, gov, max(b) AS b FROM t3res2
+        GROUP BY sk, gov HAVING count(*) = 1) s
+  JOIN t3ok k ON k.sk = s.sk AND k.gov = s.gov
+  JOIN dep_e e ON e.sk = s.sk AND e.gov = s.b AND e.reln LIKE 'conj_%'
+  WHERE EXISTS (SELECT 1 FROM reach_3 r
+                JOIN str3 z ON z.sk = r.sk AND z.i = r.node AND z.lexe = 'B'
+                WHERE r.sk = s.sk AND r.root = e.dep)
+),
+allp AS (
+  SELECT sk, e1, e2 FROM t1pair
+  UNION SELECT sk, e1, e2 FROM t2pair
+  UNION SELECT sk, e1, e2 FROM t3pair
+)
+SELECT d.conv_id, CAST(d.turn_idx AS INT) AS turn_idx,
+       CAST(d.sent_id AS INT) AS sent_id,
+       CAST(p.e1 AS INT) AS agent, CAST(p.e2 AS INT) AS target,
+       {resolve.format(t=span_txt.format(a='pa'))} AS subj,
+       'genic_interaction' AS pred,
+       {resolve.format(t=span_txt.format(a='pb'))} AS obj
+FROM allp p
+JOIN sdim d ON d.sk = p.sk
+JOIN lsp pa ON pa.sk = p.sk AND pa.ms = p.e1
+JOIN lsp pb ON pb.sk = p.sk AND pb.ms = p.e2
+WHERE p.e1 <> p.e2
+"""
+
+
+def _lll_pos_case() -> str:
+    """The frozen POS tagger CASE expression (gate._pos_oracle_sql) rebound
+    to the raw-token ``seq`` stream (columns bw, prior1..3) — the LLL chain
+    tags unblinded tokens."""
+    from nlp_lib_spark.oracles import _ann_parts
+    _head, case_expr, _dom, _lw = _ann_parts()
+    return case_expr

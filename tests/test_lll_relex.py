@@ -464,3 +464,27 @@ def test_lll_relation_finders_match_transliteration():
         assert type1_relations(s, g) == jr.get_type1()
         assert type2_relations(s, g) == jr.get_type2()
         assert type3_relations(s, g) == jr.get_type3()
+
+
+def test_extract_triples_lll_matches_kernel(spark):
+    """The distributed operator equals the per-turn Python kernel on the
+    gate corpus (distribution adds nothing: one fused mapInPandas pass)."""
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        import pytest
+        pytest.skip("testdata not present")
+    from nlp_lib_spark.gate import lll_config
+    from nlp_lib_spark.operators.lll import extract_triples_lll, lll_turn
+    from nlp_lib_spark.operators.transcripts import transcripts
+    cfg = lll_config()
+    t = transcripts(spark, sf_dir, with_ts=False)
+    got = {tuple(r) for r in extract_triples_lll(t, cfg).collect()}
+    rt = cfg.build()
+    want = set()
+    for row in t.select("conv_id", "turn_idx", "text").collect():
+        if not row.text:
+            continue
+        for (sid, a, tg, sj, pr, ob) in lll_turn(rt, row.text):
+            want.add((row.conv_id, row.turn_idx, sid, a, tg, sj, pr, ob))
+    assert got == want and len(got) > 0
