@@ -640,3 +640,193 @@ def rule6(s: Sent, g: DepGraph) -> set[Pair]:
             if _R6_RE.search(_r6_sent_pattern(s, i, j)):
                 out.add((i, j))
     return out
+
+
+# ------------------- ppi candidate-rule experiments (completeness port)
+# ppi/Rule1-3 implement the ppi.Rule interface (ppi/Rule.java:18) --
+# candidate-pair generators predating RelCandidateExtractor; like
+# RelexRule4/6 they are not wired into any shipped entry point.  The
+# reference passes (depGraph, ccDepGraph); the frozen builder emits one
+# CC-distributed graph, so the port takes a single ``g`` for both slots.
+_P1_SEED = r".*subj|.*subjpass|rcmod"
+_P1_AGENT_RCMOD = r"nn|amod|appos|conj.*|prep.*|dobj|dep|abbrev"
+_P1_AGENT_SUBJ = _P1_AGENT_RCMOD + r"|partmod"
+_P2_REACH = r"agent|prep.*|appos|abbrev|nn|amod|dep"
+
+
+def _inside_domain_phrase(s: Sent, g: DepGraph, i: int,
+                          include_self: bool = True) -> bool:
+    """insideDomainPhrase (ppi/Rule2.java:59-74 / Rule3.java:57-72): DOMAIN
+    on the token itself (Rule2/3 only), any governed dependent, or any
+    governor."""
+    if include_self and s.domain[i] is not None:
+        return True
+    if any(s.domain[e[2]] is not None for e in g.gov_edges(i)):
+        return True
+    return any(s.domain[e[1]] is not None for e in g.dep_edges(i))
+
+
+def _p1_negated(g: DepGraph, i: int) -> bool:
+    return any(e[0].endswith("neg") for e in g.gov_edges(i))
+
+
+def _p1_targets(s: Sent, g: DepGraph, out: set[int], idx: int,
+                visited: list[bool], filter_reln: str) -> None:
+    """getTargets (ppi/Rule1.java:66-83): DFS over governed edges whose
+    reln does NOT match ``filter_reln``; collect PROTEIN tokens.  The
+    domainSpecific gate is commented out in the reference and therefore
+    dead; ported as-is."""
+    if visited[idx]:
+        return
+    visited[idx] = True
+    if s.is_protein(idx):
+        out.add(idx)
+    for (reln, _gov, dep) in g.gov_edges(idx):
+        if not re.fullmatch(filter_reln, reln):
+            _p1_targets(s, g, out, dep, visited, filter_reln)
+
+
+def _p1_agents(s: Sent, g: DepGraph, out: set[int], idx: int,
+               visited: list[bool], reln_pat: str) -> None:
+    """getAgents (ppi/Rule1.java:85-103): DFS over governed edges matching
+    ``reln_pat``, plus climbing INCOMING abbrev|appos|conj.* edges (the
+    head of a coordination list is the first conjunct)."""
+    if visited[idx]:
+        return
+    visited[idx] = True
+    if s.is_protein(idx):
+        out.add(idx)
+    for (reln, _gov, dep) in g.gov_edges(idx):
+        if re.fullmatch(reln_pat, reln):
+            _p1_agents(s, g, out, dep, visited, reln_pat)
+    for (_reln, gov, _dep) in g.dep_edges(idx, r"abbrev|appos|conj.*"):
+        _p1_agents(s, g, out, gov, visited, reln_pat)
+
+
+def rule_p1(s: Sent, g: DepGraph) -> set[Pair]:
+    """ppi.Rule1 (ppi/Rule1.java:24-64): subj/rcmod-seeded agent x target
+    candidates with negation-free seeds, the subject subtree masked out of
+    the target walk, and min/max pair normalization."""
+    out: set[Pair] = set()
+    for (reln, gov, dep) in g.edges_matching(_P1_SEED):
+        if _p1_negated(g, gov) or _p1_negated(g, dep):
+            continue
+        agents: set[int] = set()
+        targets: set[int] = set()
+        visited = [False] * len(s)
+        if not re.fullmatch(r"nsubj|nsubjpass", reln):
+            _p1_targets(s, g, targets, dep, visited, "NONE")
+            _p1_agents(s, g, agents, gov, visited, _P1_AGENT_RCMOD)
+        else:
+            ri = g.reachable(dep, True, 100) | {dep}
+            for r in ri:
+                visited[r] = True
+            _p1_targets(s, g, targets, gov, visited, "NONE")
+            for r in ri:
+                visited[r] = False
+            visited[dep] = False
+            _p1_agents(s, g, agents, dep, visited, _P1_AGENT_SUBJ)
+        for a in agents:
+            for t in targets:
+                out.add((min(a, t), max(a, t)))
+    return out
+
+
+def _p2_reachables(s: Sent, g: DepGraph, out: set[int], idx: int,
+                   visited: list[bool]) -> None:
+    # getReachables (ppi/Rule2.java:41-57); domainSpecific accumulator dead
+    if visited[idx]:
+        return
+    visited[idx] = True
+    if s.is_protein(idx):
+        out.add(idx)
+    for (reln, _gov, dep) in g.gov_edges(idx):
+        if re.fullmatch(_P2_REACH, reln):
+            _p2_reachables(s, g, out, dep, visited)
+
+
+def rule_p2(s: Sent, g: DepGraph) -> set[Pair]:
+    """ppi.Rule2 (ppi/Rule2.java:20-39): from every DOMAIN-adjacent or
+    PROTEIN token, all ordered pairs among the proteins reachable over
+    agent|prep.*|appos|abbrev|nn|amod|dep."""
+    out: set[Pair] = set()
+    for i in range(len(s)):
+        if _inside_domain_phrase(s, g, i) or s.is_protein(i):
+            reach: set[int] = set()
+            _p2_reachables(s, g, reach, i, [False] * len(s))
+            for e1 in reach:
+                for e2 in reach:
+                    if e1 < e2:
+                        out.add((e1, e2))
+    return out
+
+
+def _p3_path_labels(g: DepGraph, src: int, dst: int) -> list[str] | None:
+    """Verbatim getPathAsList BFS (SimpleDepGraph.java:420-481).  Unlike
+    DepGraph.path_labels (first-parent BFS shared by the shipped rules),
+    this walk has NO marked array: a frontier node's parent is overwritten
+    by the LAST same-level toucher before its dequeue, so equal-length
+    path ties resolve differently — rule_p3's consecutive-label test is
+    sensitive to which shortest path comes back, hence the faithful
+    replica here (O(V+E) via sorted adjacency standing in for the
+    reference's ascending matrix sweep)."""
+    from collections import deque
+    size = 0
+    nbrs: dict[int, set[int]] = {}
+    lab: dict[tuple[int, int], str] = {}
+    for (reln, gv, dp) in g.edges:
+        size = max(size, gv, dp)
+        lab[(gv, dp)] = reln          # matrix semantics: last edge wins
+        lab[(dp, gv)] = "-" + reln
+        nbrs.setdefault(gv, set()).add(dp)
+        nbrs.setdefault(dp, set()).add(gv)
+    if src > size or dst > size:
+        return None
+    size += 1
+    parent = [0] * size
+    visited = [False] * size
+    q = deque([src])
+    while q:
+        v = q.popleft()
+        if visited[v]:
+            continue
+        visited[v] = True
+        if v == dst:
+            break
+        for i in sorted(nbrs.get(v, ())):
+            if not visited[i]:
+                parent[i] = v + 1
+                q.append(i)
+    if parent[dst] == 0:
+        return None
+    out: list[str] = []
+    v = dst
+    while v != src:
+        p = parent[v] - 1
+        out.append(lab[(p, v)])
+        v = p
+    out.reverse()
+    return out
+
+
+def rule_p3(s: Sent, g: DepGraph) -> set[Pair]:
+    """ppi.Rule3 (ppi/Rule3.java:21-55): protein pairs whose undirected
+    dep path carries two consecutive ``-?prep_between`` labels (the
+    domain accumulator along the path is dead code in the reference)."""
+    out: set[Pair] = set()
+    n = len(s)
+    for i in range(n):
+        if not s.is_protein(i):
+            continue
+        for j in range(i + 1, n):
+            if not s.is_protein(j):
+                continue
+            labels = _p3_path_labels(g, i, j)
+            if not labels:
+                continue
+            for k in range(1, len(labels)):
+                if re.fullmatch(r"-?prep_between", labels[k]) and \
+                        re.fullmatch(r"-?prep_between", labels[k - 1]):
+                    out.add((i, j))
+                    break
+    return out

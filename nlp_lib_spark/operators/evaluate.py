@@ -272,3 +272,72 @@ def seeded_shuffle(df: DataFrame, seed: int = 42) -> DataFrame:
     row.  Train-time only — a full sort at extraction scale would be a
     needless global shuffle."""
     return df.orderBy(F.xxhash64(F.lit(seed), *df.columns), *df.columns)
+
+
+CAND_SCHEMA = "doc_id string, sent_id int, e1 int, e2 int"
+
+
+def candidate_predictions(iob: DataFrame, deps: DataFrame,
+                          domain_terms: tuple[str, ...]) -> DataFrame:
+    """(doc_id, sent_id, e1, e2) from the ppi.Rule1+2+3 candidate union
+    (NewRuleExtractor.checkCandidateExtractor, ppi/NewRuleExtractor.java:
+    128-198 — rule1.getCandidates ∪ rule2 ∪ rule3)."""
+    from nlp_lib_spark.kernels.rules import Sent, rule_p1, rule_p2, rule_p3
+    joined = iob.join(deps, ["doc_id", "sent_id"], "left")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from nlp_lib_spark.kernels.depgraph import DepGraph
+        dom = DomainAnnotator(domain_terms)
+        verb_stems = frozenset(stem(t) for t in domain_terms)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                tokens = list(r.tokens)
+                raw_edges = r.edges if r.edges is not None else []
+                edges = [(e["reln"], e["gov"], e["dep"]) for e in raw_edges]
+                s = Sent(tokens, pos_tag(tokens, verb_stems),
+                         dom.tag(tokens))
+                g = DepGraph(edges)
+                cands = rule_p1(s, g) | rule_p2(s, g) | rule_p3(s, g)
+                for (i, j) in sorted(cands):
+                    rows.append((r.doc_id, int(r.sent_id), i, j))
+            yield pd.DataFrame(rows, columns=["doc_id", "sent_id",
+                                              "e1", "e2"])
+
+    return (joined.select("doc_id", "sent_id", "tokens", "edges")
+            .mapInPandas(fn, schema=CAND_SCHEMA))
+
+
+def candidate_recall_eval(iob: DataFrame, deps: DataFrame,
+                          domain_terms: tuple[str, ...]) -> DataFrame:
+    """Candidate-coverage evaluation (the NewRuleExtractor main driver,
+    ppi/NewRuleExtractor.java:128-198): one row (tp, fp, miss) — candidates
+    hitting positive gold pairs, candidates hitting negative gold pairs,
+    and positive gold pairs no rule proposed.
+
+    Two documented set-semantics deviations from the single-threaded
+    driver: gold pairs are DISTINCT (the reference counts one miss per
+    duplicate pair-id occurrence), and a pair carrying both a positive and
+    a negative id resolves to negative (the reference's HashMap last-write
+    order: N2 entries land after P2 entries at the same token)."""
+    from nlp_lib_spark.sources.readers import gold_pairs
+    key = ["doc_id", "sent_id", "e1", "e2"]
+    gold = (gold_pairs(iob)
+            .groupBy(key).agg(F.min("label").alias("label")))
+    cand = candidate_predictions(iob, deps, domain_terms) \
+        .withColumn("__c", F.lit(1))
+    row = (gold.join(cand, key, "full_outer")
+           .agg(F.sum(F.when(F.col("__c").isNotNull()
+                             & (F.col("label") == 1), 1).otherwise(0))
+                .alias("tp"),
+                F.sum(F.when(F.col("__c").isNotNull()
+                             & (F.col("label") == 0), 1).otherwise(0))
+                .alias("fp"),
+                F.sum(F.when(F.col("__c").isNull()
+                             & (F.col("label") == 1), 1).otherwise(0))
+                .alias("miss"))
+           .first())
+    spark = iob.sparkSession
+    return spark.createDataFrame(
+        [(int(row["tp"] or 0), int(row["fp"] or 0), int(row["miss"] or 0))],
+        "tp long, fp long, miss long")

@@ -594,3 +594,219 @@ def test_rule6_shared_subject_and_list_pattern():
     # j - i = 6 >= 5 blocks the subject branch; but PROT1W+PROT2W?REL...
     # pattern needs (PUNC|CONJ|PROT)+ between — plain W's don't match
     assert (0, 6) not in got
+
+
+def test_ppi_candidate_rules_match_verbatim_reference():
+    """Seeded fuzz: rule_p1/rule_p2/rule_p3 equal verbatim transliterations
+    of ppi/Rule1.java:24-103, ppi/Rule2.java:20-57, ppi/Rule3.java:21-55
+    (incl. the shared-visited target/agent walks, the coordination-head
+    climb, and getPathAsList's unmarked-queue parent-overwrite BFS,
+    SimpleDepGraph.java:420-481)."""
+    import random
+    import re
+
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.rules import (Sent, rule_p1, rule_p2,
+                                             rule_p3)
+
+    def gov_deps(edges, gov, pat=None):
+        return [e for e in edges if e[1] == gov
+                and (pat is None or re.fullmatch(pat, e[0]))]
+
+    def dep_deps(edges, dep, pat=None):
+        return [e for e in edges if e[2] == dep
+                and (pat is None or re.fullmatch(pat, e[0]))]
+
+    def j_reachable(edges, src, directed, max_dist):
+        # SimpleDepGraph.getReachableIndices (java:319-366)
+        size = max([max(e[1], e[2]) for e in edges], default=0) + 1
+        if src >= size:
+            return [src]
+        graph = [[None] * size for _ in range(size)]
+        for (reln, gov, dep) in edges:
+            graph[gov][dep] = reln
+            if not directed:
+                graph[dep][gov] = "-" + reln
+        from collections import deque
+        dist = [0] * size
+        visited = [False] * size
+        q = deque([src])
+        reach = []
+        while q:
+            v = q.popleft()
+            visited[v] = True
+            reach.append(v)
+            if dist[v] == max_dist:
+                continue
+            for i in range(size):
+                if not visited[i] and (graph[v][i] is not None
+                                       or (not directed and graph[i][v] is not None)):
+                    dist[i] = dist[v] + 1
+                    q.append(i)
+        return reach
+
+    def j_path_as_list(edges, src, dst):
+        # getPathAsList undirected (java:420-481): NO marked array, so a
+        # frontier node's parent is overwritten by the LAST same-level
+        # toucher before its dequeue
+        size = max([max(e[1], e[2]) for e in edges], default=0) + 1
+        if src >= size or dst >= size:
+            return None
+        graph = [[None] * size for _ in range(size)]
+        for (reln, gov, dep) in edges:
+            graph[gov][dep] = reln
+            graph[dep][gov] = "-" + reln
+        from collections import deque
+        parent = [0] * size
+        visited = [False] * size
+        q = deque([src])
+        while q:
+            v = q.popleft()
+            if visited[v]:
+                continue
+            visited[v] = True
+            if v == dst:
+                break
+            for i in range(size):
+                if not visited[i] and graph[v][i] is not None:
+                    parent[i] = v + 1
+                    q.append(i)
+        if parent[dst] == 0:
+            return None
+        path = []
+        v = dst
+        while v != src:
+            p = parent[v] - 1
+            path.insert(0, graph[p][v])
+            v = p
+        return path
+
+    def negated(edges, i):
+        return any(e[0].endswith("neg") for e in gov_deps(edges, i))
+
+    def inside_domain(dom, edges, i, include_self):
+        if include_self and dom[i] is not None:
+            return True
+        if any(dom[e[2]] is not None for e in gov_deps(edges, i)):
+            return True
+        return any(dom[e[1]] is not None for e in dep_deps(edges, i))
+
+    def j_targets(toks, edges, out, idx, visited, filter_reln):
+        if visited[idx]:
+            return
+        visited[idx] = True
+        if "PROTEIN" in toks[idx]:
+            out.add(idx)
+        for (reln, _g, dep) in gov_deps(edges, idx):
+            if not re.fullmatch(filter_reln, reln):
+                j_targets(toks, edges, out, dep, visited, filter_reln)
+
+    def j_agents(toks, edges, out, idx, visited, pat):
+        if visited[idx]:
+            return
+        visited[idx] = True
+        if "PROTEIN" in toks[idx]:
+            out.add(idx)
+        for (reln, _g, dep) in gov_deps(edges, idx):
+            if re.fullmatch(pat, reln):
+                j_agents(toks, edges, out, dep, visited, pat)
+        for (_r, gov, _d) in dep_deps(edges, idx, r"abbrev|appos|conj.*"):
+            j_agents(toks, edges, out, gov, visited, pat)
+
+    def j_rule1(toks, dom, edges):
+        out = set()
+        for (reln, gov, dep) in edges:
+            if not re.fullmatch(r".*subj|.*subjpass|rcmod", reln):
+                continue
+            if negated(edges, gov) or negated(edges, dep):
+                continue
+            agents, targets = set(), set()
+            visited = [False] * len(toks)
+            if not re.fullmatch(r"nsubj|nsubjpass", reln):
+                j_targets(toks, edges, targets, dep, visited, "NONE")
+                j_agents(toks, edges, agents, gov, visited,
+                         r"nn|amod|appos|conj.*|prep.*|dobj|dep|abbrev")
+            else:
+                ri = j_reachable(edges, dep, True, 100)
+                for r in ri:
+                    visited[r] = True
+                j_targets(toks, edges, targets, gov, visited, "NONE")
+                for r in ri:
+                    visited[r] = False
+                visited[dep] = False
+                j_agents(toks, edges, agents, dep, visited,
+                         r"nn|amod|appos|conj.*|prep.*|dobj|dep|abbrev|partmod")
+            for a in agents:
+                for t in targets:
+                    out.add((min(a, t), max(a, t)))
+        return out
+
+    def j_rule2(toks, dom, edges):
+        out = set()
+        for i in range(len(toks)):
+            if inside_domain(dom, edges, i, True) or "PROTEIN" in toks[i]:
+                reach = set()
+
+                def rec(idx, visited):
+                    if visited[idx]:
+                        return
+                    visited[idx] = True
+                    if "PROTEIN" in toks[idx]:
+                        reach.add(idx)
+                    for (reln, _g, dep) in gov_deps(edges, idx):
+                        if re.fullmatch(r"agent|prep.*|appos|abbrev|nn|amod|dep", reln):
+                            rec(dep, visited)
+
+                rec(i, [False] * len(toks))
+                for a in reach:
+                    for b in reach:
+                        if a < b:
+                            out.add((a, b))
+        return out
+
+    def j_rule3(toks, edges):
+        out = set()
+        for i in range(len(toks)):
+            if "PROTEIN" not in toks[i]:
+                continue
+            for j in range(i + 1, len(toks)):
+                if "PROTEIN" not in toks[j]:
+                    continue
+                pl = j_path_as_list(edges, i, j)
+                if not pl:
+                    continue
+                for k in range(1, len(pl)):
+                    if re.fullmatch(r"-?prep_between", pl[k]) and \
+                            re.fullmatch(r"-?prep_between", pl[k - 1]):
+                        out.add((i, j))
+                        break
+        return out
+
+    relns = ["nsubj", "nsubjpass", "rcmod", "dobj", "nn", "amod", "appos",
+             "conj_and", "prep_of", "prep_between", "dep", "abbrev",
+             "partmod", "neg", "advmod", "agent", "xcomp"]
+    rng = random.Random(67)
+    for trial in range(400):
+        n = rng.randint(3, 12)
+        toks = [("PROTEIN%d" % i) if rng.random() < 0.4 else "w%d" % i
+                for i in range(n)]
+        dom = [("t%d" % i) if rng.random() < 0.25 else None
+               for i in range(n)]
+        pos = ["NN"] * n
+        m = rng.randint(1, 2 * n)
+        edges = []
+        seen = set()
+        for _ in range(m):
+            gv, dp = rng.randrange(n), rng.randrange(n)
+            if gv == dp:
+                continue
+            reln = rng.choice(relns)
+            if (reln, gv, dp) in seen:
+                continue
+            seen.add((reln, gv, dp))
+            edges.append((reln, gv, dp))
+        s = Sent(toks, pos, dom)
+        g = DepGraph(edges)
+        assert rule_p1(s, g) == j_rule1(toks, dom, edges), (trial, toks, edges)
+        assert rule_p2(s, g) == j_rule2(toks, dom, edges), (trial, toks, edges)
+        assert rule_p3(s, g) == j_rule3(toks, edges), (trial, toks, edges)

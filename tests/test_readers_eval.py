@@ -241,3 +241,16 @@ def test_trees_to_raw_drops_traces(spark):
     got = {r.tree_id: r.raw for r in trees_to_raw(df).collect()}
     assert got[0] == "spark binds the table"
     assert got[1] == ""
+
+
+def test_candidate_recall_eval_on_corpus(spark, corpus_dir):
+    """NewRuleExtractor analogue: the ppi.Rule1+2+3 candidate union must
+    cover the planted gold pairs (the driver's miss counter) without
+    flooding fp (no negative pairs are planted in this fixture)."""
+    from nlp_lib_spark.operators.evaluate import candidate_recall_eval
+    iob = read_iob_corpus(spark, f"{corpus_dir}/iob")
+    deps = read_deps(spark, f"{corpus_dir}/depsCC")
+    res = candidate_recall_eval(iob, deps, FIXTURE_DOMAIN).collect()[0]
+    assert res.tp > 0, res
+    assert res.miss <= res.tp, res  # candidates cover most planted gold
+    assert res.fp == 0, res         # fixture plants no negative pairs
