@@ -616,3 +616,314 @@ def edit_distance_kernel(i1: dict, i2: dict) -> float:
     return (seg(0, l1, 0, l2)
             + seg(l1, len(path1) - 1, l2, len(path2) - 1)
             + seg(0, len(path1) - 1, 0, len(path2) - 1))
+
+
+# --------------- remaining experiment kernels (coverage-ledger closure)
+_SK2_GAMMA = 0.001953125  # SimpleKernel2.java:62
+_PSK_DIST_WT = 0.5        # PathStructureKernel.java:15
+_PSK_DIFF_WT = 0.9
+
+
+def simple_kernel2(i1: dict, i2: dict) -> float:
+    """SimpleKernel2.evaluateSimpleKernel (java:50-63): type gate, then an
+    RBF over a mixed sparse vector (deduped left/right half lemma-POS-reln
+    features, half lengths, LCS distances, a token read at the PATH index
+    of the LCS — the reference's lcsIndex-as-sentence-index quirk, totalized
+    with a bounds guard — and sentence-level PROTEIN/DOMAIN counts).
+    Lemma slot uses the frozen stem, the repo-wide BASE stand-in."""
+    if i1["type"] != i2["type"] or i1["path"] is None or i2["path"] is None:
+        return 0.0
+
+    def vec(inst: dict) -> dict[str, float]:
+        tokens, pos, domain = inst["ctx"]
+        path = inst["path"]
+        li = _lcs_index(inst)
+        v: dict[str, float] = {}
+
+        def add(key: str, val: float) -> None:
+            v[key] = v.get(key, 0.0) + val
+
+        for (lo, hi, wk, pk) in ((1, li, "W1=", "POS1="),
+                                 (li + 1, len(path) - 1, "W2=", "POS2=")):
+            seen: set[str] = set()
+            for i in range(lo, hi):
+                if i % 2 == 0:
+                    idx = int(path[i])
+                    for key in (wk + stem(tokens[idx]), pk + pos[idx]):
+                        if key not in seen:
+                            add(key, 1.0)
+                            seen.add(key)
+                else:
+                    if path[i] not in seen:
+                        add(path[i], 1.0)
+                        seen.add(path[i])
+        add("H1=", li / 2.0)
+        add("D1=", abs(inst["e1"] - inst["lcs"]))
+        if li < len(tokens):  # java:97 reads s.get(lcsIndex) unguarded
+            add(tokens[li], 1.0)
+        add("H2=", (len(path) - li) / 2.0)
+        add("D2=", abs(inst["e2"] - inst["lcs"]))
+        add("C1=", sum(1 for t in tokens if "PROTEIN" in t))
+        add("C2=", sum(1 for d in domain if d is not None))
+        return v
+
+    v1, v2 = vec(i1), vec(i2)
+    sq = 0.0
+    for k in set(v1) | set(v2):
+        d = v1.get(k, 0.0) - v2.get(k, 0.0)
+        sq += d * d
+    return math.exp(-_SK2_GAMMA * sq)
+
+
+def _fk_rel_pos(inst: dict, i: int) -> str:
+    # FeatureKernel.getRelativePosition (java:204-212)
+    if i < inst["e1"]:
+        return "L"
+    if i <= inst["e2"]:
+        return "M"
+    return "R"
+
+
+def _fk_half_set(inst: dict, left: bool) -> set[str]:
+    """FeatureKernel.getLeftVector/getRightVector (java:31-179): walk one
+    backbone half from the LCS, emitting lemma/word/position/reln
+    conjunctions (Java null-concat renders as the literal 'null'),
+    prep-family markers, bigram reln chains, and the key-term DOMAIN
+    feature, plus the ±4 DOMAIN window around the near entity."""
+    tokens, pos, domain = inst["ctx"]
+    path = inst["path"]
+    size = len(path)
+    li = inst["lcs_index"]
+    out: set[str] = set()
+    if left:
+        prev_reln = path[li + 1] if li < size - 1 else "null"
+        rng = range(li, -1, -2)
+    else:
+        prev_reln = path[li - 1] if li > 0 else "null"
+        rng = range(li, size, 2)
+    for i in rng:
+        idx = int(path[i])
+        word = tokens[idx].lower()
+        base = stem(tokens[idx]).lower()
+        position = _fk_rel_pos(inst, idx)
+        if "-" in word:
+            word = word.rsplit("-", 1)[1]
+        if "-" in base:
+            base = base.rsplit("-", 1)[1]
+        if left:
+            reln = path[i - 1] if i > 0 else None
+        else:
+            reln = path[i + 1] if i < size - 1 else None
+        reln_s = reln if reln is not None else "null"
+        if domain[idx] is not None:
+            out.add("REL-" + pos[idx][:1])
+            out.add(word)
+            out.add(base)
+            out.add(word + position)
+            out.add(word + reln_s)
+            out.add(word + reln_s + position)
+            if idx == inst["key"]:
+                out.add("Key-" + domain[idx])
+        else:
+            out.add(word + position)
+        if reln is not None:
+            out.add(reln)
+            if reln.startswith("prep"):
+                out.add("prep")
+            elif reln.startswith("-prep"):
+                out.add("-prep")
+        out.add(prev_reln + reln_s)
+        out.add(prev_reln + base + reln_s)
+        prev_reln = reln_s
+    ent = inst["e1"] if left else inst["e2"]
+    n = len(tokens)
+    for i in range(max(ent - 4, 0), min(ent + 4, n - 1) + 1):
+        if domain[i] is not None:
+            out.add("S-" + stem(tokens[i]) + _fk_rel_pos(inst, i))
+    return out
+
+
+def feature_kernel(i1: dict, i2: dict) -> float:
+    """FeatureKernel.evaluate (java:18-29): type gate, then normalized dot
+    of the left-half and right-half feature sets."""
+    if i1["type"] != i2["type"] or i1["path"] is None or i2["path"] is None:
+        return 0.0
+    return (_norm_dot(_fk_half_set(i1, True), _fk_half_set(i2, True))
+            + _norm_dot(_fk_half_set(i1, False), _fk_half_set(i2, False)))
+
+
+def dep_walk_kernel(i1: dict, i2: dict, q_min: int = 2,
+                    q_max: int = 2) -> float:
+    """DepWalkKernel.evaluate (java:33-77): best-scoring aligned dependency
+    walks of length q_min..q_max over the two backbone paths; word nodes
+    score 3 (entity-placeholder match, via the e1/e2 slots) or 1 (lemma
+    match, frozen stem as BASE), relations 6."""
+    if i1["type"] != i2["type"] or i1["path"] is None or i2["path"] is None:
+        return 0.0
+    t1, _p1, _d1 = i1["ctx"]
+    t2, _p2, _d2 = i2["ctx"]
+    path1, path2 = i1["path"], i2["path"]
+
+    def word_of(inst, tokens, idx: int) -> str:
+        if idx == inst["e1"]:
+            return "ENTITY1"
+        if idx == inst["e2"]:
+            return "ENTITY2"
+        return stem(tokens[idx])
+
+    def w_score(si1: str, si2: str) -> int:
+        w1 = word_of(i1, t1, int(si1))
+        w2 = word_of(i2, t2, int(si2))
+        if w1 == w2:
+            return 3 if w1.startswith("ENTITY") else 1
+        return 0
+
+    def r_score(r1: str, r2: str) -> int:
+        return 6 if r1 == r2 else 0
+
+    n1, n2 = len(path1), len(path2)
+    scores = [0.0] * (q_max + 1)
+    c = {}
+    for i in range(0, n1 - 2, 2):
+        for j in range(0, n2 - 2, 2):
+            s = (w_score(path1[i], path2[j])
+                 + r_score(path1[i + 1], path2[j + 1])
+                 + w_score(path1[i + 2], path2[j + 2]))
+            c[(i, j, 2)] = s
+            scores[2] = max(scores[2], s)
+    for k in range(3, q_max + 1):
+        for i in range(0, n1 - 2 * (k - 1), 2):
+            for j in range(0, n2 - 2 * (k - 1), 2):
+                s = (c[(i + 2, j + 2, k - 1)]
+                     + w_score(path1[i], path2[j])
+                     + r_score(path1[i + 1], path2[j + 1]))
+                c[(i, j, k)] = s
+                scores[k] = max(scores[k], s)
+    return float(sum(scores[2:q_max + 1]))
+
+
+def _psk_series(r: float, n: int) -> float:
+    return (r ** n - 1.0) / (r - 1.0)
+
+
+def _psk_half(inst: dict, left: bool) -> list[str]:
+    # PathStructureKernel.getLeftPath/getRightPath (java:116-143): POS at
+    # word slots; left half strips the reversed-edge marker (substring(1))
+    tokens, pos, _dom = inst["ctx"]
+    path = inst["path"]
+    li = inst["lcs_index"]
+    out: list[str] = []
+    rng = range(li, -1, -1) if left else range(li, len(path))
+    for i in rng:
+        if i % 2 == 0:
+            out.append(pos[int(path[i])])
+        else:
+            out.append(path[i][1:] if left else path[i])
+    return out
+
+
+def _psk_align(p1: list[str], p2: list[str]) -> float:
+    total = 0.0
+    for i, w1 in enumerate(p1):
+        best = 0.0
+        for j, w2 in enumerate(p2):
+            if i % 2 == 0 and j % 2 == 0:
+                s = 1.0 if w1 == w2 else (0.5 if w1[:1] == w2[:1] else 0.0)
+                k1, k2 = i // 2, j // 2
+            elif i % 2 == 1 and j % 2 == 1:
+                if w1 == w2:
+                    s = 1.0
+                elif (w1.startswith("prep") and w2.startswith("prep")) or \
+                        (w1.startswith("nsubj") and w2.startswith("nsubj")):
+                    s = 0.5
+                else:
+                    s = 0.0
+                k1, k2 = (i - 1) // 2, (j - 1) // 2
+            else:
+                continue
+            if s > 0:
+                s *= _PSK_DIFF_WT ** abs(k1 - k2)
+                s *= _PSK_DIST_WT ** ((k1 + k2) / 2.0)
+                best = max(best, s)
+        total += best
+
+    def norm(p: list[str]) -> float:
+        sz = len(p)
+        return (_psk_series(_PSK_DIST_WT, (sz + 1) // 2)
+                + _psk_series(_PSK_DIST_WT, sz // 2))
+
+    d = math.sqrt(norm(p1) * norm(p2))
+    return total / d if d > 0 else 0.0
+
+
+def path_structure_kernel(i1: dict, i2: dict) -> float:
+    """PathStructureKernel.evaluate (java:19-42): position-damped POS/reln
+    alignment of the left and right backbone halves (product) plus a
+    normalized domain-set overlap."""
+    if i1["type"] != i2["type"] or i1["path"] is None or i2["path"] is None:
+        return 0.0
+
+    def dom_set(inst: dict) -> set[str]:
+        tokens, pos, domain = inst["ctx"]
+        out: set[str] = set()
+        for i in range(0, len(inst["path"]), 2):
+            idx = int(inst["path"][i])
+            if domain[idx] is not None:
+                out.add("REL-" + pos[idx][:1])
+            out.add(stem(tokens[idx]).lower())
+        return out
+
+    left = _psk_align(_psk_half(i1, True), _psk_half(i2, True))
+    right = _psk_align(_psk_half(i1, False), _psk_half(i2, False))
+    return left * right + _norm_dot(dom_set(i1), dom_set(i2))
+
+
+def similarity_kernel(i1: dict, i2: dict,
+                      sim_map: dict[tuple[str, str], float],
+                      domain=None) -> float:
+    """SimilarityKernel.evaluateSimilarity (java:45-78): per sentence
+    window (before e1 / between / after e2), best WordNet-similarity match
+    of the DOMAIN lemma sets, thresholded at 0.4, each window normalized
+    by the smaller set.  ``sim_map`` is the broadcast pair-similarity
+    table (the reference's similarity_score_wup.txt, keyed on the sorted
+    lemma pair); ``domain`` gates hyphen-tail lemmas like the reference's
+    isDomainTerm check."""
+    if i1["type"] != i2["type"]:
+        return 0.0
+
+    def window_set(inst: dict, start: int, end: int) -> set[str]:
+        tokens, _pos, dom = inst["ctx"]
+        out: set[str] = set()
+        for i in range(start, end + 1):
+            if dom[i] is None:
+                continue
+            word = stem(tokens[i]).lower()
+            if "-" in word:
+                word = word.rsplit("-", 1)[1]
+                if domain is None or not domain.is_domain_term(word):
+                    continue
+            out.add(word)
+        return out
+
+    def window_score(s1: set[str], s2: set[str]) -> float:
+        score = 0.0
+        for w1 in s1:
+            best = 0.0
+            for w2 in s2:
+                v = sim_map.get((w1, w2) if w1 < w2 else (w2, w1))
+                if v is not None and v > best:
+                    best = v
+            if best < 0.4:
+                best = 0.0
+            score += best
+        m = min(len(s1), len(s2))
+        return score / m if m else score
+
+    n1 = len(i1["ctx"][0])
+    n2 = len(i2["ctx"][0])
+    return (window_score(window_set(i1, 0, i1["e1"]),
+                         window_set(i2, 0, i2["e1"]))
+            + window_score(window_set(i1, i1["e1"], i1["e2"]),
+                           window_set(i2, i2["e1"], i2["e2"]))
+            + window_score(window_set(i1, i1["e2"], n1 - 1),
+                           window_set(i2, i2["e2"], n2 - 1)))

@@ -328,3 +328,141 @@ def test_global_context_kernel_windows():
     assert s == 2.0
     d = _mk_inst(rt, "a p53 weakly inhibits a cdk2 now .")
     assert 0.0 <= global_context_kernel(a, d) < 3.0
+
+
+def test_simple_kernel2_self_and_gate():
+    """RBF self-distance is 0 => score 1; type gate zeroes mixed pairs
+    (SimpleKernel2.java:50-63)."""
+    from nlp_lib_spark.kernels.kernelscore import simple_kernel2
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    assert simple_kernel2(i1, i1) == pytest.approx(1.0)
+    toks = ["the", "activation", "of", "PROTEIN1", "by", "PROTEIN2"]
+    pos = ["DT", "NN", "IN", "NN", "IN", "NN"]
+    dom = [None, "activation", None, None, None, None]
+    g = DepGraph([("prep_of", 1, 3), ("prep_by", 1, 5)])
+    left = relation_instance(toks, pos, dom, g, 3, 5)
+    assert left["type"] != i1["type"]
+    assert simple_kernel2(i1, left) == 0.0
+    # the verb lemma sits AT the LCS path slot, which the half windows
+    # exclude and the lcsIndex-as-sentence-index quirk replaces with
+    # tokens[2] — so a same-shape verb swap scores exactly 1.0 (faithful)
+    t2 = ["PROTEIN1", "binds", "PROTEIN2"]
+    d2 = [None, "bind", None]
+    i2 = relation_instance(t2, P1, d2,
+                           DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)]),
+                           0, 2)
+    assert simple_kernel2(i1, i2) == pytest.approx(1.0)
+    # a structurally different right half (prep reln) separates the vectors
+    t3 = ["PROTEIN1", "interacts", "with", "PROTEIN2"]
+    p3 = ["NN", "VBZ", "IN", "NN"]
+    d3 = [None, "interact", None, None]
+    i3 = relation_instance(t3, p3, d3,
+                           DepGraph([("nsubj", 1, 0), ("prep_with", 1, 3)]),
+                           0, 3)
+    assert simple_kernel2(i1, i3) == pytest.approx(simple_kernel2(i3, i1))
+    assert 0.0 < simple_kernel2(i1, i3) < 1.0
+
+
+def test_dep_walk_kernel_golden():
+    """Hand-computed self walk on the T1 backbone: entity-word 3 + reln 6
+    + lemma 1 = 10 for both aligned windows, max kept (DepWalkKernel.java:
+    44-77)."""
+    from nlp_lib_spark.kernels.kernelscore import dep_walk_kernel
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    assert dep_walk_kernel(i1, i1) == pytest.approx(10.0)
+    # q_max=3: suffix walk adds word+reln at the head: 3 + 6 on top of the
+    # k-1 tail score 10 => scores[3] = 19, total 10 + 19
+    assert dep_walk_kernel(i1, i1, q_max=3) == pytest.approx(29.0)
+    t2 = ["PROTEIN1", "binds", "PROTEIN2"]
+    d2 = [None, "bind", None]
+    i2 = relation_instance(t2, P1, d2,
+                           DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)]),
+                           0, 2)
+    # lemma mismatch at the verb: 3 + 6 + 0 vs 0 + 6 + 3 => max 9
+    assert dep_walk_kernel(i1, i2) == pytest.approx(9.0)
+
+
+def test_feature_kernel_self_and_symmetry():
+    from nlp_lib_spark.kernels.kernelscore import feature_kernel
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    assert feature_kernel(i1, i1) == pytest.approx(2.0)
+    t2 = ["PROTEIN1", "binds", "PROTEIN2"]
+    d2 = [None, "bind", None]
+    i2 = relation_instance(t2, P1, d2,
+                           DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)]),
+                           0, 2)
+    assert feature_kernel(i1, i2) == pytest.approx(feature_kernel(i2, i1))
+    assert 0.0 < feature_kernel(i1, i2) < 2.0
+
+
+def test_path_structure_kernel_golden():
+    """Perfect self-alignment normalizes each half to exactly 1.0, so the
+    self score is 1*1 + |domset| cosine = 2.0 (PathStructureKernel.java:
+    32-42, 63-114)."""
+    from nlp_lib_spark.kernels.kernelscore import path_structure_kernel
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    assert path_structure_kernel(i1, i1) == pytest.approx(2.0)
+    t2 = ["PROTEIN1", "binds", "PROTEIN2"]
+    d2 = [None, "bind", None]
+    i2 = relation_instance(t2, P1, d2,
+                           DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)]),
+                           0, 2)
+    s12 = path_structure_kernel(i1, i2)
+    assert s12 == pytest.approx(path_structure_kernel(i2, i1))
+    # identical POS paths align perfectly; dom sets differ by lemma only
+    assert s12 < 2.0
+
+
+def test_similarity_kernel_windows():
+    """Between-window DOMAIN lemmas bridge through the similarity table;
+    sub-0.4 scores are floored (SimilarityKernel.java:45-100)."""
+    from nlp_lib_spark.kernels.kernelscore import similarity_kernel
+    i1 = relation_instance(T1, P1, D1, G1, 0, 2)
+    t2 = ["PROTEIN1", "binds", "PROTEIN2"]
+    d2 = [None, "bind", None]
+    i2 = relation_instance(t2, P1, d2,
+                           DepGraph([("nsubj", 1, 0), ("dobj", 1, 2)]),
+                           0, 2)
+    a, b = sorted((stem("activates").lower(), stem("binds").lower()))
+    assert similarity_kernel(i1, i2, {(a, b): 0.9}) == pytest.approx(0.9)
+    # floor: below-threshold similarity contributes nothing
+    assert similarity_kernel(i1, i2, {(a, b): 0.3}) == 0.0
+    # self: identical lemma keys
+    s = stem("activates").lower()
+    assert similarity_kernel(i1, i1, {(s, s): 1.0}) == pytest.approx(1.0)
+
+
+def test_connective_tk_generator_golden():
+    """Hand-worked SVM-light-TK line (ConnectiveTreeKernel.java:73-153):
+    sentence-initial gold connective -> NONEL placeholder, unary ADVP
+    climb, comma right-sibling simplification, window features in
+    first-seen index order."""
+    from nlp_lib_spark.kernels.conn_treekernel import ConnectiveTKGenerator
+    gen = ConnectiveTKGenerator({"however", "and"})
+    tree = ("(ROOT (S (ADVP (RB However)) (, ,) (NP (DT the) (NN query)) "
+            "(VP (VBZ runs))))")
+    lines = gen.instances(["However", ",", "the", "query", "runs"],
+                          ["B-CONN", "O", "O", "O", "O"], tree)
+    assert lines == [
+        "+1 \t|BT| (S (NONEL XL) (ADVP (RB however)) (, ,)) "
+        "|BT| (S (ADVP (RB however)) (, ,)) "
+        "|BT| (S (NONEL XL) (ADVP (RB however))) |ET| "
+        "1:1 2:0.7 3:0.6 |BV| 1:1 2:1 3:1 |BV| 1:1 |BV| 1:0 |BV| "
+        "1:1 2:1 3:1 4:1 5:1 |EV|"]
+    # a lexicon hit outside gold tags emits a negative instance, and the
+    # feature map keeps growing across calls (stateful indices)
+    tree2 = "(ROOT (S (NP (NN spark)) (CC and) (NP (NN duck))))"
+    lines2 = gen.instances(["spark", "and", "duck"],
+                           ["O", "O", "O"], tree2)
+    assert len(lines2) == 1 and lines2[0].startswith("-1")
+    # stateful grow-only feature map: indices continue past the first call
+    assert " 6:1" in lines2[0]
+
+
+def test_connective_tk_di_skipped():
+    from nlp_lib_spark.kernels.conn_treekernel import ConnectiveTKGenerator
+    gen = ConnectiveTKGenerator(set())
+    tree = "(ROOT (S (IN if) (NN x) (RB then) (NN y)))"
+    lines = gen.instances(["if", "x", "then", "y"],
+                          ["DB-CONN", "O", "DI-CONN", "O"], tree)
+    assert len(lines) == 1 and lines[0].startswith("+1")
