@@ -90,3 +90,90 @@ def trees_to_raw(trees: DataFrame, tree_col: str = "tree") -> DataFrame:
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in trees.schema.fields) + ", raw string"
     return trees.mapInPandas(fn, schema=schema)
+
+
+def pdtb_corpus_stats(relations: DataFrame) -> DataFrame:
+    """Corpus statistics over the typed relation view — the aggregate
+    queries the reference's analyzer mains print to stdout
+    (``PDTBAnalyzer.getUniqueConnHead``, corpus/pdtb/PDTBAnalyzer.java:
+    67-103; type/sense tallies in ``PDTBConnAnalyzer`` and
+    ``BioDRBAnalyzer``) as one tidy (stat, key, n) DataFrame:
+
+    * ``rel_type``  — relation-type distribution (Explicit/Implicit/...)
+    * ``conn_head`` — explicit connective-head frequencies (the unique
+      head list is this stat's key set)
+    * ``sense``     — first-sense distribution over non-empty senses
+
+    The deep per-tree diagnostics (``analyzeConnMod`` LCA-sibling tallies,
+    Arg2 head walks) are interactive debugging mains over intermediate
+    dump files and are not ported."""
+    by_type = (relations.groupBy(F.col("rel_type").alias("key"))
+               .agg(F.count(F.lit(1)).alias("n"))
+               .select(F.lit("rel_type").alias("stat"), "key", "n"))
+    conn = (relations.filter(F.col("rel_type") == "Explicit")
+            .groupBy(F.col("conn_head").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("conn_head").alias("stat"), "key", "n"))
+    sense = (relations.filter(F.col("sense") != "")
+             .groupBy(F.col("sense").alias("key"))
+             .agg(F.count(F.lit(1)).alias("n"))
+             .select(F.lit("sense").alias("stat"), "key", "n"))
+    return by_type.unionByName(conn).unionByName(sense)
+
+
+def biodrb_conn_iob_rows(iob: DataFrame,
+                         conn2cat: dict[str, str] | None = None) -> DataFrame:
+    """BioDRB2PDTBStyle.createConnIOBFile + markBaseConnective
+    (corpus/biodrb/BioDRB2PDTBStyle.java:59-110): shrink every annotated
+    connective span to its longest sub-span that is a base connective of
+    the lexicon (earliest span wins length ties, the reference's
+    strictly-greater scan), re-tagging everything else O.  Input is the
+    4-column IOB shape (doc_id, sent_id, tokens, conn) with B-/I- tags;
+    output replaces ``conn`` with the shrunk B-conn/I-conn layer.
+
+    Spans with no base-connective sub-span go fully O (the reference only
+    warns on stderr)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from nlp_lib_spark.kernels.discourse import ConnectiveLexicon
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = ConnectiveLexicon(conn2cat)
+        for pdf in batches:
+            out_tags = []
+            for toks, tags in zip(pdf["tokens"], pdf["conn"]):
+                toks = list(toks)
+                tags = list(tags)
+                low = [t.lower() for t in toks]
+                i = 0
+                n = len(toks)
+                while i < n:
+                    if tags[i].startswith("B-"):
+                        j = i + 1
+                        while j < n and tags[j].startswith("I-"):
+                            j += 1
+                        best = (-1, -1, -1)
+                        for a in range(i, j):
+                            for b in range(a, j):
+                                if (b - a) > best[0] and \
+                                        " ".join(low[a:b + 1]) in lex.conn2cat:
+                                    best = (b - a, a, b)
+                        for k in range(i, j):
+                            tags[k] = "O"
+                        if best[0] != -1:
+                            tags[best[1]] = "B-conn"
+                            for k in range(best[1] + 1, best[2] + 1):
+                                tags[k] = "I-conn"
+                        i = j
+                    else:
+                        i += 1
+                out_tags.append(tags)
+            pdf = pdf.copy()
+            pdf["conn"] = out_tags
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in iob.schema.fields)
+    return iob.mapInPandas(fn, schema=schema)

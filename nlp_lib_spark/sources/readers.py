@@ -257,3 +257,25 @@ def gold_pairs(iob: DataFrame) -> DataFrame:
                         F.lit(label).alias("label")))
 
     return side("p1", "p2", 1).union(side("n1", "n2", 0)).distinct()
+
+
+def read_biodrb_relations(spark: SparkSession, path: str) -> DataFrame:
+    """Typed BioDRB relation view (corpus/biodrb/BioDRBRelation.java:18-80
+    accessor indices: type=0, conn spans=1, conn gorn=2, conn raw=7,
+    sense=8, arg1 gorn/raw/spans=12/13/14, arg2 gorn/raw/spans=18/19/20).
+    Same pipe transport as the PDTB reader; the span codec is shared."""
+    raw = read_pdtb_piped(spark, path)
+    return raw.select(
+        "file",
+        F.col("col_0").alias("rel_type"),
+        _span_list_expr("col_1").alias("conn_spans"),
+        F.col("col_2").alias("conn_gorn"),
+        F.col("col_7").alias("conn_raw"),
+        F.col("col_8").alias("sense"),
+        F.col("col_12").alias("arg1_gorn"),
+        F.col("col_13").alias("arg1_raw"),
+        _span_list_expr("col_14").alias("arg1_spans"),
+        F.col("col_18").alias("arg2_gorn"),
+        F.col("col_19").alias("arg2_raw"),
+        _span_list_expr("col_20").alias("arg2_spans"),
+    )

@@ -254,3 +254,66 @@ def test_candidate_recall_eval_on_corpus(spark, corpus_dir):
     assert res.tp > 0, res
     assert res.miss <= res.tp, res  # candidates cover most planted gold
     assert res.fp == 0, res         # fixture plants no negative pairs
+
+
+def test_pdtb_corpus_stats(spark, tmp_path):
+    """Analyzer aggregate parity on a planted pipe fixture: type tallies,
+    explicit conn-head frequencies, sense distribution."""
+    from nlp_lib_spark.sources.pdtb_prep import pdtb_corpus_stats
+    from nlp_lib_spark.sources.readers import read_pdtb_relations
+    cols = [""] * 48
+    rows = []
+    for (typ, head, sense) in [("Explicit", "because", "Contingency.Cause"),
+                               ("Explicit", "because", "Contingency.Cause"),
+                               ("Explicit", "but", "Comparison"),
+                               ("Implicit", "", "Expansion")]:
+        c = list(cols)
+        c[0] = typ
+        c[8] = head
+        c[11] = sense
+        rows.append("|".join(c))
+    p = tmp_path / "x.pipe"
+    p.write_text("\n".join(rows) + "\n")
+    rels = read_pdtb_relations(spark, str(p))
+    stats = {(r.stat, r.key): r.n
+             for r in pdtb_corpus_stats(rels).collect()}
+    assert stats[("rel_type", "Explicit")] == 3
+    assert stats[("rel_type", "Implicit")] == 1
+    assert stats[("conn_head", "because")] == 2
+    assert stats[("conn_head", "but")] == 1
+    assert stats[("sense", "Contingency.Cause")] == 2
+    assert ("conn_head", "") not in stats  # implicit rows excluded
+
+
+def test_biodrb_reader_and_conn_shrink(spark, tmp_path):
+    from nlp_lib_spark.sources.pdtb_prep import biodrb_conn_iob_rows
+    from nlp_lib_spark.sources.readers import read_biodrb_relations
+    cols = [""] * 21
+    cols[0] = "Explicit"
+    cols[1] = "10..18"
+    cols[7] = "because"
+    cols[8] = "Contingency"
+    cols[19] = "it rains"
+    cols[20] = "20..28"
+    p = tmp_path / "b.pipe"
+    p.write_text("|".join(cols) + "\n")
+    r = read_biodrb_relations(spark, str(p)).collect()[0]
+    assert r.rel_type == "Explicit" and r.sense == "Contingency"
+    assert r.conn_spans[0].asDict() == {"start": 10, "end": 18}
+    assert r.arg2_raw == "it rains"
+
+    rows = [("d1", 0,
+             ["perhaps", "because", "of", "that", ",", "it", "works"],
+             ["B-c", "I-c", "I-c", "I-c", "O", "O", "O"]),
+            ("d1", 1,
+             ["xyzzy", "qwerty", "stays"],
+             ["B-c", "I-c", "O"])]
+    df = spark.createDataFrame(
+        rows, "doc_id string, sent_id int, tokens array<string>, "
+              "conn array<string>")
+    got = {(r.doc_id, r.sent_id): list(r.conn)
+           for r in biodrb_conn_iob_rows(df).collect()}
+    # 'because' is the longest base-connective sub-span of the annotated
+    # region in the default lexicon; the unknown span goes fully O
+    assert got[("d1", 0)] == ["O", "B-conn", "O", "O", "O", "O", "O"]
+    assert got[("d1", 1)] == ["O", "O", "O"]
