@@ -715,6 +715,22 @@ def q_kg_lll_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_lll(t, lll_config())
 
 
+@gate("kg_lll_ml_triples")  # oracle registered below (oracles.lll_ml_triples_oracle_sql)
+def q_kg_lll_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERelex runtime (relx/MERelex.java): all LEXE-B pairs scored by
+    MaxEnt over RelexPipe features, accepted at p > 0.5; probability ships
+    as integer basis points (measured 0.0028 bp min rounding-boundary
+    margin).  The oracle reconstructs the dep builder's exact emission
+    order and getPathAsList's unmarked-queue BFS — see
+    oracles.lll_ml_triples_oracle_sql."""
+    from nlp_lib_spark.kernels.scoring import load_model
+    from nlp_lib_spark.operators.lll import (DEFAULT_LLL_ML_MODEL_PATH,
+                                             extract_triples_lll_ml)
+    weights, bias = load_model(DEFAULT_LLL_ML_MODEL_PATH)
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return extract_triples_lll_ml(t, lll_config(), weights, bias)
+
+
 @gate("kg_ml_triples")  # oracle registered below (oracles.ml_triples_oracle_sql)
 def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MaxEnt-scored extraction (-ex ML path). The score ships as integer
@@ -1840,6 +1856,7 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_kernel_triples"] = O.kernel_triples_oracle_sql()
     ORACLES["kg_crf_tags"] = O.crf_tags_oracle_sql()
     ORACLES["kg_lll_triples"] = O.lll_triples_oracle_sql()
+    ORACLES["kg_lll_ml_triples"] = O.lll_ml_triples_oracle_sql()
 
 
 _register_rule_chain_oracles()

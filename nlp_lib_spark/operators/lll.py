@@ -21,6 +21,7 @@ never occurs on its corpora; the guard keeps a web-scale run alive.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -118,3 +119,66 @@ def extract_triples_lll(df: DataFrame, config: LLLConfig) -> DataFrame:
 
     return (df.select("conv_id", "turn_idx", "text")
               .mapInPandas(fn, schema=LLL_TRIPLES_SCHEMA))
+
+
+LLL_ML_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
+                 "e1 int, e2 int, subj string, pred string, obj string, "
+                 "p_bp long")
+
+DEFAULT_LLL_ML_MODEL_PATH = os.path.join(
+    os.path.dirname(__file__), os.pardir, "models", "lll_me.json")
+
+
+def extract_triples_lll_ml(df: DataFrame, config: LLLConfig,
+                           weights: dict, bias: float) -> DataFrame:
+    """MERelex runtime path (relx/MERelex.java:41-114): all LEXE-B
+    candidate pairs scored by MaxEnt over RelexPipe features; accepted at
+    p > 0.5.  Same fused zero-shuffle shape as the rule path; the weight
+    map rides the closure and compiles once per worker.  The probability
+    ships as integer basis points so the cross-engine value hash cannot
+    diverge on float binaries (the kg_ml_triples pattern)."""
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.relex_pipe import relex_features
+    from nlp_lib_spark.kernels.scoring import score
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rt = config.build()
+        cols = ["conv_id", "turn_idx", "sent_id", "e1", "e2",
+                "subj", "pred", "obj", "p_bp"]
+        for pdf in batches:
+            rows = []
+            for conv, ti, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                      pdf["text"]):
+                if not text:
+                    continue
+                cleaned = strip_citations(text)
+                for sid, sentence in enumerate(split_sentences(cleaned)):
+                    tokens = tokenize(sentence)
+                    if not tokens or len(tokens) > rt.max_sent_tokens:
+                        continue
+                    lexe = rt.lexicon.annotate(tokens)
+                    bs = [i for i, t in enumerate(lexe) if t == "B"]
+                    if len(bs) < 2:
+                        continue
+                    pos = pos_tag(tokens, rt.verb_stems)
+                    g = DepGraph(dep_parse(tokens, pos))
+                    for a_i, i in enumerate(bs):
+                        for j in bs[a_i + 1:]:
+                            p = score(relex_features(tokens, g, i, j),
+                                      weights, bias)
+                            if p <= 0.5:
+                                continue
+                            si = lex_chunk(tokens, lexe, i)
+                            sj = lex_chunk(tokens, lexe, j)
+                            if si is None or sj is None:
+                                continue
+                            rows.append(
+                                (conv, int(ti), sid, i, j,
+                                 resolve_surface(si, rt.lexicon),
+                                 "genic_interaction",
+                                 resolve_surface(sj, rt.lexicon),
+                                 int(round(p * 10000))))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (df.select("conv_id", "turn_idx", "text")
+              .mapInPandas(fn, schema=LLL_ML_SCHEMA))

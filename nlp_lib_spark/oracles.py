@@ -1840,3 +1840,354 @@ def _lll_pos_case() -> str:
     from nlp_lib_spark.oracles import _ann_parts
     _head, case_expr, _dom, _lw = _ann_parts()
     return case_expr
+
+
+def _lll_prefix_sql() -> str:
+    """The shared LLL raw-token chain (tokens -> POS -> chunk -> LEXE ->
+    dep replica), sliced from the rule oracle so both LLL gates verify the
+    same stream SQL byte-for-byte."""
+    full = lll_triples_oracle_sql()
+    return full.split(",\nsptxt AS MATERIALIZED")[0]
+
+
+def lll_ml_triples_oracle_sql() -> str:
+    """DuckDB replica of the MERelex runtime (operators/lll.
+    extract_triples_lll_ml): all LEXE-B pairs scored by MaxEnt over the
+    RelexPipe features, accepted at p > 0.5 (equivalently s > 0; measured
+    min |p-0.5| = 0.119 corpus-wide).
+
+    The feature chain is order-sensitive (first-incoming-edge parents,
+    first-two governed children, the getPathAsList BFS), so the oracle
+    reconstructs the frozen dep builder's EXACT emission order as a rank
+    model — (stage, anchor, sub) per arm, distribution ranked after base
+    by source ord — verified to reproduce the kernel's edge-list order on
+    every eligible sentence at sf0.001/0.01/0.1 (0 failures / 6,617
+    sentences; prep/conj anchors unique everywhere).  The path feature
+    replicates getPathAsList's unmarked-queue BFS exactly: a per-source
+    queue SIMULATION (recursive CTE over list state) yields the processing
+    order pi, and the reference's parent-overwrite quirk collapses to
+    "parent(n) = neighbor with the largest pi below pi(n)" — 1,534 of
+    21,216 corpus pairs take a non-shortest path through that quirk, so
+    shortest-path closures would NOT match.  Entity-head climbs, the
+    getRoot visited-after-move quirk, and the LCS root paths are
+    functional-graph walks over the min-rank parent map.  Documented
+    bound: the distribution rank model covers single-conj-pair sentences
+    (multi-pair: 0 occurrences at every sf)."""
+    import json
+    import os
+
+    from nlp_lib_spark.kernels.lexann import LexSynAnnotator
+    from nlp_lib_spark.lexicons import TESTDATA_LLL_LEXICON_LINES
+    model_path = os.path.join(os.path.dirname(__file__), "models",
+                              "lll_me.json")
+    with open(model_path) as fh:
+        model = json.load(fh)
+    weights = model["weights"]
+    bias = float(model["bias"])
+    lex = LexSynAnnotator(list(TESTDATA_LLL_LEXICON_LINES))
+    syn_whens = " ".join(
+        f"WHEN '{a}' THEN '{c}'" for a, c in sorted(lex.synonym_map.items()))
+    resolve = "CASE lower({t}) " + syn_whens + " ELSE {t} END"
+    span_txt = ("(SELECT string_agg(z.w, ' ' ORDER BY z.i) FROM str2 z "
+                "WHERE z.sk = s.sk AND z.i BETWEEN {a}.ms AND {a}.me)")
+    wvals = ", ".join(
+        f"('{k.replace(chr(39), chr(39)*2)}', {v!r})"
+        for k, v in sorted(weights.items()))
+    return _lll_prefix_sql() + f""",
+wtab(feat, wt) AS (VALUES {wvals}),
+bpos AS MATERIALIZED (SELECT sk, i FROM str3 WHERE lexe = 'B'),
+cand AS MATERIALIZED (
+  SELECT a.sk, a.i AS e1, b.i AS e2
+  FROM bpos a JOIN bpos b ON b.sk = a.sk AND b.i > a.i
+),
+-- ============ emission-order rank model (kernels/depparse order) ============
+rank0 AS (
+  SELECT sk, reln, gov, dep, 1 AS s1, dep AS s2, 0 AS s3 FROM e_np
+  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 0 FROM e_subj
+  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 1 + dep FROM e_neg
+  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 10000 FROM e_dobj
+  UNION ALL SELECT sk, reln, gov, dep, 3, dep, 0 FROM e_advmod
+  UNION ALL SELECT e.sk, e.reln, e.gov, e.dep, 4,
+    (SELECT min(t.i) FROM str2 t WHERE t.sk = e.sk
+     AND t.pos IN ('IN', 'TO') AND t.lw = substr(e.reln, 6)), 0
+  FROM e_prep e
+  UNION ALL SELECT e.sk, e.reln, e.gov, e.dep, 5,
+    (SELECT min(t.i) FROM str2 t WHERE t.sk = e.sk AND t.pos = 'CC'
+     AND t.lw = substr(e.reln, 6) AND t.i > e.gov AND t.i < e.dep), 0
+  FROM e_conj e
+),
+rankb AS MATERIALIZED (
+  SELECT sk, reln, gov, dep,
+         row_number() OVER (PARTITION BY sk ORDER BY s1, s2, s3) AS ord
+  FROM rank0
+),
+rankd AS (  -- CC-distributed edges rank after base, by source ord
+  SELECT b.sk, b.reln, b.gov, r.dst AS dep, 100000 + b.ord AS ord
+  FROM rankb b JOIN conj_reach r ON r.sk = b.sk AND r.src = b.dep
+  WHERE (b.reln IN ('nsubj', 'nsubjpass', 'dobj') OR b.reln LIKE 'prep_%')
+    AND NOT EXISTS (SELECT 1 FROM rankb z WHERE z.sk = b.sk
+                    AND z.reln = b.reln AND z.gov = b.gov AND z.dep = r.dst)
+),
+dep_o AS MATERIALIZED (
+  SELECT sk, reln, gov, dep, min(ord) AS ord
+  FROM (SELECT * FROM rankb UNION ALL SELECT * FROM rankd) z
+  GROUP BY sk, reln, gov, dep
+),
+par AS MATERIALIZED (  -- first incoming edge (list order) per node
+  SELECT sk, dep AS node, arg_min(gov, ord) AS gov,
+         arg_min(reln, ord) AS reln
+  FROM dep_o GROUP BY sk, dep
+),
+parna AS MATERIALIZED (  -- first incoming nn|amod edge per node
+  SELECT sk, dep AS node, arg_min(gov, ord) AS gov
+  FROM dep_o WHERE reln IN ('nn', 'amod') GROUP BY sk, dep
+),
+-- ==================== entity-head climb (RelexPipe) ====================
+ehead(sk, root, cur, seen) AS (
+  SELECT sk, i, i, [i] FROM bpos
+  UNION ALL
+  SELECT e.sk, e.root, p.gov, list_append(e.seen, p.gov)
+  FROM ehead e JOIN parna p ON p.sk = e.sk AND p.node = e.cur
+  WHERE NOT list_contains(e.seen, p.gov)
+),
+ehead_f AS MATERIALIZED (
+  SELECT e.sk, e.root, e.cur AS head
+  FROM ehead e LEFT JOIN parna p ON p.sk = e.sk AND p.node = e.cur
+  WHERE p.node IS NULL OR list_contains(e.seen, p.gov)
+),
+pairh AS MATERIALIZED (
+  SELECT c.sk, c.e1, c.e2, h1.head AS h1, h2.head AS h2
+  FROM cand c
+  JOIN ehead_f h1 ON h1.sk = c.sk AND h1.root = c.e1
+  JOIN ehead_f h2 ON h2.sk = c.sk AND h2.root = c.e2
+),
+hset AS (
+  SELECT DISTINCT sk, h1 AS node FROM pairh
+  UNION SELECT DISTINCT sk, h2 FROM pairh
+),
+h1set AS (SELECT DISTINCT sk, h1 AS node FROM pairh),
+-- ==================== LCS root paths (getLCS) ====================
+rpath(sk, src, cur, depth, seen) AS (
+  SELECT sk, node, node, 0, [node] FROM hset
+  UNION ALL
+  SELECT r.sk, r.src, p.gov, r.depth + 1, list_append(r.seen, p.gov)
+  FROM rpath r JOIN par p ON p.sk = r.sk AND p.node = r.cur
+  WHERE NOT list_contains(r.seen, p.gov)
+),
+lcs_t AS MATERIALIZED (
+  SELECT p.sk, p.e1, p.e2,
+    (SELECT a.cur FROM rpath a WHERE a.sk = p.sk AND a.src = p.h1
+       AND EXISTS (SELECT 1 FROM rpath b WHERE b.sk = p.sk
+                   AND b.src = p.h2 AND b.cur = a.cur)
+     ORDER BY a.depth LIMIT 1) AS lcs
+  FROM pairh p
+),
+-- ==================== getRoot (visited-after-move quirk) ====================
+rootw(sk, src, cur, seen) AS (
+  SELECT sk, node, node, []::INT[] FROM h1set
+  UNION ALL
+  SELECT r.sk, r.src, p.gov, list_append(r.seen, p.gov)
+  FROM rootw r JOIN par p ON p.sk = r.sk AND p.node = r.cur
+  WHERE NOT list_contains(r.seen, p.gov)
+),
+root_f AS MATERIALIZED (
+  SELECT r.sk, r.src,
+         CASE WHEN p.node IS NULL THEN r.cur ELSE p.gov END AS root
+  FROM rootw r LEFT JOIN par p ON p.sk = r.sk AND p.node = r.cur
+  WHERE p.node IS NULL OR list_contains(r.seen, p.gov)
+),
+-- ============== getPathAsList BFS simulation (unmarked queue) ==============
+adjp AS MATERIALIZED (
+  SELECT DISTINCT sk, gov AS a, dep AS b FROM dep_o
+  UNION SELECT DISTINCT sk, dep, gov FROM dep_o
+),
+adj AS MATERIALIZED (
+  SELECT sk, a AS node, list_sort(list(b)) AS nbrs FROM adjp GROUP BY sk, a
+),
+labt AS MATERIALIZED (  -- oriented label matrix, last edge wins
+  SELECT sk, a, b, arg_max(lab, ord) AS lab FROM (
+    SELECT sk, gov AS a, dep AS b, reln AS lab, ord FROM dep_o
+    UNION ALL
+    SELECT sk, dep, gov, '-' || reln, ord FROM dep_o
+  ) z GROUP BY sk, a, b
+),
+sim(sk, src, queue, visited, assigned, pi) AS (
+  SELECT sk, node, [node], []::INT[], NULL::INT, -1 FROM h1set
+  UNION ALL
+  SELECT s.sk, s.src,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN s.queue[2:]
+         ELSE s.queue[2:] || list_filter(coalesce(a.nbrs, []),
+                x -> NOT list_contains(list_append(s.visited, s.queue[1]), x))
+    END,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN s.visited
+         ELSE list_append(s.visited, s.queue[1]) END,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN NULL
+         ELSE s.queue[1] END,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN s.pi ELSE s.pi + 1 END
+  FROM sim s LEFT JOIN adj a ON a.sk = s.sk AND a.node = s.queue[1]
+  WHERE len(s.queue) > 0
+),
+pi_t AS MATERIALIZED (
+  SELECT sk, src, assigned AS node, pi FROM sim WHERE assigned IS NOT NULL
+),
+parw AS MATERIALIZED (  -- parent = last toucher = max-pi earlier neighbor
+  SELECT n.sk, n.src, n.node, arg_max(m.node, m.pi) AS par
+  FROM pi_t n
+  JOIN adjp e ON e.sk = n.sk AND e.a = n.node
+  JOIN pi_t m ON m.sk = n.sk AND m.src = n.src AND m.node = e.b
+             AND m.pi < n.pi
+  GROUP BY n.sk, n.src, n.node
+),
+walk(sk, e1, e2, cur, labs) AS (
+  SELECT p.sk, p.e1, p.e2, p.h2, []::VARCHAR[]
+  FROM pairh p
+  WHERE p.h1 <> p.h2
+    AND EXISTS (SELECT 1 FROM pi_t t WHERE t.sk = p.sk AND t.src = p.h1
+                AND t.node = p.h2)
+  UNION ALL
+  SELECT w.sk, w.e1, w.e2, p.par, list_prepend(l.lab, w.labs)
+  FROM walk w
+  JOIN pairh ph ON ph.sk = w.sk AND ph.e1 = w.e1 AND ph.e2 = w.e2
+  JOIN parw p ON p.sk = w.sk AND p.src = ph.h1 AND p.node = w.cur
+  JOIN labt l ON l.sk = w.sk AND l.a = p.par AND l.b = w.cur
+  WHERE w.cur <> ph.h1
+),
+walk_f AS MATERIALIZED (
+  SELECT w.sk, w.e1, w.e2, w.labs
+  FROM walk w JOIN pairh ph ON ph.sk = w.sk AND ph.e1 = w.e1
+                            AND ph.e2 = w.e2
+  WHERE w.cur = ph.h1
+),
+-- ==================== PP-chain reachability (set-valued) ====================
+ppv(sk, root, node) AS (
+  SELECT sk, i, i FROM bpos
+  UNION
+  SELECT v.sk, v.root, e.gov
+  FROM ppv v JOIN dep_o e ON e.sk = v.sk AND e.dep = v.node
+  WHERE e.reln IN ('nn', 'amod') OR e.reln LIKE 'prep_%'
+),
+ppr AS MATERIALIZED (
+  SELECT DISTINCT v.sk, v.root, e.gov AS node
+  FROM ppv v JOIN dep_o e ON e.sk = v.sk AND e.dep = v.node
+  WHERE e.reln LIKE 'prep_%'
+),
+ppf AS MATERIALIZED (
+  SELECT c.sk, c.e1, c.e2,
+    (SELECT min(r1.node) FROM ppr r1
+     WHERE r1.sk = c.sk AND r1.root = c.e1
+       AND EXISTS (SELECT 1 FROM ppr r2 WHERE r2.sk = c.sk
+                   AND r2.root = c.e2 AND r2.node = r1.node)) AS common
+  FROM cand c
+),
+-- ==================== feature assembly ====================
+cfilt AS (  -- CPATH: filtered labels with position
+  SELECT w.sk, w.e1, w.e2, u.l, u.o
+  FROM walk_f w,
+  LATERAL (SELECT unnest(w.labs) AS l,
+                  generate_subscripts(w.labs, 1) AS o) u
+  WHERE NOT regexp_full_match(u.l, '-?(pobj|amod|nn|conj)')
+),
+cdedup AS (
+  SELECT * FROM (
+    SELECT c.*, lag(c.l) OVER (PARTITION BY c.sk, c.e1, c.e2
+                               ORDER BY c.o) AS pl
+    FROM cfilt c
+  ) z WHERE z.pl IS NULL OR z.pl <> z.l
+),
+cpath_t AS MATERIALIZED (
+  SELECT w.sk, w.e1, w.e2, coalesce(agg.cp, '') AS cp
+  FROM walk_f w LEFT JOIN (
+    SELECT sk, e1, e2, string_agg(l || ':', '' ORDER BY o) AS cp
+    FROM cdedup GROUP BY sk, e1, e2
+  ) agg ON agg.sk = w.sk AND agg.e1 = w.e1 AND agg.e2 = w.e2
+),
+govk AS (  -- first two governed edges per node (C features)
+  SELECT sk, gov, dep, row_number() OVER (
+           PARTITION BY sk, gov ORDER BY ord) AS rn
+  FROM dep_o
+),
+feats AS MATERIALIZED (
+  SELECT l.sk, l.e1, l.e2,
+    CASE WHEN l.lcs IS NULL THEN 'LCS=NONE'
+         ELSE 'LCS=' || (SELECT t.w FROM str2 t
+                         WHERE t.sk = l.sk AND t.i = l.lcs) END AS feat
+  FROM lcs_t l
+  UNION ALL
+  SELECT w.sk, w.e1, w.e2,
+    'SBJ=' || CASE WHEN EXISTS (SELECT 1 FROM unnest(w.labs) AS u(l)
+                                WHERE u.l LIKE '%nsubj%')
+                   THEN 'TRUE' ELSE 'FALSE' END
+  FROM walk_f w
+  UNION ALL
+  SELECT sk, e1, e2, 'CPATH=' || cp FROM cpath_t
+  UNION ALL
+  SELECT w.sk, w.e1, w.e2,
+    'PPChain?=' || CASE WHEN NOT EXISTS (
+        SELECT 1 FROM unnest(w.labs) AS u(l)
+        WHERE NOT regexp_full_match(u.l, '-?(prep|pobj|amod|nn|conj)'))
+      THEN 'true' ELSE 'false' END
+  FROM walk_f w
+  UNION ALL
+  SELECT p.sk, p.e1, p.e2,
+    'ROOT=' || (SELECT t.w FROM str2 t WHERE t.sk = p.sk AND t.i = r.root)
+  FROM pairh p
+  JOIN walk_f w ON w.sk = p.sk AND w.e1 = p.e1 AND w.e2 = p.e2
+  JOIN root_f r ON r.sk = p.sk AND r.src = p.h1
+  UNION ALL
+  SELECT p.sk, p.e1, p.e2,
+    CASE WHEN pr.node IS NULL THEN 'P1=NONE'
+         ELSE 'P1=' || (SELECT t.w FROM str2 t
+                        WHERE t.sk = p.sk AND t.i = pr.gov)
+              || '-' || pr.reln END
+  FROM pairh p
+  JOIN walk_f w ON w.sk = p.sk AND w.e1 = p.e1 AND w.e2 = p.e2
+  LEFT JOIN par pr ON pr.sk = p.sk AND pr.node = p.h1
+  UNION ALL
+  SELECT p.sk, p.e1, p.e2,
+    CASE WHEN pr.node IS NULL THEN 'P2=NONE'
+         ELSE 'P2=' || (SELECT t.w FROM str2 t
+                        WHERE t.sk = p.sk AND t.i = pr.gov)
+              || '-' || pr.reln END
+  FROM pairh p
+  JOIN walk_f w ON w.sk = p.sk AND w.e1 = p.e1 AND w.e2 = p.e2
+  LEFT JOIN par pr ON pr.sk = p.sk AND pr.node = p.h2
+  UNION ALL
+  SELECT p.sk, p.e1, p.e2,
+    'C1' || CAST(g.rn - 1 AS VARCHAR) || '='
+      || (SELECT t.w FROM str2 t WHERE t.sk = p.sk AND t.i = g.dep)
+  FROM pairh p
+  JOIN walk_f w ON w.sk = p.sk AND w.e1 = p.e1 AND w.e2 = p.e2
+  JOIN govk g ON g.sk = p.sk AND g.gov = p.h1 AND g.rn <= 2
+  UNION ALL
+  SELECT p.sk, p.e1, p.e2,
+    'C2' || CAST(g.rn - 1 AS VARCHAR) || '='
+      || (SELECT t.w FROM str2 t WHERE t.sk = p.sk AND t.i = g.dep)
+  FROM pairh p
+  JOIN walk_f w ON w.sk = p.sk AND w.e1 = p.e1 AND w.e2 = p.e2
+  JOIN govk g ON g.sk = p.sk AND g.gov = p.h2 AND g.rn <= 2
+  UNION ALL
+  SELECT f.sk, f.e1, f.e2,
+    'PP=' || CASE WHEN f.common IS NULL THEN 'NONE'
+                  ELSE (SELECT t.w FROM str2 t
+                        WHERE t.sk = f.sk AND t.i = f.common) END
+  FROM ppf f
+),
+scored AS MATERIALIZED (
+  SELECT f.sk, f.e1, f.e2,
+         {bias!r} + coalesce(sum(w.wt), 0) AS s
+  FROM feats f LEFT JOIN wtab w ON w.feat = f.feat
+  GROUP BY f.sk, f.e1, f.e2
+)
+SELECT d.conv_id, CAST(d.turn_idx AS INT) AS turn_idx,
+       CAST(d.sent_id AS INT) AS sent_id,
+       CAST(s.e1 AS INT) AS e1, CAST(s.e2 AS INT) AS e2,
+       {resolve.format(t=span_txt.format(a='pa'))} AS subj,
+       'genic_interaction' AS pred,
+       {resolve.format(t=span_txt.format(a='pb'))} AS obj,
+       CAST(round(10000.0 / (1.0 + exp(-s.s))) AS BIGINT) AS p_bp
+FROM scored s
+JOIN sdim d ON d.sk = s.sk
+JOIN lsp pa ON pa.sk = s.sk AND pa.ms = s.e1
+JOIN lsp pb ON pb.sk = s.sk AND pb.ms = s.e2
+WHERE s.s > 0
+"""

@@ -488,3 +488,60 @@ def test_extract_triples_lll_matches_kernel(spark):
         for (sid, a, tg, sj, pr, ob) in lll_turn(rt, row.text):
             want.add((row.conv_id, row.turn_idx, sid, a, tg, sj, pr, ob))
     assert got == want and len(got) > 0
+
+
+def test_extract_triples_lll_ml_matches_kernel(spark):
+    """The distributed MERelex operator equals the per-sentence kernel
+    scoring path (distribution invariance for the ML-scored LLL gate)."""
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        import pytest
+        pytest.skip("testdata not present")
+    from nlp_lib_spark.gate import lll_config
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.depparse import dep_parse
+    from nlp_lib_spark.kernels.lll_relex import lex_chunk, resolve_surface
+    from nlp_lib_spark.kernels.postag import pos_tag
+    from nlp_lib_spark.kernels.relex_pipe import relex_features
+    from nlp_lib_spark.kernels.scoring import load_model, score
+    from nlp_lib_spark.kernels.text import (split_sentences, strip_citations,
+                                            tokenize)
+    from nlp_lib_spark.operators.lll import (DEFAULT_LLL_ML_MODEL_PATH,
+                                             extract_triples_lll_ml)
+    from nlp_lib_spark.operators.transcripts import transcripts
+    cfg = lll_config()
+    weights, bias = load_model(DEFAULT_LLL_ML_MODEL_PATH)
+    t = transcripts(spark, sf_dir, with_ts=False)
+    got = {tuple(r) for r in
+           extract_triples_lll_ml(t, cfg, weights, bias).collect()}
+    rt = cfg.build()
+    want = set()
+    for row in t.select("conv_id", "turn_idx", "text").collect():
+        if not row.text:
+            continue
+        for sid, sent in enumerate(split_sentences(strip_citations(row.text))):
+            tokens = tokenize(sent)
+            if not tokens or len(tokens) > rt.max_sent_tokens:
+                continue
+            lexe = rt.lexicon.annotate(tokens)
+            bs = [i for i, tg in enumerate(lexe) if tg == "B"]
+            if len(bs) < 2:
+                continue
+            pos = pos_tag(tokens, rt.verb_stems)
+            g = DepGraph(dep_parse(tokens, pos))
+            for ai, i in enumerate(bs):
+                for j in bs[ai + 1:]:
+                    p = score(relex_features(tokens, g, i, j), weights, bias)
+                    if p <= 0.5:
+                        continue
+                    si = lex_chunk(tokens, lexe, i)
+                    sj = lex_chunk(tokens, lexe, j)
+                    if si is None or sj is None:
+                        continue
+                    want.add((row.conv_id, row.turn_idx, sid, i, j,
+                              resolve_surface(si, rt.lexicon),
+                              "genic_interaction",
+                              resolve_surface(sj, rt.lexicon),
+                              round(p * 10000)))
+    assert got == want and len(got) > 0
