@@ -55,7 +55,7 @@ def make_docs(n: int, seed: int) -> pd.DataFrame:
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
-    whats = sys.argv[3:] or ["deps", "union", "triples"]
+    whats = sys.argv[3:] or ["deps", "union", "triples", "lll", "lll_ml"]
 
     with tempfile.TemporaryDirectory() as td:
         pq = f"{td}/documents.parquet"
@@ -71,6 +71,9 @@ def main() -> int:
         rt = TESTDATA_CONFIG.build()
         failures = 0
         for what in whats:
+            if what in ("lll", "lll_ml"):
+                failures += _check_lll(con, rows, what)
+                continue
             py: dict[tuple, set] = defaultdict(set)
             for conv_id, turn_idx, _role, text, _tool in rows:
                 if not text:
@@ -111,6 +114,76 @@ def main() -> int:
                       "sql-only", sorted(sq.get(k, set()) - py.get(k, set()))[:4])
             failures += len(bad)
         return 1 if failures else 0
+
+
+def _check_lll(con, rows, what: str) -> int:
+    """Fuzz the legacy-LLL oracles (rule union / MERelex scoring): the
+    canonical-equivalence assumptions documented in
+    oracles.lll_triples_oracle_sql are corpus-dependent, so adversarial
+    vocabulary is exactly where they would break first."""
+    from nlp_lib_spark.gate import lll_config
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.depparse import dep_parse
+    from nlp_lib_spark.kernels.lll_relex import lex_chunk, resolve_surface
+    from nlp_lib_spark.kernels.postag import pos_tag
+    from nlp_lib_spark.kernels.relex_pipe import relex_features
+    from nlp_lib_spark.kernels.scoring import load_model, score
+    from nlp_lib_spark.kernels.text import tokenize
+    from nlp_lib_spark.operators.lll import (DEFAULT_LLL_ML_MODEL_PATH,
+                                             lll_turn)
+
+    cfg = lll_config()
+    rt = cfg.build()
+    weights, bias = load_model(DEFAULT_LLL_ML_MODEL_PATH)
+    py: dict[tuple, set] = defaultdict(set)
+    for conv_id, turn_idx, _role, text, _tool in rows:
+        if not text:
+            continue
+        if what == "lll":
+            for (sid, a, t, subj, pred, obj) in lll_turn(rt, text):
+                py[(conv_id, turn_idx, sid)].add((a, t, subj, pred, obj))
+        else:
+            for sid, sentence in enumerate(
+                    split_sentences(strip_citations(text))):
+                tokens = tokenize(sentence)
+                if not tokens or len(tokens) > rt.max_sent_tokens:
+                    continue
+                lexe = rt.lexicon.annotate(tokens)
+                bs = [i for i, tg in enumerate(lexe) if tg == "B"]
+                if len(bs) < 2:
+                    continue
+                pos = pos_tag(tokens, rt.verb_stems)
+                g = DepGraph(dep_parse(tokens, pos))
+                for ai, i in enumerate(bs):
+                    for j in bs[ai + 1:]:
+                        p = score(relex_features(tokens, g, i, j),
+                                  weights, bias)
+                        if p <= 0.5:
+                            continue
+                        si = lex_chunk(tokens, lexe, i)
+                        sj = lex_chunk(tokens, lexe, j)
+                        if si is None or sj is None:
+                            continue
+                        py[(conv_id, turn_idx, sid)].add(
+                            (i, j, resolve_surface(si, rt.lexicon),
+                             "genic_interaction",
+                             resolve_surface(sj, rt.lexicon),
+                             round(p * 10000)))
+    sql = (oracles.lll_triples_oracle_sql if what == "lll"
+           else oracles.lll_ml_triples_oracle_sql)()
+    sq: dict[tuple, set] = defaultdict(set)
+    for row in con.execute(sql).fetchall():
+        sq[(row[0], row[1], row[2])].add(tuple(row[3:]))
+    bad = [k for k in set(py) | set(sq)
+           if py.get(k, set()) != sq.get(k, set())]
+    npy = sum(len(v) for v in py.values())
+    print(f"[{what}] sentences={len(set(py) | set(sq))} "
+          f"mismatched={len(bad)} items={npy}")
+    for k in bad[:5]:
+        print("  DIFF", k,
+              "py-only", sorted(py.get(k, set()) - sq.get(k, set()))[:3],
+              "sql-only", sorted(sq.get(k, set()) - py.get(k, set()))[:3])
+    return len(bad)
 
 
 if __name__ == "__main__":
