@@ -33,6 +33,7 @@ HEADLINE = (
     "kg_kernel_triples",   # LCS dep-path kernel scoring vs prototypes
     "kg_lll_triples",      # legacy-LLL three-type rule union
     "kg_lll_ml_triples",   # MERelex MaxEnt scoring over RelexPipe features
+    "kg_relx_triples",     # ExtendedRelex rule union (relx Rule1+2+4)
     "kg_mentions",         # staged annotation + mention explode
     "kg_conversations",    # conversation assembly (ordering invariant)
     "kg_connectives",      # connective spans + sense + arg2 head

@@ -715,6 +715,17 @@ def q_kg_lll_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples_lll(t, lll_config())
 
 
+@gate("kg_relx_triples")  # oracle registered below (oracles.relx_triples_oracle_sql)
+def q_kg_relx_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExtendedRelex extraction (relx/ExtendedRelex.java): the relx
+    Rule1+Rule2+Rule4 union over the LLL stream — the third complete LLL
+    engine, oracled via set-valued prefix-path CTEs (no emission-order
+    model needed; see oracles.relx_triples_oracle_sql)."""
+    from nlp_lib_spark.operators.lll import extract_triples_relx
+    t = transcripts(spark, sf_dir, with_ts=False)
+    return extract_triples_relx(t, lll_config())
+
+
 @gate("kg_lll_ml_triples")  # oracle registered below (oracles.lll_ml_triples_oracle_sql)
 def q_kg_lll_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERelex runtime (relx/MERelex.java): all LEXE-B pairs scored by
@@ -1857,6 +1868,7 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_crf_tags"] = O.crf_tags_oracle_sql()
     ORACLES["kg_lll_triples"] = O.lll_triples_oracle_sql()
     ORACLES["kg_lll_ml_triples"] = O.lll_ml_triples_oracle_sql()
+    ORACLES["kg_relx_triples"] = O.relx_triples_oracle_sql()
 
 
 _register_rule_chain_oracles()

@@ -182,3 +182,62 @@ def extract_triples_lll_ml(df: DataFrame, config: LLLConfig,
 
     return (df.select("conv_id", "turn_idx", "text")
               .mapInPandas(fn, schema=LLL_ML_SCHEMA))
+
+
+RELX_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
+               "agent int, target int, subj string, pred string, obj string")
+
+
+def _relx_surface(surface: str, lexicon) -> str:
+    """ExtendedRelex's emission normalization (java:124-135): strip to the
+    FIRST hyphen when that prefix is a dictionary entry (contrast Relex's
+    last-hyphen strip); no synonym mapping."""
+    if "-" in surface:
+        first = surface[:surface.index("-")]
+        if lexicon.contains(first):
+            return first
+    return surface
+
+
+def extract_triples_relx(df: DataFrame, config: LLLConfig) -> DataFrame:
+    """ExtendedRelex extraction (relx/ExtendedRelex.getInteractions,
+    java:60-80): the relx Rule1+Rule2+Rule4 union with first-wins pair
+    dedup, fused into the same zero-shuffle pass as the other LLL
+    engines."""
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.relex_pipe import extended_relex_interactions
+    from nlp_lib_spark.kernels.relx_rules import XSent
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rt = config.build()
+        cols = ["conv_id", "turn_idx", "sent_id", "agent", "target",
+                "subj", "pred", "obj"]
+        for pdf in batches:
+            rows = []
+            for conv, ti, text in zip(pdf["conv_id"], pdf["turn_idx"],
+                                      pdf["text"]):
+                if not text:
+                    continue
+                cleaned = strip_citations(text)
+                for sid, sentence in enumerate(split_sentences(cleaned)):
+                    tokens = tokenize(sentence)
+                    if not tokens or len(tokens) > rt.max_sent_tokens:
+                        continue
+                    pos = pos_tag(tokens, rt.verb_stems)
+                    lexe = rt.lexicon.annotate(tokens)
+                    s = XSent(tokens, pos, lexe)
+                    g = DepGraph(dep_parse(tokens, pos))
+                    for (a, t) in extended_relex_interactions(
+                            s, g, rt.restriction):
+                        sa = lex_chunk(tokens, lexe, a)
+                        st = lex_chunk(tokens, lexe, t)
+                        if sa is None or st is None:  # reference NPE path
+                            continue
+                        rows.append((conv, int(ti), sid, a, t,
+                                     _relx_surface(sa, rt.lexicon),
+                                     "genic_interaction",
+                                     _relx_surface(st, rt.lexicon)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (df.select("conv_id", "turn_idx", "text")
+              .mapInPandas(fn, schema=RELX_SCHEMA))

@@ -2191,3 +2191,189 @@ JOIN lsp pa ON pa.sk = s.sk AND pa.ms = s.e1
 JOIN lsp pb ON pb.sk = s.sk AND pb.ms = s.e2
 WHERE s.s > 0
 """
+
+
+def relx_triples_oracle_sql() -> str:
+    """DuckDB replica of the ExtendedRelex engine (operators/lll.
+    extract_triples_relx): relx Rule1+Rule2 prefix-path evaluation over the
+    LLL raw-token stream.  Unlike the MERelex oracle this chain is fully
+    SET-valued (rightmost-entity heads, all-simple-path enumeration,
+    edge-set NP chunks), so no emission-order rank model is needed.
+
+    Structural equivalences, verified corpus-exact at sf0.001/0.01/0.1
+    (0 mismatched sentences / 2,633 pairs) and by the adversarial fuzz
+    harness: per-index evaluation over MAXIMAL paths equals evaluation at
+    every prefix row of the simple-path CTE (every prefix extends to a
+    maximal path, and dropped cyclic tips record nothing either way).
+    Corpus-dead branches (counter-instrumented 0 fires at every sf, and
+    structurally dead for the frozen builder's edge vocabulary):
+    conjunct/appositive agent expansion, the PP-chain and rcmod agent
+    paths, relx Rule4 (needs '-dependent' tokens; tokenization has no
+    hyphens), the prep_by orientation swap, the first-hyphen surface
+    strip, and the 'agent' relation rendering."""
+    from nlp_lib_spark.lexicons import TESTDATA_LLL_RESTRICTION
+    restr = _in(sorted(t.lower() for t in TESTDATA_LLL_RESTRICTION))
+    x1_path = r"dep|agent|.*comp|.*obj|advcl|(inf|part|rc)mod|prep.*"
+    nomark = (r"belong(s|ed)?|requires?|effect|provided|effect|result"
+              r"|member|response|control|depend(s|ed|ent)?")
+    p1 = (r".*(t|d|ion|ing)<<(VB|AUX|MD|NN|JJ).*\s(via|after|with|if|once"
+          r"|requires|require|when|through|due to|in case|provided that"
+          r"|effect of|result of|member of|in response to"
+          r"|under.*<<NN.*control|under( the)? control of"
+          r"|depend(s|ed|ent)? ([a-z]+)? on).*")
+    p2 = r".*(requires|belongs? to|require|depend(s|ed|ent)? (on|upon)).*"
+    p3 = r".*(t|d|ion|ing)<<(VB|AUX|MD|NN|JJ).*\sby.*"
+    p4 = (r".*(t|d|ion|ing)<<(VB|AUX|MD|NN|JJ).*\sby.*"
+          r"(time|times|fold|(ing<<VB)).*")
+    r2p = _in(_R2_PREPS)
+    vnj = "(z.pos LIKE 'VB%' OR z.pos LIKE 'NN%' OR z.pos LIKE 'JJ%')"
+    return _lll_prefix_sql() + f""",
+xhead_a AS MATERIALIZED (  -- rightmost LEXE-B among node + nn|amod deps
+  SELECT c.sk, c.node, max(c.cand) AS ent FROM (
+    SELECT sk, i AS node, i AS cand FROM str3
+    UNION ALL
+    SELECT sk, gov, dep FROM dep_e WHERE reln IN ('nn', 'amod')
+  ) c JOIN str3 b ON b.sk = c.sk AND b.i = c.cand AND b.lexe = 'B'
+  GROUP BY c.sk, c.node
+),
+xhead_t AS MATERIALIZED (  -- pattern nn|amod|advmod (targets / rule2)
+  SELECT c.sk, c.node, max(c.cand) AS ent FROM (
+    SELECT sk, i AS node, i AS cand FROM str3
+    UNION ALL
+    SELECT sk, gov, dep FROM dep_e WHERE reln IN ('nn', 'amod', 'advmod')
+  ) c JOIN str3 b ON b.sk = c.sk AND b.i = c.cand AND b.lexe = 'B'
+  GROUP BY c.sk, c.node
+),
+xnpc AS MATERIALIZED (  -- getNPChunk bounds: nn|amod|advmod incident edges
+  SELECT sk, n, min(v) AS lo, max(v) AS hi FROM (
+    SELECT sk, i AS n, i AS v FROM str3
+    UNION ALL SELECT sk, gov, gov FROM dep_e WHERE reln IN ('nn','amod','advmod')
+    UNION ALL SELECT sk, gov, dep FROM dep_e WHERE reln IN ('nn','amod','advmod')
+    UNION ALL SELECT sk, dep, gov FROM dep_e WHERE reln IN ('nn','amod','advmod')
+    UNION ALL SELECT sk, dep, dep FROM dep_e WHERE reln IN ('nn','amod','advmod')
+  ) z GROUP BY sk, n
+),
+xnps AS MATERIALIZED (  -- marked chunk string + restriction flag per node
+  SELECT c.sk, c.n AS node,
+    (SELECT string_agg(CASE WHEN {vnj}
+                              AND NOT regexp_full_match(z.w, '{nomark}')
+                            THEN z.w || '<<' || z.pos || ' '
+                            ELSE z.w || ' ' END, '' ORDER BY z.i)
+     FROM str2 z WHERE z.sk = c.sk AND z.i BETWEEN c.lo AND c.hi) AS ms,
+    EXISTS (SELECT 1 FROM str3 z WHERE z.sk = c.sk
+            AND z.i BETWEEN c.lo AND c.hi AND z.lw IN ({restr})) AS restr
+  FROM xnpc c
+),
+xneg AS MATERIALIZED (
+  SELECT DISTINCT sk, gov AS node FROM dep_e WHERE reln = 'neg'
+),
+-- =============== relx Rule1: prefix rows of subj-seeded paths ===============
+x1path(sk, agent, node, ps, dom, ng, vis) AS (
+  SELECT e.sk, ha.ent, e.gov,
+         d0.ms || ' ',
+         d0.restr,
+         EXISTS (SELECT 1 FROM xneg q WHERE q.sk = e.sk AND q.node = e.gov)
+           OR EXISTS (SELECT 1 FROM xneg q WHERE q.sk = e.sk
+                      AND q.node = e.dep),
+         [e.gov]
+  FROM dep_e e
+  JOIN xhead_a ha ON ha.sk = e.sk AND ha.node = e.dep
+  JOIN xnps d0 ON d0.sk = e.sk AND d0.node = e.dep
+  WHERE e.reln IN ('nsubj', 'nsubjpass')
+  UNION ALL
+  SELECT p.sk, p.agent, f.dep,
+         p.ps || CASE WHEN g2.pos LIKE 'NN%' THEN gs.ms
+                      WHEN (g2.pos LIKE 'VB%' OR g2.pos LIKE 'JJ%')
+                           AND NOT regexp_full_match(g2.w, '{nomark}')
+                        THEN g2.w || '<<' || g2.pos || ' '
+                      ELSE g2.w || ' ' END
+              || CASE WHEN f.reln LIKE 'prep_%'
+                        THEN substr(f.reln, 6) || ' '
+                      WHEN f.reln = 'agent' THEN 'by '
+                      ELSE '' END,
+         p.dom OR gs.restr,
+         p.ng OR EXISTS (SELECT 1 FROM xneg q WHERE q.sk = f.sk
+                         AND q.node = f.gov)
+              OR EXISTS (SELECT 1 FROM xneg q WHERE q.sk = f.sk
+                         AND q.node = f.dep),
+         list_append(p.vis, f.dep)
+  FROM x1path p
+  JOIN dep_e f ON f.sk = p.sk AND f.gov = p.node
+  JOIN str2 g2 ON g2.sk = f.sk AND g2.i = f.gov
+  JOIN xnps gs ON gs.sk = f.sk AND gs.node = f.gov
+  WHERE NOT list_contains(p.vis, f.dep)
+    AND regexp_full_match(f.reln, '{x1_path}')
+),
+x1pair AS (
+  SELECT DISTINCT q.sk,
+         CASE WHEN q.roleok THEN q.agent ELSE q.target END AS e1,
+         CASE WHEN q.roleok THEN q.target ELSE q.agent END AS e2
+  FROM (
+    SELECT r.sk, r.agent, ht.ent AS target,
+           NOT (regexp_full_match(s_, '{p1}')
+                OR regexp_full_match(s_, '{p2}')
+                OR (regexp_full_match(s_, '{p3}')
+                    AND NOT regexp_full_match(s_, '{p4}'))) AS roleok
+    FROM (SELECT x.*,
+            x.ps || (SELECT CASE WHEN nd.pos LIKE 'NN%' THEN ns.ms
+                                 ELSE nd.w || ' ' END
+                     FROM str2 nd JOIN xnps ns
+                       ON ns.sk = nd.sk AND ns.node = nd.i
+                     WHERE nd.sk = x.sk AND nd.i = x.node) AS s_
+          FROM x1path x WHERE len(x.vis) > 1) r
+    JOIN str2 nd2 ON nd2.sk = r.sk AND nd2.i = r.node
+                  AND nd2.pos LIKE 'NN%'
+    JOIN xhead_t ht ON ht.sk = r.sk AND ht.node = r.node
+    JOIN xnps ns2 ON ns2.sk = r.sk AND ns2.node = r.node
+    WHERE (r.dom OR ns2.restr) AND NOT r.ng
+  ) q
+),
+-- =============== relx Rule2: prefix rows of prep-chain paths ===============
+x2path(sk, egov, edep, ereln, node, dom2, vis) AS (
+  SELECT e.sk, e.gov, e.dep, e.reln, e.dep,
+         CASE WHEN g2.pos LIKE 'NN%' THEN gs.restr
+              ELSE g2.lw IN ({restr}) END,
+         [e.dep]
+  FROM dep_e e
+  JOIN str2 g2 ON g2.sk = e.sk AND g2.i = e.gov
+  JOIN xnps gs ON gs.sk = e.sk AND gs.node = e.gov
+  WHERE e.reln IN ({r2p})
+  UNION ALL
+  SELECT p.sk, f.gov, f.dep, f.reln, f.dep,
+         p.dom2 OR CASE WHEN g2.pos LIKE 'NN%' THEN gs.restr
+                        ELSE g2.lw IN ({restr}) END,
+         list_append(p.vis, f.dep)
+  FROM x2path p
+  JOIN dep_e f ON f.sk = p.sk AND f.gov = p.node AND f.reln IN ({r2p})
+  JOIN str2 g2 ON g2.sk = f.sk AND g2.i = f.gov
+  JOIN xnps gs ON gs.sk = f.sk AND gs.node = f.gov
+  WHERE NOT list_contains(p.vis, f.dep)
+),
+x2pair AS (
+  SELECT DISTINCT r.sk,
+         CASE WHEN r.ereln LIKE '%by' THEN ht.ent ELSE ha.ent END AS e1,
+         CASE WHEN r.ereln LIKE '%by' THEN ha.ent ELSE ht.ent END AS e2
+  FROM x2path r
+  JOIN str2 pg ON pg.sk = r.sk AND pg.i = r.egov AND pg.pos LIKE 'NN%'
+  JOIN str2 pd ON pd.sk = r.sk AND pd.i = r.edep AND pd.pos LIKE 'NN%'
+  JOIN xhead_t ha ON ha.sk = r.sk AND ha.node = r.egov
+  JOIN xhead_t ht ON ht.sk = r.sk AND ht.node = r.edep
+  WHERE r.dom2
+),
+xallp AS (
+  SELECT sk, e1, e2 FROM x1pair
+  UNION SELECT sk, e1, e2 FROM x2pair
+)
+SELECT d.conv_id, CAST(d.turn_idx AS INT) AS turn_idx,
+       CAST(d.sent_id AS INT) AS sent_id,
+       CAST(p.e1 AS INT) AS agent, CAST(p.e2 AS INT) AS target,
+       (SELECT string_agg(z.w, ' ' ORDER BY z.i) FROM str2 z
+        WHERE z.sk = p.sk AND z.i BETWEEN pa.ms AND pa.me) AS subj,
+       'genic_interaction' AS pred,
+       (SELECT string_agg(z.w, ' ' ORDER BY z.i) FROM str2 z
+        WHERE z.sk = p.sk AND z.i BETWEEN pb.ms AND pb.me) AS obj
+FROM xallp p
+JOIN sdim d ON d.sk = p.sk
+JOIN lsp pa ON pa.sk = p.sk AND pa.ms = p.e1
+JOIN lsp pb ON pb.sk = p.sk AND pb.ms = p.e2
+"""

@@ -55,7 +55,7 @@ def make_docs(n: int, seed: int) -> pd.DataFrame:
 def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
-    whats = sys.argv[3:] or ["deps", "union", "triples", "lll", "lll_ml"]
+    whats = sys.argv[3:] or ["deps", "union", "triples", "lll", "lll_ml", "relx"]
 
     with tempfile.TemporaryDirectory() as td:
         pq = f"{td}/documents.parquet"
@@ -71,7 +71,7 @@ def main() -> int:
         rt = TESTDATA_CONFIG.build()
         failures = 0
         for what in whats:
-            if what in ("lll", "lll_ml"):
+            if what in ("lll", "lll_ml", "relx"):
                 failures += _check_lll(con, rows, what)
                 continue
             py: dict[tuple, set] = defaultdict(set)
@@ -132,6 +132,10 @@ def _check_lll(con, rows, what: str) -> int:
     from nlp_lib_spark.operators.lll import (DEFAULT_LLL_ML_MODEL_PATH,
                                              lll_turn)
 
+    from nlp_lib_spark.kernels.relex_pipe import extended_relex_interactions
+    from nlp_lib_spark.kernels.relx_rules import XSent
+    from nlp_lib_spark.operators.lll import _relx_surface
+
     cfg = lll_config()
     rt = cfg.build()
     weights, bias = load_model(DEFAULT_LLL_ML_MODEL_PATH)
@@ -139,7 +143,26 @@ def _check_lll(con, rows, what: str) -> int:
     for conv_id, turn_idx, _role, text, _tool in rows:
         if not text:
             continue
-        if what == "lll":
+        if what == "relx":
+            for sid, sentence in enumerate(
+                    split_sentences(strip_citations(text))):
+                tokens = tokenize(sentence)
+                if not tokens or len(tokens) > rt.max_sent_tokens:
+                    continue
+                lexe = rt.lexicon.annotate(tokens)
+                pos = pos_tag(tokens, rt.verb_stems)
+                g = DepGraph(dep_parse(tokens, pos))
+                s = XSent(tokens, pos, lexe)
+                for (a, t) in extended_relex_interactions(
+                        s, g, rt.restriction):
+                    sa = lex_chunk(tokens, lexe, a)
+                    st = lex_chunk(tokens, lexe, t)
+                    if sa is None or st is None:
+                        continue
+                    py[(conv_id, turn_idx, sid)].add(
+                        (a, t, _relx_surface(sa, rt.lexicon),
+                         "genic_interaction", _relx_surface(st, rt.lexicon)))
+        elif what == "lll":
             for (sid, a, t, subj, pred, obj) in lll_turn(rt, text):
                 py[(conv_id, turn_idx, sid)].add((a, t, subj, pred, obj))
         else:
@@ -169,8 +192,9 @@ def _check_lll(con, rows, what: str) -> int:
                              "genic_interaction",
                              resolve_surface(sj, rt.lexicon),
                              round(p * 10000)))
-    sql = (oracles.lll_triples_oracle_sql if what == "lll"
-           else oracles.lll_ml_triples_oracle_sql)()
+    sql = {"lll": oracles.lll_triples_oracle_sql,
+           "lll_ml": oracles.lll_ml_triples_oracle_sql,
+           "relx": oracles.relx_triples_oracle_sql}[what]()
     sq: dict[tuple, set] = defaultdict(set)
     for row in con.execute(sql).fetchall():
         sq[(row[0], row[1], row[2])].add(tuple(row[3:]))

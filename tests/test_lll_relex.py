@@ -545,3 +545,49 @@ def test_extract_triples_lll_ml_matches_kernel(spark):
                               resolve_surface(sj, rt.lexicon),
                               round(p * 10000)))
     assert got == want and len(got) > 0
+
+
+def test_extract_triples_relx_matches_kernel(spark):
+    """ExtendedRelex distributed operator == per-sentence kernel union."""
+    import os
+    sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    if not os.path.isdir(sf_dir):
+        import pytest
+        pytest.skip("testdata not present")
+    from nlp_lib_spark.gate import lll_config
+    from nlp_lib_spark.kernels.depgraph import DepGraph
+    from nlp_lib_spark.kernels.depparse import dep_parse
+    from nlp_lib_spark.kernels.lll_relex import lex_chunk
+    from nlp_lib_spark.kernels.postag import pos_tag
+    from nlp_lib_spark.kernels.relex_pipe import extended_relex_interactions
+    from nlp_lib_spark.kernels.relx_rules import XSent
+    from nlp_lib_spark.kernels.text import (split_sentences, strip_citations,
+                                            tokenize)
+    from nlp_lib_spark.operators.lll import _relx_surface, extract_triples_relx
+    from nlp_lib_spark.operators.transcripts import transcripts
+    cfg = lll_config()
+    t = transcripts(spark, sf_dir, with_ts=False)
+    got = {tuple(r) for r in extract_triples_relx(t, cfg).collect()}
+    rt = cfg.build()
+    want = set()
+    for row in t.select("conv_id", "turn_idx", "text").collect():
+        if not row.text:
+            continue
+        for sid, sent in enumerate(split_sentences(strip_citations(row.text))):
+            tokens = tokenize(sent)
+            if not tokens or len(tokens) > rt.max_sent_tokens:
+                continue
+            lexe = rt.lexicon.annotate(tokens)
+            pos = pos_tag(tokens, rt.verb_stems)
+            g = DepGraph(dep_parse(tokens, pos))
+            s = XSent(tokens, pos, lexe)
+            for (a, tg) in extended_relex_interactions(s, g, rt.restriction):
+                sa = lex_chunk(tokens, lexe, a)
+                st = lex_chunk(tokens, lexe, tg)
+                if sa is None or st is None:
+                    continue
+                want.add((row.conv_id, row.turn_idx, sid, a, tg,
+                          _relx_surface(sa, rt.lexicon),
+                          "genic_interaction",
+                          _relx_surface(st, rt.lexicon)))
+    assert got == want and len(got) > 0
