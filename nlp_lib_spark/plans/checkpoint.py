@@ -153,12 +153,17 @@ def kg_stages(sf_dir: str, config) -> list[Stage]:
             Stage("triples", s_triples, deps=("annotations",))]
 
 
-def full_kg_stages(sf_dir: str, config, dictionary: tuple[str, ...]) -> list[Stage]:
+def full_kg_stages(sf_dir: str, config, dictionary: tuple[str, ...],
+                   lll_config=None) -> list[Stage]:
     """The complete KG-construction DAG (SURVEY.md §7 stage list):
 
     transcripts -> annotations -> triples -> discourse -> hor_edges
     -> entity canonical map -> nodes + edges. Every stage checkpoints with
     per-partition lineage, so a kill anywhere resumes exactly.
+
+    ``lll_config`` (an ``operators.lll.LLLConfig``) additionally appends
+    the legacy-LLL engine as an ``lll_triples`` stage off the checkpointed
+    transcripts — at scale all engines share the one transcripts scan.
     """
     from pyspark.sql import functions as F
 
@@ -187,10 +192,18 @@ def full_kg_stages(sf_dir: str, config, dictionary: tuple[str, ...]) -> list[Sta
         _nodes, edges = materialize_graph(outs["triples"], outs["cmap"])
         return edges.withColumn("weight", F.col("weight").cast("long"))
 
-    return kg_stages(sf_dir, config) + [
+    stages = kg_stages(sf_dir, config) + [
         Stage("discourse", s_discourse, deps=("annotations",)),
         Stage("hor_edges", s_hor, deps=("discourse", "triples")),
         Stage("cmap", s_cmap, deps=("annotations",)),
         Stage("nodes", s_nodes, deps=("triples", "cmap")),
         Stage("edges", s_edges, deps=("triples", "cmap")),
     ]
+    if lll_config is not None:
+        from nlp_lib_spark.operators.lll import extract_triples_lll
+
+        def s_lll(spark, outs):
+            return extract_triples_lll(outs["transcripts"], lll_config)
+
+        stages.append(Stage("lll_triples", s_lll, deps=("transcripts",)))
+    return stages

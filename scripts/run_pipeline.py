@@ -22,6 +22,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
+from nlp_lib_spark.gate import lll_config
 from nlp_lib_spark.lexicons import TESTDATA_CONFIG, TESTDATA_ENTITIES
 from nlp_lib_spark.plans.checkpoint import CheckpointedPipeline, full_kg_stages
 from nlp_lib_spark.session import get_spark
@@ -34,7 +35,8 @@ def main() -> None:
     t0 = time.time()
     pipe = CheckpointedPipeline(
         spark, root, full_kg_stages(sf_dir, TESTDATA_CONFIG,
-                                    TESTDATA_ENTITIES))
+                                    TESTDATA_ENTITIES,
+                                    lll_config=lll_config()))
     outs = pipe.run()
     summary = {
         "sf_dir": sf_dir,
@@ -43,7 +45,7 @@ def main() -> None:
         "stages_computed": {k: v for k, v in pipe.computed.items()},
         "rows": {name: outs[name].count() for name in
                  ("transcripts", "annotations", "triples", "discourse",
-                  "hor_edges", "cmap", "nodes", "edges")},
+                  "hor_edges", "cmap", "nodes", "edges", "lll_triples")},
     }
     print(json.dumps(summary))
     spark.stop()
