@@ -693,16 +693,7 @@ def q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(t, TESTDATA_CONFIG)
 
 
-def lll_config():
-    """The LLL deployment config shared by the gate query, the oracle
-    builder, and the bench harness."""
-    from nlp_lib_spark.lexicons import (TESTDATA_DOMAIN_TERMS,
-                                        TESTDATA_LLL_LEXICON_LINES,
-                                        TESTDATA_LLL_RESTRICTION)
-    from nlp_lib_spark.operators.lll import LLLConfig
-    return LLLConfig(lexicon_lines=TESTDATA_LLL_LEXICON_LINES,
-                     restriction_terms=TESTDATA_LLL_RESTRICTION,
-                     domain_terms=TESTDATA_DOMAIN_TERMS)
+from nlp_lib_spark.operators.lll import lll_config  # noqa: E402 (re-export)
 
 
 @gate("kg_lll_triples")  # oracle registered below (oracles.lll_triples_oracle_sql)
@@ -1606,10 +1597,9 @@ def q_kg_crf_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
+    from nlp_lib_spark.kernels.crf import DEFAULT_CRF_MODEL_PATH
     from nlp_lib_spark.operators.seqtag import crf_annotate
-    path = os.path.join(os.path.dirname(__file__), "models",
-                        "discourse_crf.json")
-    with open(path) as fh:
+    with open(DEFAULT_CRF_MODEL_PATH) as fh:
         weights = json.load(fh)["weights"]
     tagged = crf_annotate(_ann(spark, sf_dir), weights)
     return (tagged.select("conv_id", "turn_idx", "sent_id",

@@ -24,6 +24,11 @@ prefix/suffix-3, POS, and the previous/next word+POS.
 
 from __future__ import annotations
 
+import os
+
+DEFAULT_CRF_MODEL_PATH = os.path.join(
+    os.path.dirname(__file__), os.pardir, "models", "discourse_crf.json")
+
 from collections import defaultdict
 
 Weights = dict[str, float]

@@ -129,6 +129,19 @@ DEFAULT_LLL_ML_MODEL_PATH = os.path.join(
     os.path.dirname(__file__), os.pardir, "models", "lll_me.json")
 
 
+def lll_config() -> "LLLConfig":
+    """The LLL deployment config shared by the gates, the oracle builders,
+    the bench harness, and the operational pipeline (lives here so
+    consumers that need no oracles — e.g. scripts/run_pipeline.py — do
+    not import the gate registry)."""
+    from nlp_lib_spark.lexicons import (TESTDATA_DOMAIN_TERMS,
+                                        TESTDATA_LLL_LEXICON_LINES,
+                                        TESTDATA_LLL_RESTRICTION)
+    return LLLConfig(lexicon_lines=TESTDATA_LLL_LEXICON_LINES,
+                     restriction_terms=TESTDATA_LLL_RESTRICTION,
+                     domain_terms=TESTDATA_DOMAIN_TERMS)
+
+
 def extract_triples_lll_ml(df: DataFrame, config: LLLConfig,
                            weights: dict, bias: float) -> DataFrame:
     """MERelex runtime path (relx/MERelex.java:41-114): all LEXE-B

@@ -77,8 +77,9 @@ def _ann_parts() -> tuple[str, str, str, str]:
     from nlp_lib_spark.kernels.domain import DomainAnnotator
     from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
     base = _pos_oracle_sql()
-    head, tail = base.rsplit(
-        "SELECT conv_id, turn_idx, sent_id, idx, bw AS token,", 1)
+    marker = "SELECT conv_id, turn_idx, sent_id, idx, bw AS token,"
+    assert marker in base, "gate._pos_oracle_sql drifted: slice marker gone"
+    head, tail = base.rsplit(marker, 1)
     case_expr = tail.rsplit("FROM seq", 1)[0].strip()
     case_expr = case_expr[: -len("AS pos_tag")].strip()
     terms = _sql_set(sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms))
@@ -105,8 +106,10 @@ def stream_sql_prefix(simplify: bool = True,
     from nlp_lib_spark.lexicons import TESTDATA_CONFIG
     head, pos_case, dom_expr, _lw = _ann_parts()
     if not simplify:
-        head = head.replace("WHERE m2.ms IS NULL AND d.lb IS NULL",
-                            "WHERE m2.ms IS NULL")
+        drop_marker = "WHERE m2.ms IS NULL AND d.lb IS NULL"
+        assert drop_marker in head, \
+            "gate oracle drifted: drop_span WHERE marker gone"
+        head = head.replace(drop_marker, "WHERE m2.ms IS NULL")
     mx = TESTDATA_CONFIG.max_mentions
     if all_sentences:
         src = "(SELECT seq.* FROM seq) s"
@@ -1384,12 +1387,9 @@ def crf_tags_oracle_sql() -> str:
     the kernel, making the decode bit-identical across engines with no
     float anywhere."""
     import json
-    import os
-
-    from nlp_lib_spark.kernels.crf import START, _TRANS
-    model_path = os.path.join(os.path.dirname(__file__), "models",
-                              "discourse_crf.json")
-    with open(model_path) as fh:
+    from nlp_lib_spark.kernels.crf import (DEFAULT_CRF_MODEL_PATH, START,
+                                           _TRANS)
+    with open(DEFAULT_CRF_MODEL_PATH) as fh:
         weights = json.load(fh)["weights"]
     emit: dict[tuple[str, str], int] = {}
     trans: dict[tuple[str, str], int] = {}
@@ -1847,7 +1847,9 @@ def _lll_prefix_sql() -> str:
     dep replica), sliced from the rule oracle so both LLL gates verify the
     same stream SQL byte-for-byte."""
     full = lll_triples_oracle_sql()
-    return full.split(",\nsptxt AS MATERIALIZED")[0]
+    marker = ",\nsptxt AS MATERIALIZED"
+    assert marker in full, "lll rule oracle drifted: prefix marker gone"
+    return full.split(marker)[0]
 
 
 def lll_ml_triples_oracle_sql() -> str:

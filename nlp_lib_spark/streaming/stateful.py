@@ -4,10 +4,12 @@ The reference is strictly batch; this is the engine's incremental
 conversation tracker, the build brief's "custom stateful operators" slot:
 per-``conv_id`` state accumulates across micro-batches — turns seen,
 triples extracted, highest turn index — and every batch emits the updated
-running totals for the conversations it touched.  State is O(live
-conversations), independent of stream length; at ingest scale the same
-shape runs against a Kafka source with processing-time timeouts evicting
-finished conversations.
+running totals for the conversations it touched.  With
+``idle_timeout_ms`` set, processing-time timeouts EVICT conversations
+idle longer than the budget (one final totals row is emitted, then the
+state row is removed), keeping state O(live conversations) on an
+unbounded source; without it (the deterministic parity-test mode) state
+is O(all conversations seen) and the source must be bounded.
 
 Parity contract (tested): after draining any file split of the same
 input, the final per-conversation totals equal the batch aggregation —
@@ -50,14 +52,22 @@ def _runtime(config: KGConfig):
     return rt
 
 
-def conversation_state_counts(src: DataFrame,
-                              config: KGConfig) -> DataFrame:
-    """stream/batch of turns -> running per-conversation totals."""
+def make_state_fn(config: KGConfig, idle_timeout_ms: int | None = None):
+    """The applyInPandasWithState function (module-level so the eviction
+    branch is unit-testable with a fake GroupState)."""
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame],
            state: GroupState) -> Iterable[pd.DataFrame]:
         rt = _runtime(config)
         (conv_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle eviction: emit the closing totals, drop the state row
+            n_turns, n_triples, max_turn = state.get
+            state.remove()
+            yield pd.DataFrame([(conv_id, n_turns, n_triples, max_turn)],
+                               columns=["conv_id", "n_turns", "n_triples",
+                                        "max_turn_idx"])
+            return
         if state.exists:
             n_turns, n_triples, max_turn = state.get
         else:
@@ -69,15 +79,35 @@ def conversation_state_counts(src: DataFrame,
                 if text:
                     n_triples += len(extract_turn(rt, text))
         state.update((n_turns, n_triples, max_turn))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame([(conv_id, n_turns, n_triples, max_turn)],
                            columns=["conv_id", "n_turns", "n_triples",
                                     "max_turn_idx"])
 
+    return fn
+
+
+def conversation_state_counts(src: DataFrame, config: KGConfig,
+                              idle_timeout_ms: int | None = None
+                              ) -> DataFrame:
+    """stream/batch of turns -> running per-conversation totals.
+
+    ``idle_timeout_ms``: processing-time idle budget after which a
+    conversation's state is evicted (its final totals are emitted once
+    more as a closing record) — use with CONTINUOUS triggers; a bounded
+    ``availableNow`` drain never fires processing-time timeouts (and
+    blocking on processAllAvailable with pending timeouts does not
+    terminate), which is why the deterministic parity harness runs
+    without a timeout."""
     return (src.select("conv_id", "turn_idx", "text")
             .groupBy("conv_id")
-            .applyInPandasWithState(fn, OUTPUT_SCHEMA, STATE_SCHEMA,
-                                    "update",
-                                    GroupStateTimeout.NoTimeout))
+            .applyInPandasWithState(
+                make_state_fn(config, idle_timeout_ms),
+                OUTPUT_SCHEMA, STATE_SCHEMA, "update",
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms is not None
+                else GroupStateTimeout.NoTimeout))
 
 
 def run_stateful_once(spark: SparkSession, input_dir: str, config: KGConfig,

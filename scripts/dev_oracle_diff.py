@@ -6,12 +6,14 @@ Usage: python3 scripts/dev_oracle_diff.py [sf_dir] [what]
 """
 from __future__ import annotations
 
+import os
 import sys
 from collections import defaultdict
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 from nlp_lib_spark.kernels.pipeline import annotate_sentence
 from nlp_lib_spark.kernels.depgraph import DepGraph

@@ -12,6 +12,7 @@ Usage: python3 scripts/dev_oracle_fuzz.py [n_docs] [seed] [what...]
 from __future__ import annotations
 
 import random
+import os
 import sys
 import tempfile
 from collections import defaultdict
@@ -19,7 +20,8 @@ from collections import defaultdict
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), os.pardir))
 
 from nlp_lib_spark import oracles
 from nlp_lib_spark.kernels.depgraph import DepGraph

@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 os.pardir))
 
-from nlp_lib_spark.gate import lll_config
+from nlp_lib_spark.operators.lll import lll_config
 from nlp_lib_spark.lexicons import TESTDATA_CONFIG, TESTDATA_ENTITIES
 from nlp_lib_spark.plans.checkpoint import CheckpointedPipeline, full_kg_stages
 from nlp_lib_spark.session import get_spark

@@ -32,9 +32,8 @@ from nlp_lib_spark.kernels.text import split_sentences, strip_citations
 from nlp_lib_spark.lexicons import TESTDATA_CONFIG
 from nlp_lib_spark.operators.transcripts import transcripts_select_sql
 
-DEFAULT_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           os.pardir, "nlp_lib_spark", "models",
-                           "discourse_crf.json")
+from nlp_lib_spark.kernels.crf import \
+    DEFAULT_CRF_MODEL_PATH as DEFAULT_OUT  # noqa: E402
 
 
 def build_corpus(sf_dir: str):

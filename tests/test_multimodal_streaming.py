@@ -124,3 +124,48 @@ def test_stateful_conversation_counts_match_batch(spark, tmp_path):
     for r in per_conv.join(triples, "conv_id", "left").collect():
         want[r.conv_id] = (r.n_turns, r.n_triples or 0, r.max_turn_idx)
     assert got == want
+
+
+def test_stateful_eviction_branch():
+    """The idle-eviction branch (make_state_fn with a timeout budget):
+    a timed-out group emits its closing totals once and removes its state
+    row; a live group accumulates, updates state, and re-arms the timer.
+    (Driven at the function level — a bounded availableNow drain can
+    never fire processing-time timeouts, see the operator docstring.)"""
+    from nlp_lib_spark.streaming.stateful import make_state_fn
+
+    class FakeState:
+        def __init__(self, value, timed_out):
+            self._v = value
+            self.hasTimedOut = timed_out
+            self.exists = value is not None
+            self.removed = False
+            self.updated = None
+            self.timeout_set = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_set = ms
+
+    fn = make_state_fn(FIXTURE_CONFIG, idle_timeout_ms=60_000)
+    # timed-out group: closing record + state removed, nothing re-armed
+    st = FakeState((5, 2, 9), timed_out=True)
+    out = list(fn(("conv_a",), iter(()), st))
+    assert st.removed and st.updated is None and st.timeout_set is None
+    assert len(out) == 1 and out[0].iloc[0].tolist() == ["conv_a", 5, 2, 9]
+    # live group: accumulates on top of prior state and re-arms the timer
+    st2 = FakeState((1, 0, 0), timed_out=False)
+    batch = pd.DataFrame({"turn_idx": [3], "text": [""]})
+    out2 = list(fn(("conv_b",), iter([batch]), st2))
+    assert st2.updated == (2, 0, 3) and st2.timeout_set == 60_000
+    assert not st2.removed
+    assert out2[0].iloc[0].tolist() == ["conv_b", 2, 0, 3]
