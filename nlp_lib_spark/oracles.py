@@ -1497,6 +1497,12 @@ JOIN tagnames tn
 """
 
 
+def _lru_cache_one(fn):
+    import functools
+    return functools.lru_cache(maxsize=1)(fn)
+
+
+@_lru_cache_one
 def lll_triples_oracle_sql() -> str:
     """DuckDB replica of the legacy-LLL chain (operators/lll.extract_triples_lll):
     raw-token stream -> POS -> BIO chunk -> LEXE lexicon spans -> dep parse ->
