@@ -2213,12 +2213,15 @@ def relx_triples_oracle_sql() -> str:
     harness: per-index evaluation over MAXIMAL paths equals evaluation at
     every prefix row of the simple-path CTE (every prefix extends to a
     maximal path, and dropped cyclic tips record nothing either way).
-    Corpus-dead branches (counter-instrumented 0 fires at every sf, and
-    structurally dead for the frozen builder's edge vocabulary):
-    conjunct/appositive agent expansion, the PP-chain and rcmod agent
-    paths, relx Rule4 (needs '-dependent' tokens; tokenization has no
-    hyphens), the prep_by orientation swap, the first-hyphen surface
-    strip, and the 'agent' relation rendering."""
+    Omitted branches — counter-instrumented 0 fires at every sf AND 0
+    fires under six adversarial-vocabulary fuzz seeds, i.e. structurally
+    dead for the frozen builder's edge shapes (conj edges connect run
+    heads, never the in-run entity dependents the expansions would need;
+    nominal governors never take governed prep chains): conjunct/
+    appositive agent expansion, the PP-chain and rcmod agent paths, relx
+    Rule4 (needs '-dependent' tokens; the tokenization has no hyphens),
+    the prep_by orientation swap, the first-hyphen surface strip, and the
+    'agent' relation rendering."""
     from nlp_lib_spark.lexicons import TESTDATA_LLL_RESTRICTION
     restr = _in(sorted(t.lower() for t in TESTDATA_LLL_RESTRICTION))
     x1_path = r"dep|agent|.*comp|.*obj|advcl|(inf|part|rc)mod|prep.*"
