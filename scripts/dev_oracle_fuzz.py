@@ -58,7 +58,11 @@ def main() -> int:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 600
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1234
     whats = sys.argv[3:] or ["deps", "union", "triples", "lll", "lll_ml", "relx"]
+    return run_fuzz(n_docs, seed, whats)
 
+
+def run_fuzz(n_docs: int, seed: int, whats: list[str]) -> int:
+    """Programmatic entry (pytest guards a small configuration of this)."""
     with tempfile.TemporaryDirectory() as td:
         pq = f"{td}/documents.parquet"
         con = duckdb.connect()
