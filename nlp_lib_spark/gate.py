@@ -14,6 +14,8 @@ for money) so cross-engine summation-order noise cannot flip the hash.
 
 from __future__ import annotations
 
+import functools
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,6 +31,10 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 # Spark regexes are Java-flavoured but these two are RE2-compatible, so the
 # same pattern strings work in DuckDB oracles (kernels/text.py mirrors them).
+# ASCII-only contract: Python's \w is Unicode-aware while RE2/Java here are
+# effectively ASCII for this corpus — the transcript derivation emits ASCII
+# only (verified at every sf), and non-ASCII text would shift token indices
+# between kernel and oracle. A Unicode corpus would need (?U) alignment.
 SENT_PAT = "[^.!?]+[.!?]+|[^.!?]+$"
 TOK_PAT = r"\w+(?:[-/']\w+)*|[^\w\s]"
 # Spark SQL literals process backslash escapes (so double them); DuckDB does
@@ -110,6 +116,7 @@ FROM __t
 """)
 
 
+@functools.lru_cache(maxsize=None)
 def _mention_oracle_sql() -> str:
     """DuckDB recursive-CTE replica of the gazetteer scan.
 
@@ -123,6 +130,8 @@ def _mention_oracle_sql() -> str:
     value-hash oracle.
     """
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    assert max(len(e.split()) for e in TESTDATA_ENTITIES) <= 2, \
+        "mention state-machine CTE assumes <=2-word entities"
     prefix: set[str] = set()
     for e in TESTDATA_ENTITIES:
         toks = e.lower().split()
@@ -183,6 +192,7 @@ FROM step WHERE ms IS NOT NULL
 """
 
 
+@functools.lru_cache(maxsize=None)
 def _entity_spans_oracle_sql() -> str:
     """Extended gazetteer state-machine CTE that also emits BIO span rows:
     PROTEIN spans (ms..me) plus FUSED single-token spans — the fused
@@ -191,6 +201,8 @@ def _entity_spans_oracle_sql() -> str:
     positions that did NOT start a prefix match, which is exactly the
     ``NOT m1`` rows of the recursion."""
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    assert max(len(e.split()) for e in TESTDATA_ENTITIES) <= 2, \
+        "entity-spans state-machine CTE assumes <=2-word entities"
     prefix: set[str] = set()
     full: set[str] = set()
     for e in TESTDATA_ENTITIES:
@@ -305,6 +317,7 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mentions_from_annotations(ann)
 
 
+@functools.lru_cache(maxsize=None)
 def _blinded_oracle_sql() -> str:
     """Entity blinding (prepare, WBioRelEx.java:248-284) as SQL: rebuild the
     blinded token string from the gazetteer state machine's mention spans."""
@@ -384,6 +397,7 @@ def _stem_sql(col: str) -> str:
     return "CASE " + " ".join(whens) + f" ELSE {col} END"
 
 
+@functools.lru_cache(maxsize=None)
 def _domain_oracle_sql() -> str:
     """DOMAIN annotation (BioDomainAnnotator.java:62-95) over the blinded
     stream: exact dict hit -> token, else stem hit -> stem, else hyphen
@@ -443,6 +457,7 @@ def _sql_set(words) -> str:
     return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
 
 
+@functools.lru_cache(maxsize=None)
 def _pos_oracle_sql() -> str:
     """The frozen POS tagger (kernels/postag.pos_tag) as generated SQL over
     the blinded token stream — with it, the entire pre-parse annotation
@@ -531,6 +546,7 @@ def q_kg_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("p.pos").alias("pos_tag")))
 
 
+@functools.lru_cache(maxsize=None)
 def _rule2b_oracle_sql() -> str:
     """RelexRule2b (the pure token-class-regex rule, RelexRule2b.java:19-64)
     as SQL over the oracled annotation chain: the class string derives from
@@ -859,6 +875,7 @@ def q_kg_rel_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "sent_id int, e1 int, e2 int"))
 
 
+@functools.lru_cache(maxsize=None)
 def _clauses_oracle_sql() -> str:
     """Clause segmentation (kernels/clauses.clause_spans) over the oracled
     blinded+POS stream: starts at 0, at subordinators, after ';'/':',
@@ -1309,6 +1326,7 @@ def _ann(spark: SparkSession, sf_dir: str):
     return annotate_turns(t, TESTDATA_CONFIG)
 
 
+@functools.lru_cache(maxsize=None)
 def _connectives_oracle_sql() -> str:
     """Connective detection (ConnectiveExtractor.java:85-107 longest
     lexicon match <=4 tokens with consume-and-resume) + sense + the
@@ -1379,6 +1397,7 @@ FROM cstep c WHERE c.cs IS NOT NULL
 """
 
 
+@functools.lru_cache(maxsize=None)
 def _chunks_oracle_sql() -> str:
     """Per-token shallow BIO chunk tags (kernels/bio.chunk_bio) as window
     SQL over the oracled POS stream.  The one sequential bit — an RB
@@ -1621,6 +1640,7 @@ def q_kg_hor_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hor_edges(disc, extract_triples(t, TESTDATA_CONFIG))
 
 
+@functools.lru_cache(maxsize=None)
 def _link_scores_oracle_sql() -> str:
     """Full DuckDB replica of ``operators/linking.link_mentions``:
     exact-normalized tier, then 3-gram-blocked Jaccard with the
@@ -1703,6 +1723,7 @@ def q_kg_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
+@functools.lru_cache(maxsize=None)
 def _entity_links_oracle_sql() -> str:
     """canonical_map replica: the link-scores SQL feeding a recursive
     transitive-closure CC (min reachable = component label, singletons

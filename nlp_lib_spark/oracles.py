@@ -35,6 +35,8 @@ all candidate pairs at every sf).
 
 from __future__ import annotations
 
+import functools
+
 _R2_PREPS = ("prep_of", "prep_by", "prep_to", "prep_on", "prep_for",
              "prep_in", "prep_through", "prep_with")
 _R3_PREPS = _R2_PREPS + ("prep_between",)
@@ -69,6 +71,7 @@ def _pred_sql(pair: str) -> str:
          'interacts_with')"""
 
 
+@functools.lru_cache(maxsize=None)
 def _ann_parts() -> tuple[str, str, str, str]:
     """(head_through_seq, pos_case_expr, domain_value_expr, lw) lifted from
     gate._pos_oracle_sql — the same rsplit composition gate's rule2b oracle
@@ -90,6 +93,7 @@ def _ann_parts() -> tuple[str, str, str, str]:
     return head.rstrip().rstrip(","), case_expr, dom_expr, lw
 
 
+@functools.lru_cache(maxsize=None)
 def stream_sql_prefix(simplify: bool = True,
                       all_sentences: bool = False) -> str:
     """Annotation-chain prefix ending with CTE ``str2``: one row per token of
@@ -135,6 +139,7 @@ str2 AS MATERIALIZED (
 sdim AS MATERIALIZED (SELECT DISTINCT sk, conv_id, turn_idx, sent_id FROM str2)"""
 
 
+@functools.lru_cache(maxsize=None)
 def dep_sql_prefix(simplify: bool = True,
                    all_sentences: bool = False) -> str:
     """stream prefix + the dep_parse replica, ending with CTE ``dep_e``
@@ -143,6 +148,7 @@ def dep_sql_prefix(simplify: bool = True,
     return stream_sql_prefix(simplify, all_sentences) + dep_replica_sql()
 
 
+@functools.lru_cache(maxsize=None)
 def dep_replica_sql() -> str:
     """The dep_parse replica CTE block, parameterized only by a preceding
     CTE named ``str2`` exposing (sk, i, lw, pos) — shared between the
@@ -334,6 +340,7 @@ FROM dep_e e JOIN sdim d ON d.sk = e.sk
 """
 
 
+@functools.lru_cache(maxsize=None)
 def rules_sql_prefix(simplify: bool = True) -> str:
     """dep prefix + shared rule machinery + per-rule pair CTEs, ending with
     ``u_pairs`` (sk, e1, e2) — the RunRelex union."""
@@ -1788,10 +1795,22 @@ t2pair AS (
 ),
 -- ====================== type3 (java:147-170, 433-492) ======================
 t3res AS (
+  -- resolution follows dep_parse EMISSION order: base prep edges rank at
+  -- their (unique, verified) prep-token anchor; CC-distributed copies
+  -- (absent from e_prep) rank after every base edge, dep as the tiebreak
   SELECT g.sk, g.gov,
          CASE WHEN sd.lexe = 'B' THEN g.dep ELSE rm.b END AS b,
-         row_number() OVER (PARTITION BY g.sk, g.gov ORDER BY g.dep) AS rn
-  FROM (SELECT sk, gov, dep FROM dep_e WHERE reln = 'prep_between') g
+         row_number() OVER (PARTITION BY g.sk, g.gov
+                            ORDER BY g.eord, g.dep) AS rn
+  FROM (SELECT e.sk, e.gov, e.dep,
+               CASE WHEN EXISTS (SELECT 1 FROM e_prep ep
+                                 WHERE ep.sk = e.sk AND ep.reln = e.reln
+                                   AND ep.gov = e.gov AND ep.dep = e.dep)
+                    THEN (SELECT min(t.i) FROM str2 t
+                          WHERE t.sk = e.sk AND t.pos IN ('IN', 'TO')
+                            AND t.lw = 'between')
+                    ELSE 100000 + e.dep END AS eord
+        FROM dep_e e WHERE e.reln = 'prep_between') g
   JOIN str3 sd ON sd.sk = g.sk AND sd.i = g.dep
   LEFT JOIN reach_3_min rm ON rm.sk = g.sk AND rm.root = g.dep
 ),
@@ -1843,11 +1862,11 @@ def _lll_pos_case() -> str:
     """The frozen POS tagger CASE expression (gate._pos_oracle_sql) rebound
     to the raw-token ``seq`` stream (columns bw, prior1..3) — the LLL chain
     tags unblinded tokens."""
-    from nlp_lib_spark.oracles import _ann_parts
     _head, case_expr, _dom, _lw = _ann_parts()
     return case_expr
 
 
+@functools.lru_cache(maxsize=None)
 def _lll_prefix_sql() -> str:
     """The shared LLL raw-token chain (tokens -> POS -> chunk -> LEXE ->
     dep replica), sliced from the rule oracle so both LLL gates verify the
@@ -2220,8 +2239,9 @@ def relx_triples_oracle_sql() -> str:
     nominal governors never take governed prep chains): conjunct/
     appositive agent expansion, the PP-chain and rcmod agent paths, relx
     Rule4 (needs '-dependent' tokens; the tokenization has no hyphens),
-    the prep_by orientation swap, the first-hyphen surface strip, and the
-    'agent' relation rendering."""
+    the first-hyphen surface strip, and the 'agent' relation rendering.
+    The prep_by orientation swap and the 'by ' rendering ARE implemented
+    despite measuring 0 fires (they cost one CASE each)."""
     from nlp_lib_spark.lexicons import TESTDATA_LLL_RESTRICTION
     restr = _in(sorted(t.lower() for t in TESTDATA_LLL_RESTRICTION))
     x1_path = r"dep|agent|.*comp|.*obj|advcl|(inf|part|rc)mod|prep.*"
