@@ -195,3 +195,87 @@ def test_lexann_spans_in_bounds(tokens):
         assert t in ("B", "I", "O")
         if t == "I":
             assert i > 0 and tags[i - 1] in ("B", "I")
+
+
+# ---------------------------------------------------------------- LLL family
+_LLL_RELNS = st.sampled_from(
+    ["nsubj", "nsubjpass", "dobj", "nn", "amod", "advmod", "det", "neg",
+     "prep_of", "prep_by", "prep_with", "prep_between", "conj_and",
+     "conj_or", "num"])
+
+
+def _lll_layers(tokens):
+    from nlp_lib_spark.kernels.bio import chunk_bio
+    from nlp_lib_spark.kernels.depparse import dep_parse
+    from nlp_lib_spark.kernels.lexann import LexSynAnnotator
+    lex = LexSynAnnotator(["spark", "hash join", "p53", "raf kinase",
+                           "join\tmerge"])
+    pos = pos_tag(tokens, frozenset(("bind", "interact")))
+    return pos, chunk_bio(pos), lex.annotate(tokens), dep_parse(tokens, pos), lex
+
+
+@settings(max_examples=150, deadline=None)
+@given(TOKEN_LISTS.filter(lambda t: len(t) >= 2))
+def test_lll_interactions_invariants(tokens):
+    """Every emitted LLL pair stays in bounds, never self-pairs, and both
+    ends resolve through lex_chunk to dictionary-derived surfaces."""
+    from nlp_lib_spark.kernels.lll_relex import (lex_chunk, lll_interactions,
+                                                 resolve_surface)
+    pos, chunk, lexe, edges, lex = _lll_layers(tokens)
+    restriction = frozenset(("binds", "interacts", "interaction"))
+    pairs = lll_interactions(tokens, pos, chunk, lexe, edges, restriction)
+    assert len(pairs) == len(set(pairs))  # union dedup holds
+    for (a, t) in pairs:
+        assert 0 <= a < len(tokens) and 0 <= t < len(tokens)
+        assert a != t  # self-pairs dropped by the union
+        for e in (a, t):
+            sfc = lex_chunk(tokens, lexe, e)
+            if sfc is not None:
+                resolved = resolve_surface(sfc, lex)
+                assert isinstance(resolved, str) and resolved
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_LLL_RELNS,
+                          st.integers(0, 9), st.integers(0, 9)),
+                min_size=0, max_size=18))
+def test_relx_rules_bounds_and_determinism(raw_edges):
+    """relx Rule1/2/4 never emit out-of-range pairs and are deterministic
+    over arbitrary (possibly cyclic, multi-edge) graphs."""
+    from nlp_lib_spark.kernels.relx_rules import (XSent, relx_rule1,
+                                                  relx_rule2, relx_rule4)
+    n = 10
+    edges = [e for e in raw_edges if e[1] != e[2]]
+    tokens = ["w%d" % i for i in range(n)]
+    pos = ["NN" if i % 3 else "VBZ" for i in range(n)]
+    lexe = ["B" if i % 2 else "O" for i in range(n)]
+    s = XSent(tokens, pos, lexe)
+    g = DepGraph(edges)
+    restriction = frozenset(("w1", "w4"))
+    r1 = relx_rule1(s, g, restriction)
+    r2 = relx_rule2(s, g, restriction)
+    r4 = relx_rule4(s, g)
+    assert r1 == relx_rule1(s, g, restriction)
+    assert r2 == relx_rule2(s, g, restriction)
+    for (a, b) in r1 + r2 + r4:
+        assert 0 <= a < n and 0 <= b < n
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.tuples(_LLL_RELNS,
+                          st.integers(0, 7), st.integers(0, 7)),
+                min_size=0, max_size=14),
+       st.integers(0, 7), st.integers(0, 7))
+def test_relex_features_total_and_deterministic(raw_edges, e1, e2):
+    """The RelexPipe feature map is total (no exceptions) on arbitrary
+    graphs including cycles, deterministic, and every feature is K=V."""
+    from nlp_lib_spark.kernels.relex_pipe import relex_features
+    n = 8
+    edges = [e for e in raw_edges if e[1] != e[2]]
+    tokens = ["w%d" % i for i in range(n)]
+    g = DepGraph(edges)
+    f1 = relex_features(tokens, g, e1, e2)
+    assert f1 == relex_features(tokens, g, e1, e2)
+    assert all("=" in f for f in f1)
+    assert any(f.startswith("LCS=") for f in f1)
+    assert any(f.startswith("PP=") for f in f1)
