@@ -993,7 +993,7 @@ f3_reach(sk, src, node) AS (  -- form3 reachability (agent|prep.*|nn|amod|...)
 ),
 m_f3 AS MATERIALIZED (
   SELECT s.sk, s.e1, s.e2,
-         (regexp_matches(s.sp, 'RELN\.PREP.*PROTEIN[0-9]+.*PROTEIN[0-9]+')
+         (regexp_matches(s.sp, 'RELN\\.PREP.*PROTEIN[0-9]+.*PROTEIN[0-9]+')
           AND EXISTS (
             SELECT 1
             FROM str2 t
