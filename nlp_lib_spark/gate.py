@@ -777,13 +777,10 @@ def q_kg_kernel_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts-per-million (measured 0.0556 min rounding-boundary margin)."""
     from pyspark.sql import functions as F
 
-    from nlp_lib_spark.operators.kernel_score import (build_prototypes,
-                                                      extract_triples_kernel)
-    protos = build_prototypes(TESTDATA_CONFIG, [
-        "the spark activates the table.",
-        "a vector binds the stream.",
-        "the column regulates a row.",
-    ])
+    from nlp_lib_spark.operators.kernel_score import (
+        GATE_PROTOTYPE_SENTENCES, build_prototypes, extract_triples_kernel)
+    protos = build_prototypes(TESTDATA_CONFIG,
+                              list(GATE_PROTOTYPE_SENTENCES))
     t = transcripts(spark, sf_dir, with_ts=False)
     return (extract_triples_kernel(t, TESTDATA_CONFIG, protos,
                                    threshold=0.5)

@@ -34,6 +34,14 @@ KERNEL_TRIPLES_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
 
 _FUSED_RE = re.compile(r"PROTEIN[0-9]+.*PROTEIN[0-9]+")
 
+# The gate/oracle/fuzz prototype set (one definition; gate.py and
+# oracles.kernel_triples_oracle_sql must stay in lockstep on these).
+GATE_PROTOTYPE_SENTENCES = (
+    "the spark activates the table.",
+    "a vector binds the stream.",
+    "the column regulates a row.",
+)
+
 
 def instances_for_sentence(rt: KGRuntime, sentence: str):
     """Yield (ann, graph, inst) for every ordered PROTEIN pair (i<j)

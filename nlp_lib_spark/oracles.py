@@ -1201,12 +1201,10 @@ def kernel_triples_oracle_sql() -> str:
     from nlp_lib_spark.gate import _sql_set, _stem_sql
     from nlp_lib_spark.kernels.stem import stem
     from nlp_lib_spark.lexicons import TESTDATA_CONFIG
-    from nlp_lib_spark.operators.kernel_score import build_prototypes
-    protos = build_prototypes(TESTDATA_CONFIG, [
-        "the spark activates the table.",
-        "a vector binds the stream.",
-        "the column regulates a row.",
-    ])
+    from nlp_lib_spark.operators.kernel_score import (
+        GATE_PROTOTYPE_SENTENCES, build_prototypes)
+    protos = build_prototypes(TESTDATA_CONFIG,
+                              list(GATE_PROTOTYPE_SENTENCES))
     cases = []
     for p in protos:
         path = p["path"]
