@@ -116,9 +116,43 @@ FROM __t
 """)
 
 
+# Blinded-token reconstruction shared by the blinded/POS oracle streams:
+# a regular mention hit becomes PROTEIN<k0>; a fused hit becomes the
+# slash-joined placeholder run PROTEIN<k0>/.../PROTEIN<k0+nparts-1>
+# (kernels/blind.blind fused branch). nparts = 1 collapses to the plain
+# placeholder, so the same expression serves both gazetteer variants.
+_BW_CASE = ("CASE WHEN m1.ms IS NOT NULL THEN array_to_string("
+            "list_transform(generate_series(1, m1.nparts), "
+            "x -> 'PROTEIN' || CAST(m1.k0 + x - 1 AS VARCHAR)), '/') "
+            "ELSE t.w END")
+
+
 @functools.lru_cache(maxsize=None)
-def _mention_oracle_sql() -> str:
-    """DuckDB recursive-CTE replica of the gazetteer scan.
+def _domain_val_sql(w: str) -> str:
+    """DOMAIN tag value (BioDomainAnnotator.java:62-95 via
+    kernels/domain.DomainAnnotator.tag) for a lowercase token expression:
+    exact dict hit -> token, else stem hit -> stem, else — hyphenated
+    tokens — the last ``-``-part matching exactly or by stem (java keeps
+    overwriting, so last wins), else NULL."""
+    from nlp_lib_spark.kernels.domain import DomainAnnotator
+    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
+    terms = _sql_set(sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms))
+    sw = _stem_sql(w)
+    sp = _stem_sql("u.p")
+    return f"""CASE WHEN {w} IN ({terms}) THEN {w}
+    WHEN ({sw}) IN ({terms}) THEN {sw}
+    WHEN {w} LIKE '%-%' THEN (
+      SELECT CASE WHEN u.p IN ({terms}) THEN u.p ELSE {sp} END
+      FROM (SELECT unnest(string_split({w}, '-')) AS p,
+                   generate_subscripts(string_split({w}, '-'), 1) AS o) u
+      WHERE u.p IN ({terms}) OR ({sp}) IN ({terms})
+      ORDER BY u.o DESC LIMIT 1) END"""
+
+
+@functools.lru_cache(maxsize=None)
+def _gaz_scan_sql(fused_split: bool = True) -> str:
+    """Shared gazetteer-scan SQL head, ending with CTE ``mention``
+    (conv_id, turn_idx, sent_id, ms, me, mtext, nparts, k0).
 
     The prefix-extension match with the consume quirk
     (EntityLexicon.tagIOB, main/WBioRelEx.java:446-476) is a sequential
@@ -126,83 +160,19 @@ def _mention_oracle_sql() -> str:
     depends only on membership of token i and bigram (i, i+1):
     no match -> i+1; B only -> mention (i,i), consume i+1, resume i+2;
     B+I -> mention (i,i+1), consume i+2, resume i+3. That linear chain is
-    exactly a recursive CTE — giving the signature NLP operator a full
-    value-hash oracle.
-    """
+    exactly a recursive CTE. The fused check (token contains '/', every
+    part a full lexicon entry — Gazetteer.tag_iob fused branch) fires
+    only at scan positions that did NOT start a prefix match, i.e. the
+    ``NOT m1`` rows of the recursion.
+
+    ``fused_split=True`` mirrors blind(): a fused hit consumes
+    ``len(parts)`` placeholder indices (k0..k0+nparts-1), one mapping
+    entry per raw part. ``fused_split=False`` mirrors the typed WGP path
+    (blind_typed has no fused branch: the hit is an ordinary single
+    mention whose surface keeps the slash)."""
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
     assert max(len(e.split()) for e in TESTDATA_ENTITIES) <= 2, \
         "mention state-machine CTE assumes <=2-word entities"
-    prefix: set[str] = set()
-    for e in TESTDATA_ENTITIES:
-        toks = e.lower().split()
-        w = toks[0]
-        prefix.add(w)
-        for t in toks[1:]:
-            w = w + " " + t
-            prefix.add(w)
-    lex_vals = ", ".join(f"('{w}')" for w in sorted(prefix))
-    return f"""
-WITH RECURSIVE lex(word) AS (VALUES {lex_vals}),
-t0 AS ({_DUCK_TRANSCRIPTS}),
-t AS (  -- citation strip (WBioRelEx.java:293) before sentence split
-  SELECT conv_id, turn_idx,
-         regexp_replace(text, '\\[[\\s\\d,;-]+\\]', '', 'g') AS text
-  FROM t0
-),
-s AS (
-  SELECT conv_id, turn_idx,
-         generate_subscripts(regexp_extract_all(text, '{SENT_PAT}'), 1) - 1 AS sent_id,
-         trim(unnest(regexp_extract_all(text, '{SENT_PAT}'))) AS sentence
-  FROM t
-),
-tok AS (
-  SELECT conv_id, turn_idx, sent_id,
-         generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS w, len(toks) AS n
-  FROM (SELECT conv_id, turn_idx, sent_id,
-               regexp_extract_all(sentence, '{TOK_PAT_DUCK}') AS toks FROM s)
-  WHERE len(toks) <= {TESTDATA_CONFIG.max_sent_tokens}  -- oversize straggler guard (annotate_sentence)
-),
-step(conv_id, turn_idx, sent_id, i, ms, me, mtext) AS (
-  SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT, NULL::VARCHAR
-  FROM (SELECT DISTINCT conv_id, turn_idx, sent_id FROM tok) anchors
-  UNION ALL
-  SELECT q.conv_id, q.turn_idx, q.sent_id,
-         CASE WHEN NOT q.m1 THEN q.i + 1 WHEN q.m2 THEN q.i + 3 ELSE q.i + 2 END,
-         CASE WHEN q.m1 THEN q.i ELSE NULL END,
-         CASE WHEN NOT q.m1 THEN NULL WHEN q.m2 THEN q.i + 1 ELSE q.i END,
-         CASE WHEN NOT q.m1 THEN NULL WHEN q.m2 THEN q.w1 || ' ' || q.w2 ELSE q.w1 END
-  FROM (
-    SELECT st.conv_id, st.turn_idx, st.sent_id, st.i, t1.n,
-           t1.w AS w1, t2.w AS w2,
-           EXISTS (SELECT 1 FROM lex WHERE word = lower(t1.w)) AS m1,
-           (t2.w IS NOT NULL AND EXISTS (
-              SELECT 1 FROM lex WHERE word = lower(t1.w) || ' ' || lower(t2.w))) AS m2
-    FROM step st
-    JOIN tok t1 ON t1.conv_id = st.conv_id AND t1.turn_idx = st.turn_idx
-                AND t1.sent_id = st.sent_id AND t1.pos = st.i
-    LEFT JOIN tok t2 ON t2.conv_id = st.conv_id AND t2.turn_idx = st.turn_idx
-                AND t2.sent_id = st.sent_id AND t2.pos = st.i + 1
-  ) q
-)
-SELECT conv_id, turn_idx, sent_id,
-       'PROTEIN' || CAST(row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                                            ORDER BY ms) - 1 AS VARCHAR) AS mention_id,
-       mtext AS mention_text
-FROM step WHERE ms IS NOT NULL
-"""
-
-
-@functools.lru_cache(maxsize=None)
-def _entity_spans_oracle_sql() -> str:
-    """Extended gazetteer state-machine CTE that also emits BIO span rows:
-    PROTEIN spans (ms..me) plus FUSED single-token spans — the fused
-    check (``tok.contains('/') && all parts in full lexicon``, our
-    Gazetteer.tag_iob / EntityLexicon fused branch) fires only at scan
-    positions that did NOT start a prefix match, which is exactly the
-    ``NOT m1`` rows of the recursion."""
-    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
-    assert max(len(e.split()) for e in TESTDATA_ENTITIES) <= 2, \
-        "entity-spans state-machine CTE assumes <=2-word entities"
     prefix: set[str] = set()
     full: set[str] = set()
     for e in TESTDATA_ENTITIES:
@@ -215,11 +185,12 @@ def _entity_spans_oracle_sql() -> str:
         full.add(e.lower())
     lex_vals = ", ".join(f"('{w}')" for w in sorted(prefix))
     full_vals = ", ".join(f"('{w}')" for w in sorted(full))
+    nparts_expr = ("len(string_split(ftext, '/'))" if fused_split else "1")
     return f"""
 WITH RECURSIVE lex(word) AS (VALUES {lex_vals}),
 flex(word) AS (VALUES {full_vals}),
 t0 AS ({_DUCK_TRANSCRIPTS}),
-t AS (
+t AS (  -- citation strip (WBioRelEx.java:293) before sentence split
   SELECT conv_id, turn_idx,
          regexp_replace(text, '\\[[\\s\\d,;-]+\\]', '', 'g') AS text
   FROM t0
@@ -266,13 +237,47 @@ step(conv_id, turn_idx, sent_id, i, ms, me, mtext, fs, ftext) AS (
     LEFT JOIN tok t2 ON t2.conv_id = st.conv_id AND t2.turn_idx = st.turn_idx
                 AND t2.sent_id = st.sent_id AND t2.pos = st.i + 1
   ) q
-)
+),
+hits AS (
+  SELECT conv_id, turn_idx, sent_id, ms, me, mtext, 1 AS nparts
+  FROM step WHERE ms IS NOT NULL
+  UNION ALL
+  SELECT conv_id, turn_idx, sent_id, fs, fs, ftext, {nparts_expr}
+  FROM step WHERE fs IS NOT NULL
+),
+mention AS (  -- one row per gazetteer hit; k0 = first placeholder index
+  SELECT conv_id, turn_idx, sent_id, ms, me, mtext,
+         CAST(nparts AS INT) AS nparts,
+         CAST(sum(nparts) OVER (PARTITION BY conv_id, turn_idx, sent_id
+                                ORDER BY ms ROWS UNBOUNDED PRECEDING)
+              - nparts AS INT) AS k0
+  FROM hits
+)"""
+
+
+@functools.lru_cache(maxsize=None)
+def _mention_oracle_sql(fused_split: bool = True) -> str:
+    """The gazetteer scan's mention map: one row per placeholder (fused
+    hits expand to one row per raw '/'-part, kernels/blind.blind)."""
+    return _gaz_scan_sql(fused_split) + """
+SELECT m.conv_id, m.turn_idx, m.sent_id,
+       'PROTEIN' || CAST(m.k0 + gs.g - 1 AS VARCHAR) AS mention_id,
+       CASE WHEN m.nparts = 1 THEN m.mtext
+            ELSE string_split(m.mtext, '/')[gs.g] END AS mention_text
+FROM mention m,
+LATERAL (SELECT unnest(generate_series(1, m.nparts)) AS g) gs
+"""
+
+
+@functools.lru_cache(maxsize=None)
+def _entity_spans_oracle_sql() -> str:
+    """BIO span rows from the shared gazetteer scan: PROTEIN spans
+    (ms..me) plus FUSED single-token spans (nparts > 1 hits)."""
+    return _gaz_scan_sql() + """
 SELECT conv_id, turn_idx, sent_id, ms AS start, me AS "end",
-       'PROTEIN' AS span_type, mtext AS span_text
-FROM step WHERE ms IS NOT NULL
-UNION ALL
-SELECT conv_id, turn_idx, sent_id, fs, fs, 'FUSED', ftext
-FROM step WHERE fs IS NOT NULL
+       CASE WHEN nparts > 1 THEN 'FUSED' ELSE 'PROTEIN' END AS span_type,
+       mtext AS span_text
+FROM mention
 """
 
 
@@ -318,47 +323,68 @@ def q_kg_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=None)
-def _blinded_oracle_sql() -> str:
+def _blinded_oracle_sql(fused_split: bool = True) -> str:
     """Entity blinding (prepare, WBioRelEx.java:248-284) as SQL: rebuild the
-    blinded token string from the gazetteer state machine's mention spans."""
-    base = _mention_oracle_sql()
-    head, _tail = base.rsplit("SELECT conv_id, turn_idx, sent_id,", 1)
-    return head.rstrip() + """,
-mention AS (
-  SELECT conv_id, turn_idx, sent_id, ms, me,
-         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                            ORDER BY ms) - 1 AS k
-  FROM step WHERE ms IS NOT NULL
-),
--- simplify (WBioRelEx.java:103-128): drop a paren span containing no
--- PROTEIN placeholder, applied only when >=2 entities (java:310-311).
--- This corpus has at most one paren pair per sentence.
-paren AS (
-  SELECT ss.conv_id, ss.turn_idx, ss.sent_id, ss.lb,
-         coalesce((SELECT min(t2.pos) FROM tok t2
-                   WHERE t2.conv_id = ss.conv_id AND t2.turn_idx = ss.turn_idx
-                     AND t2.sent_id = ss.sent_id AND t2.w = ')'
-                     AND t2.pos > ss.lb), ss.mx) AS rb
-  FROM (SELECT conv_id, turn_idx, sent_id,
-               min(CASE WHEN w = '(' THEN pos END) AS lb, max(pos) AS mx
-        FROM tok GROUP BY 1, 2, 3) ss
-  WHERE ss.lb IS NOT NULL
+    blinded token string from the gazetteer state machine's mention spans.
+
+    simplify (WBioRelEx.java:103-128) is a second sequential scan, so it is
+    a second recursive CTE: each ``(`` opens a span to the next ``)`` (or
+    end of sentence); a span with no PROTEIN inside is dropped and the scan
+    resumes past it; a kept ``(`` re-enters the scan at the next token (so
+    parens inside a kept span open their own spans). Interior bound quirk:
+    a closed span checks (lb, rb) exclusive, an unclosed one (lb, end]
+    inclusive (the java loop tests the last token only when no ``)`` is
+    found). Applied only when entity_count >= 2 (java:310-311); dropped
+    spans never contain mention starts, so counting surviving placeholders
+    still equals the pre-simplify entity count."""
+    return _gaz_scan_sql(fused_split) + """,
+pstate(conv_id, turn_idx, sent_id, cur, lb, rb) AS (
+  SELECT conv_id, turn_idx, sent_id, 0, NULL::INT, NULL::INT
+  FROM (SELECT DISTINCT conv_id, turn_idx, sent_id FROM tok) pa
+  UNION ALL
+  SELECT conv_id, turn_idx, sent_id,
+         CASE WHEN keep THEN np + 1 ELSE rb + 1 END,
+         CASE WHEN keep THEN NULL ELSE np END,
+         CASE WHEN keep THEN NULL ELSE rb END
+  FROM (
+    SELECT p.conv_id, p.turn_idx, p.sent_id, p.np,
+           coalesce(p.cp, p.mx) AS rb,
+           EXISTS (SELECT 1 FROM mention m
+                   WHERE m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx
+                     AND m.sent_id = p.sent_id AND m.ms > p.np
+                     AND m.ms < coalesce(p.cp, p.mx + 1)) AS keep
+    FROM (
+      SELECT p0.conv_id, p0.turn_idx, p0.sent_id, p0.np, p0.mx,
+             (SELECT min(t.pos) FROM tok t
+              WHERE t.conv_id = p0.conv_id AND t.turn_idx = p0.turn_idx
+                AND t.sent_id = p0.sent_id AND t.w = ')'
+                AND t.pos > p0.np) AS cp
+      FROM (
+        SELECT ps.conv_id, ps.turn_idx, ps.sent_id,
+               (SELECT min(t.pos) FROM tok t
+                WHERE t.conv_id = ps.conv_id AND t.turn_idx = ps.turn_idx
+                  AND t.sent_id = ps.sent_id AND t.w = '('
+                  AND t.pos >= ps.cur) AS np,
+               (SELECT max(t.pos) FROM tok t
+                WHERE t.conv_id = ps.conv_id AND t.turn_idx = ps.turn_idx
+                  AND t.sent_id = ps.sent_id) AS mx
+        FROM pstate ps
+      ) p0
+      WHERE p0.np IS NOT NULL
+    ) p
+  ) q
 ),
 drop_span AS (
-  SELECT p.conv_id, p.turn_idx, p.sent_id, p.lb, p.rb
-  FROM paren p
-  WHERE NOT EXISTS (SELECT 1 FROM mention m
-                    WHERE m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx
-                      AND m.sent_id = p.sent_id
-                      AND m.ms > p.lb AND m.ms < p.rb)
-    AND (SELECT count(*) FROM mention m2
-         WHERE m2.conv_id = p.conv_id AND m2.turn_idx = p.turn_idx
-           AND m2.sent_id = p.sent_id) >= 2
+  SELECT ps.conv_id, ps.turn_idx, ps.sent_id, ps.lb, ps.rb
+  FROM pstate ps
+  WHERE ps.lb IS NOT NULL
+    AND (SELECT sum(m2.nparts) FROM mention m2
+         WHERE m2.conv_id = ps.conv_id AND m2.turn_idx = ps.turn_idx
+           AND m2.sent_id = ps.sent_id) >= 2
 )
 SELECT t.conv_id, t.turn_idx, t.sent_id,
-       string_agg(CASE WHEN m1.ms IS NOT NULL THEN 'PROTEIN' || CAST(m1.k AS VARCHAR)
-                       ELSE t.w END, ' ' ORDER BY t.pos) AS blinded_text,
-       CAST(count(m1.ms) AS INT) AS entity_count
+       string_agg(""" + _BW_CASE + """, ' ' ORDER BY t.pos) AS blinded_text,
+       CAST(coalesce(sum(m1.nparts), 0) AS INT) AS entity_count
 FROM tok t
 LEFT JOIN mention m1 ON m1.conv_id = t.conv_id AND m1.turn_idx = t.turn_idx
      AND m1.sent_id = t.sent_id AND m1.ms = t.pos
@@ -385,6 +411,10 @@ def q_kg_blinded(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kg_blinded"] = _blinded_oracle_sql()
 
 
+def _sql_set(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
+
+
 def _stem_sql(col: str) -> str:
     """SQL replica of kernels/stem.stem (ordered longest-suffix strip)."""
     from nlp_lib_spark.kernels.stem import _MIN_STEM, _SUFFIXES
@@ -402,19 +432,10 @@ def _domain_oracle_sql() -> str:
     """DOMAIN annotation (BioDomainAnnotator.java:62-95) over the blinded
     stream: exact dict hit -> token, else stem hit -> stem, else hyphen
     parts (last matching wins). Aggregated (token, domain_val, n)."""
-    from nlp_lib_spark.kernels.domain import DomainAnnotator
-    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
-    terms = sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms)
-    vals = ", ".join(f"('{t}')" for t in terms)
     base = _blinded_oracle_sql()
     head, _tail = base.rsplit("SELECT t.conv_id, t.turn_idx, t.sent_id,", 1)
     w = "lower(t.w)"
-    stem_w = _stem_sql(w)
-    # NOTE: the hyphen-part fallback branch (java:73-84) is dead on this
-    # corpus (the derived vocabulary has no hyphenated tokens); the kernel's
-    # hyphen logic is pytest-covered (tests/test_kernels.py).
     return head.rstrip() + f""",
-dterms(term) AS (VALUES {vals}),
 stream AS (
   SELECT t.conv_id, t.turn_idx, t.sent_id, t.w
   FROM tok t
@@ -427,10 +448,7 @@ stream AS (
   WHERE m2.ms IS NULL AND d.lb IS NULL AND m1.ms IS NULL
 )
 SELECT w AS token, dval AS domain_val, count(*) AS n FROM (
-  SELECT t.w,
-    CASE WHEN EXISTS (SELECT 1 FROM dterms WHERE term = {w}) THEN {w}
-         WHEN EXISTS (SELECT 1 FROM dterms WHERE term = {stem_w}) THEN {stem_w}
-         ELSE NULL END AS dval
+  SELECT t.w, ({_domain_val_sql(w)}) AS dval
   FROM stream t
 ) z WHERE dval IS NOT NULL
 GROUP BY w, dval
@@ -453,12 +471,8 @@ def q_kg_domain_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["kg_domain_tags"] = _domain_oracle_sql()
 
 
-def _sql_set(words) -> str:
-    return ", ".join("'" + w.replace("'", "''") + "'" for w in sorted(words))
-
-
 @functools.lru_cache(maxsize=None)
-def _pos_oracle_sql() -> str:
+def _pos_oracle_sql(fused_split: bool = True) -> str:
     """The frozen POS tagger (kernels/postag.pos_tag) as generated SQL over
     the blinded token stream — with it, the entire pre-parse annotation
     chain (sentences -> tokens -> mentions -> blinding -> POS -> DOMAIN)
@@ -467,7 +481,7 @@ def _pos_oracle_sql() -> str:
     from nlp_lib_spark.kernels.stem import stem
     from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
     verb_stems = set(P.VERB_STEMS) | {stem(t) for t in TESTDATA_DOMAIN_TERMS}
-    base = _blinded_oracle_sql()
+    base = _blinded_oracle_sql(fused_split)
     head, _tail = base.rsplit("SELECT t.conv_id, t.turn_idx, t.sent_id,", 1)
     lw = "lower(bw)"
     stem_lw = _stem_sql(lw)
@@ -479,8 +493,7 @@ def _pos_oracle_sql() -> str:
     return head.rstrip() + f""",
 stream AS (
   SELECT t.conv_id, t.turn_idx, t.sent_id, t.pos,
-         CASE WHEN m1.ms IS NOT NULL THEN 'PROTEIN' || CAST(m1.k AS VARCHAR)
-              ELSE t.w END AS bw
+         {_BW_CASE} AS bw
   FROM tok t
   LEFT JOIN mention m1 ON m1.conv_id = t.conv_id AND m1.turn_idx = t.turn_idx
        AND m1.sent_id = t.sent_id AND m1.ms = t.pos
@@ -553,20 +566,16 @@ def _rule2b_oracle_sql() -> str:
     blinded tokens + the SQL POS replica + the SQL domain replica, pairs
     from placeholder positions, acceptance via the exact reference regex —
     the first rule-layer operator with a cross-engine value check."""
-    from nlp_lib_spark.kernels.domain import DomainAnnotator
-    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
-    terms = _sql_set(sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms))
     base = _pos_oracle_sql()
     head, tail = base.rsplit("SELECT conv_id, turn_idx, sent_id, idx, bw AS token,", 1)
     case_expr = tail.rsplit("FROM seq", 1)[0].strip()
     case_expr = case_expr[: -len("AS pos_tag")].strip()
     lw = "lower(bw)"
-    stem_lw = _stem_sql(lw)
     return head.rstrip().rstrip(",") + f""",
 seq2 AS (
   SELECT conv_id, turn_idx, sent_id, idx, bw,
          {case_expr} AS pos_tag,
-         (({lw}) IN ({terms}) OR ({stem_lw}) IN ({terms})) AS is_dom
+         (({_domain_val_sql(lw)}) IS NOT NULL) AS is_dom
   FROM seq
 ),
 cls AS (
@@ -576,8 +585,8 @@ cls AS (
       WHEN is_dom THEN 'REL'
       WHEN length(bw) = 1 AND bw IN ('/', ',', '-') THEN bw
       WHEN pos_tag IN ('IN', 'TO')
-           AND lower(bw) IN ('of','by','to','on','for','in','through','with') THEN 'PREP'
-      WHEN lower(bw) IN ('and', 'or') THEN 'CONJ'
+           AND bw IN ('of','by','to','on','for','in','through','with') THEN 'PREP'
+      WHEN bw IN ('and', 'or') THEN 'CONJ'
       WHEN pos_tag LIKE 'N%' THEN 'N'
       ELSE 'W'
     END AS cls

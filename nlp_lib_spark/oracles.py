@@ -50,11 +50,97 @@ def _in(vals) -> str:
 
 
 _MENTION2_CTE = """
-  SELECT conv_id, turn_idx, sent_id, mtext,
-         row_number() OVER (PARTITION BY conv_id, turn_idx, sent_id
-                            ORDER BY ms) - 1 AS k
-  FROM step WHERE ms IS NOT NULL
+  SELECT m.conv_id, m.turn_idx, m.sent_id,
+         m.conv_id || '#' || CAST(m.turn_idx AS VARCHAR) || '#'
+           || CAST(m.sent_id AS VARCHAR) AS sk,
+         CASE WHEN m.nparts = 1 THEN m.mtext
+              ELSE string_split(m.mtext, '/')[gs.g] END AS mtext,
+         CAST(m.k0 + gs.g - 1 AS INT) AS k
+  FROM mention m,
+  LATERAL (SELECT unnest(generate_series(1, m.nparts)) AS g) gs
 """
+
+# resolve_surface (kernels/pipeline.resolve_surface) over the blinded
+# placeholder tokens of str2: each '/'-part maps through the mention map
+# (fused tokens join their parts back with '/'); requires a ``mention2``
+# CTE rendered from _MENTION2_CTE in scope.
+_SURF_CTE = """
+  SELECT q.sk, q.i,
+         string_agg(coalesce(m.mtext, q.p), '/' ORDER BY q.o) AS surf
+  FROM (
+    SELECT t.sk, t.i,
+           unnest(string_split(t.w, '/')) AS p,
+           generate_subscripts(string_split(t.w, '/'), 1) AS o
+    FROM str2 t WHERE t.is_prot
+  ) q
+  LEFT JOIN mention2 m ON m.sk = q.sk
+       AND q.p = 'PROTEIN' || CAST(m.k AS VARCHAR)
+  GROUP BY q.sk, q.i
+"""
+
+# fused self-pair surfaces (triples emit for e1 == e2,
+# kernels/pipeline.triples_for_sentence): subj/obj = the FIRST TWO
+# '/'-parts resolved through the mention map; np guards len(parts) >= 2.
+_SELFP_CTE = """
+  SELECT t.sk, t.i,
+         len(string_split(t.w, '/')) AS np,
+         coalesce(m1.mtext, string_split(t.w, '/')[1]) AS p1,
+         coalesce(m2.mtext, string_split(t.w, '/')[2]) AS p2
+  FROM str2 t
+  LEFT JOIN mention2 m1 ON m1.sk = t.sk
+       AND string_split(t.w, '/')[1] = 'PROTEIN' || CAST(m1.k AS VARCHAR)
+  LEFT JOIN mention2 m2 ON m2.sk = t.sk
+       AND len(string_split(t.w, '/')) >= 2
+       AND string_split(t.w, '/')[2] = 'PROTEIN' || CAST(m2.k AS VARCHAR)
+  WHERE t.is_prot
+"""
+
+# Emission-order rank model over the shared dep replica: reconstructs the
+# frozen builder's exact edge-list order (kernels/depparse) as a rank —
+# (stage, anchor, sub) per arm, CC-distributed edges ranked after base by
+# source ord — ending with ``dep_o`` (ranked distinct edges) and ``par``
+# (first incoming edge per node, the DepGraph.parent read).  Requires the
+# dep_replica_sql CTEs (e_np/e_subj/e_neg/e_dobj/e_advmod/e_prep/e_conj,
+# conj_reach) and ``str2`` in scope.
+_RANK_MODEL_CTES = """
+-- ============ emission-order rank model (kernels/depparse order) ============
+rank0 AS (
+  SELECT sk, reln, gov, dep, 1 AS s1, dep AS s2, 0 AS s3 FROM e_np
+  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 0 FROM e_subj
+  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 1 + dep FROM e_neg
+  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 10000 FROM e_dobj
+  UNION ALL SELECT sk, reln, gov, dep, 3, dep, 0 FROM e_advmod
+  UNION ALL SELECT e.sk, e.reln, e.gov, e.dep, 4,
+    (SELECT min(t.i) FROM str2 t WHERE t.sk = e.sk
+     AND t.pos IN ('IN', 'TO') AND t.lw = substr(e.reln, 6)), 0
+  FROM e_prep e
+  UNION ALL SELECT e.sk, e.reln, e.gov, e.dep, 5,
+    (SELECT min(t.i) FROM str2 t WHERE t.sk = e.sk AND t.pos = 'CC'
+     AND t.lw = substr(e.reln, 6) AND t.i > e.gov AND t.i < e.dep), 0
+  FROM e_conj e
+),
+rankb AS MATERIALIZED (
+  SELECT sk, reln, gov, dep,
+         row_number() OVER (PARTITION BY sk ORDER BY s1, s2, s3) AS ord
+  FROM rank0
+),
+rankd AS (  -- CC-distributed edges rank after base, by source ord
+  SELECT b.sk, b.reln, b.gov, r.dst AS dep, 100000 + b.ord AS ord
+  FROM rankb b JOIN conj_reach r ON r.sk = b.sk AND r.src = b.dep
+  WHERE (b.reln IN ('nsubj', 'nsubjpass', 'dobj') OR b.reln LIKE 'prep_%')
+    AND NOT EXISTS (SELECT 1 FROM rankb z WHERE z.sk = b.sk
+                    AND z.reln = b.reln AND z.gov = b.gov AND z.dep = r.dst)
+),
+dep_o AS MATERIALIZED (
+  SELECT sk, reln, gov, dep, min(ord) AS ord
+  FROM (SELECT * FROM rankb UNION ALL SELECT * FROM rankd) z
+  GROUP BY sk, reln, gov, dep
+),
+par AS MATERIALIZED (  -- first incoming edge (list order) per node
+  SELECT sk, dep AS node, arg_min(gov, ord) AS gov,
+         arg_min(reln, ord) AS reln
+  FROM dep_o GROUP BY sk, dep
+)"""
 
 
 def _pred_sql(pair: str) -> str:
@@ -72,24 +158,20 @@ def _pred_sql(pair: str) -> str:
 
 
 @functools.lru_cache(maxsize=None)
-def _ann_parts() -> tuple[str, str, str, str]:
+def _ann_parts(fused_split: bool = True) -> tuple[str, str, str, str]:
     """(head_through_seq, pos_case_expr, domain_value_expr, lw) lifted from
     gate._pos_oracle_sql — the same rsplit composition gate's rule2b oracle
-    uses."""
-    from nlp_lib_spark.gate import _pos_oracle_sql, _sql_set, _stem_sql
-    from nlp_lib_spark.kernels.domain import DomainAnnotator
-    from nlp_lib_spark.lexicons import TESTDATA_DOMAIN_TERMS
-    base = _pos_oracle_sql()
+    uses. ``fused_split`` selects the gazetteer variant (False = the typed
+    WGP path where blind_typed has no fused branch)."""
+    from nlp_lib_spark.gate import _domain_val_sql, _pos_oracle_sql
+    base = _pos_oracle_sql(fused_split)
     marker = "SELECT conv_id, turn_idx, sent_id, idx, bw AS token,"
     assert marker in base, "gate._pos_oracle_sql drifted: slice marker gone"
     head, tail = base.rsplit(marker, 1)
     case_expr = tail.rsplit("FROM seq", 1)[0].strip()
     case_expr = case_expr[: -len("AS pos_tag")].strip()
-    terms = _sql_set(sorted(DomainAnnotator(TESTDATA_DOMAIN_TERMS).terms))
     lw = "lower(bw)"
-    stem_lw = _stem_sql(lw)
-    dom_expr = (f"CASE WHEN {lw} IN ({terms}) THEN {lw} "
-                f"WHEN ({stem_lw}) IN ({terms}) THEN {stem_lw} END")
+    dom_expr = _domain_val_sql(lw)
     return head.rstrip().rstrip(","), case_expr, dom_expr, lw
 
 
@@ -108,7 +190,7 @@ def stream_sql_prefix(simplify: bool = True,
     stack annotates every sentence (annotate_turns ``full=True``), not just
     the extraction-eligible ones."""
     from nlp_lib_spark.lexicons import TESTDATA_CONFIG
-    head, pos_case, dom_expr, _lw = _ann_parts()
+    head, pos_case, dom_expr, _lw = _ann_parts(fused_split=simplify)
     if not simplify:
         drop_marker = "WHERE m2.ms IS NULL AND d.lb IS NULL"
         assert drop_marker in head, \
@@ -124,7 +206,7 @@ def stream_sql_prefix(simplify: bool = True,
     return head + f""",
 elig AS MATERIALIZED (  -- pipeline guards: trivial-skip (<2 entities) + mention flood
   SELECT conv_id, turn_idx, sent_id FROM mention
-  GROUP BY 1, 2, 3 HAVING count(*) BETWEEN 2 AND {mx}
+  GROUP BY 1, 2, 3 HAVING sum(nparts) BETWEEN 2 AND {mx}
 ),
 str2 AS MATERIALIZED (
   SELECT s.conv_id || '#' || CAST(s.turn_idx AS VARCHAR) || '#'
@@ -589,6 +671,23 @@ r3a_pairs AS MATERIALIZED (
                WHERE u2.sk = z.sk AND u2.u = z.mid AND u2.v = z.e2),
               '-') = 'prep_between'
 ),
+-- ====================== RelexRule5 (rules.rule5) ===========================
+-- fused placeholder token (_R5_RE fullmatch, needs a following token) whose
+-- right neighbor is DOMAIN — or, failing that, that hangs off a DOMAIN
+-- governor via an nn/amod/abbrev/appos edge; emits the self pair (i, i).
+r5_pairs AS MATERIALIZED (
+  SELECT t.sk, t.i AS e1, t.i AS e2
+  FROM str2 t
+  JOIN str2 nx ON nx.sk = t.sk AND nx.i = t.i + 1
+  WHERE t.is_prot
+    AND regexp_matches(t.w, '^PROTEIN[0-9]+.*PROTEIN[0-9]+$')
+    AND (nx.dom IS NOT NULL
+         OR EXISTS (SELECT 1 FROM dep_e e
+                    JOIN str2 g ON g.sk = e.sk AND g.i = e.gov
+                    WHERE e.sk = t.sk AND e.dep = t.i
+                      AND e.reln IN ('nn', 'amod', 'abbrev', 'appos')
+                      AND g.dom IS NOT NULL))
+),
 -- ================== union (RunRelex.java:141-153) ==========================
 u_pairs AS MATERIALIZED (
   SELECT sk, e1, e2 FROM r1_pairs
@@ -596,6 +695,7 @@ u_pairs AS MATERIALIZED (
   UNION SELECT sk, e1, e2 FROM r2b_pairs
   UNION SELECT sk, e1, e2 FROM r3b_pairs
   UNION SELECT sk, e1, e2 FROM r3a_pairs
+  UNION SELECT sk, e1, e2 FROM r5_pairs
 )"""
 
 
@@ -628,26 +728,32 @@ def union_pairs_oracle_sql() -> str:
 def triples_oracle_sql() -> str:
     """The flagship kg_triples oracle: rule-union pairs resolved to
     (subj, pred, obj) per kernels/pipeline.triples_for_sentence —
-    placeholder->surface via the gazetteer mention map, predicate = nearest
-    DOMAIN key term (_pred_term), fallback 'interacts_with'.  Fused
-    same-token pairs (i==j) cannot occur on this corpus (no B-FUSED)."""
+    placeholder->surface via resolve_surface over the gazetteer mention map
+    (fused tokens resolve per '/'-part), predicate = nearest DOMAIN key
+    term (_pred_term), fallback 'interacts_with'.  Fused same-token pairs
+    (i==j, RelexRule5) emit the first two parts as subj/obj."""
     return rules_sql_prefix() + f""",
-mention2 AS MATERIALIZED ({_MENTION2_CTE})
+mention2 AS MATERIALIZED ({_MENTION2_CTE}),
+surf AS MATERIALIZED ({_SURF_CTE}),
+selfp AS MATERIALIZED ({_SELFP_CTE})
 SELECT d.conv_id, d.turn_idx, d.sent_id, p.e1, p.e2,
-       m1.mtext AS subj,
+       s1.surf AS subj,
        {_pred_sql('p')} AS pred,
-       m2.mtext AS obj
+       s2.surf AS obj
 FROM u_pairs p
 JOIN sdim d ON d.sk = p.sk
-JOIN str2 w1 ON w1.sk = p.sk AND w1.i = p.e1
-JOIN str2 w2 ON w2.sk = p.sk AND w2.i = p.e2
-JOIN mention2 m1 ON m1.conv_id = d.conv_id AND m1.turn_idx = d.turn_idx
-     AND m1.sent_id = d.sent_id
-     AND m1.k = CAST(substr(w1.w, 8) AS INT)
-JOIN mention2 m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
-     AND m2.sent_id = d.sent_id
-     AND m2.k = CAST(substr(w2.w, 8) AS INT)
+JOIN surf s1 ON s1.sk = p.sk AND s1.i = p.e1
+JOIN surf s2 ON s2.sk = p.sk AND s2.i = p.e2
 WHERE p.e1 <> p.e2
+UNION ALL
+SELECT d.conv_id, d.turn_idx, d.sent_id, p.e1, p.e2,
+       sp.p1 AS subj,
+       {_pred_sql('p')} AS pred,
+       sp.p2 AS obj
+FROM u_pairs p
+JOIN sdim d ON d.sk = p.sk
+JOIN selfp sp ON sp.sk = p.sk AND sp.i = p.e1
+WHERE p.e1 = p.e2 AND sp.np >= 2
 """
 
 
@@ -851,8 +957,9 @@ def ml_triples_oracle_sql() -> str:
     shortest node path, with the smallest label among parallel edges — so
     the oracle enumerates the shortest-path DAG and takes the minimum
     zero-padded path string.  Only features present in the shipped weight
-    dict influence the score; fused same-token families (SAME-DOM,
-    TOKEN_DIST=0, FORM-TYPE=4) are corpus-dead (no B-FUSED).  The score
+    dict influence the score; the fused same-token families (SAME-DOM via
+    right-neighbor/parent/first-ordered-edge, empty CPATH, TOKEN_DIST=0,
+    FORM-TYPE=4) ride the emission-order rank model.  The score
     column is emitted as integer basis points: measured over every
     candidate at sf0.01/0.1, min |logit| = 2.23 and min distance of
     p*10000 from a rounding boundary = 0.022 — float noise between
@@ -867,7 +974,7 @@ def ml_triples_oracle_sql() -> str:
         "('" + k.replace("'", "''") + "', " + repr(w) + ")"
         for k, w in sorted(model["weights"].items()))
     return dep_sql_prefix() + f""",
-wts(feat, wt) AS (VALUES {wt_vals}),
+wts(feat, wt) AS (VALUES {wt_vals}),{_RANK_MODEL_CTES},
 m_neg AS MATERIALIZED (SELECT DISTINCT sk, gov AS x FROM dep_e WHERE reln = 'neg'),
 m_und AS (
   SELECT sk, gov AS u, dep AS v, reln AS lab FROM dep_e
@@ -878,10 +985,13 @@ mle AS MATERIALIZED (  -- undirected adjacency, min label per neighbor pair
 ),
 m_src AS MATERIALIZED (SELECT DISTINCT sk, i FROM str2 WHERE is_prot),
 m_size AS MATERIALIZED (SELECT sk, count(*) AS n FROM str2 GROUP BY sk),
-cand AS MATERIALIZED (
+cand AS MATERIALIZED (  -- i<j all-pairs + fused same-token candidates
   SELECT a.sk, a.i AS e1, b.i AS e2
   FROM str2 a JOIN str2 b ON b.sk = a.sk AND a.i < b.i
   WHERE a.is_prot AND b.is_prot
+  UNION ALL
+  SELECT t.sk, t.i, t.i FROM str2 t
+  WHERE t.is_prot AND regexp_matches(t.w, '^PROTEIN[0-9]+.*PROTEIN[0-9]+$')
 ),
 m_dist0(sk, src, node, d) AS (  -- BFS levels from every protein source
   SELECT sk, i, i, 0 FROM m_src
@@ -1049,6 +1159,24 @@ feats AS (  -- every feature family carrying weight (features.pair_features)
   SELECT pe.sk, pe.e1, pe.e2, 'NEG-' || pe.reln
   FROM m_pedge pe
   WHERE EXISTS (SELECT 1 FROM m_neg n WHERE n.sk = pe.sk AND n.x = pe.gov)
+  UNION ALL  -- empty CPATH for fused same-token candidates (path = [])
+  SELECT b.sk, b.e1, b.e2, 'CPATH=' FROM m_best b WHERE b.plen = 0
+  UNION ALL  -- SAME-DOM (fused candidates): right neighbor, else parent,
+             -- else first outgoing edge (emission order) with DOMAIN dep
+  SELECT sk, e1, e2, 'SAME-DOM=' || sd FROM (
+    SELECT c.sk, c.e1, c.e2, coalesce(
+             nx.dom, pd.dom,
+             (SELECT arg_min(td.dom, o.ord) FROM dep_o o
+              JOIN str2 td ON td.sk = o.sk AND td.i = o.dep
+              WHERE o.sk = c.sk AND o.gov = c.e1
+                AND td.dom IS NOT NULL)) AS sd
+    FROM cand c
+    LEFT JOIN str2 nx ON nx.sk = c.sk AND nx.i = c.e2 + 1
+    LEFT JOIN (SELECT p.sk, p.node, t.dom FROM par p
+               JOIN str2 t ON t.sk = p.sk AND t.i = p.gov) pd
+           ON pd.sk = c.sk AND pd.node = c.e1
+    WHERE c.e1 = c.e2
+  ) z WHERE sd IS NOT NULL
   UNION ALL
   -- FORM-TYPE only when a dep path exists (pair_features returns early on
   -- NULL_PATH, before the form_type block)
@@ -1063,6 +1191,17 @@ feats AS (  -- every feature family carrying weight (features.pair_features)
   JOIN m_f1 f1 ON f1.sk = f3.sk AND f1.e1 = f3.e1 AND f1.e2 = f3.e2
   JOIN m_f2 f2 ON f2.sk = f3.sk AND f2.e1 = f3.e1 AND f2.e2 = f3.e2
   WHERE f3.f3 AND NOT f1.f1 AND NOT f2.f2
+  UNION ALL  -- form 4 (RuleExtractor.check): fused token with DOMAIN right
+             -- neighbor; forms 1/2 need a path (impossible for e1 == e2),
+             -- form 3 wins first when it fires
+  SELECT c.sk, c.e1, c.e2, 'FORM-TYPE=4'
+  FROM cand c
+  JOIN str2 t ON t.sk = c.sk AND t.i = c.e1
+  JOIN str2 nx ON nx.sk = c.sk AND nx.i = c.e1 + 1
+  JOIN m_f3 f3 ON f3.sk = c.sk AND f3.e1 = c.e1 AND f3.e2 = c.e2
+  WHERE c.e1 = c.e2 AND nx.dom IS NOT NULL
+    AND regexp_matches(t.w, '^PROTEIN[0-9]+([/-])?PROTEIN[0-9]+$')
+    AND NOT f3.f3
 ),
 scored AS MATERIALIZED (
   SELECT c.sk, c.e1, c.e2,
@@ -1073,21 +1212,29 @@ scored AS MATERIALIZED (
   LEFT JOIN wts w ON w.feat = f.feat
   GROUP BY c.sk, c.e1, c.e2
 ),
-mention2 AS MATERIALIZED ({_MENTION2_CTE})
+mention2 AS MATERIALIZED ({_MENTION2_CTE}),
+surf AS MATERIALIZED ({_SURF_CTE}),
+selfp AS MATERIALIZED ({_SELFP_CTE})
 SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
-       m1.mtext AS subj,
+       s1.surf AS subj,
        {_pred_sql('sc')} AS pred,
-       m2.mtext AS obj,
+       s2.surf AS obj,
        CAST(round(10000.0 / (1.0 + exp(-sc.z))) AS BIGINT) AS p_bp
 FROM scored sc
 JOIN sdim d ON d.sk = sc.sk
-JOIN str2 w1 ON w1.sk = sc.sk AND w1.i = sc.e1
-JOIN str2 w2 ON w2.sk = sc.sk AND w2.i = sc.e2
-JOIN mention2 m1 ON m1.conv_id = d.conv_id AND m1.turn_idx = d.turn_idx
-     AND m1.sent_id = d.sent_id AND m1.k = CAST(substr(w1.w, 8) AS INT)
-JOIN mention2 m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
-     AND m2.sent_id = d.sent_id AND m2.k = CAST(substr(w2.w, 8) AS INT)
-WHERE sc.z > 0
+JOIN surf s1 ON s1.sk = sc.sk AND s1.i = sc.e1
+JOIN surf s2 ON s2.sk = sc.sk AND s2.i = sc.e2
+WHERE sc.z > 0 AND sc.e1 <> sc.e2
+UNION ALL
+SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
+       sp.p1 AS subj,
+       {_pred_sql('sc')} AS pred,
+       sp.p2 AS obj,
+       CAST(round(10000.0 / (1.0 + exp(-sc.z))) AS BIGINT) AS p_bp
+FROM scored sc
+JOIN sdim d ON d.sk = sc.sk
+JOIN selfp sp ON sp.sk = sc.sk AND sp.i = sc.e1
+WHERE sc.z > 0 AND sc.e1 = sc.e2 AND sp.np >= 2
 """
 
 
@@ -1196,7 +1343,14 @@ def kernel_triples_oracle_sql() -> str:
     * the score is emitted in integer parts-per-million: exact-0.5
       acceptances are pure rationals (m=5: c/18), and the minimum
       distance of s*1e6 from a rounding boundary is 0.0556 — far above
-      cross-engine pow()/division noise.
+      cross-engine pow()/division noise;
+    * fused same-token candidates (i == i) always carry the degenerate
+      5-item backbone [i, -r, parent, r, i]: ancestors() emits direct
+      governors first in edge-emission order, so their LCS is the
+      first-ordered non-conj governor (k_slcs over the rank model), and
+      both directed halves are that single edge — the same k_best /
+      closed-form machinery then applies unchanged (instrumented over
+      the adversarial corpus: 89/89 non-isolated self instances).
     """
     from nlp_lib_spark.gate import _sql_set, _stem_sql
     from nlp_lib_spark.kernels.stem import stem
@@ -1223,12 +1377,23 @@ def kernel_triples_oracle_sql() -> str:
              THEN 2 + CASE WHEN t.pos = '{pp}' THEN 1 ELSE 0 END
              WHEN t.pos = '{pp}' THEN 1 ELSE 0 END"""
         for (st, pp) in sorted(set(cases)))
-    return dep_sql_prefix() + f""",
+    return dep_sql_prefix() + f""",{_RANK_MODEL_CTES},
 k_size AS MATERIALIZED (SELECT sk, count(*) AS n FROM str2 GROUP BY sk),
-k_pairs AS MATERIALIZED (
+k_pairs AS MATERIALIZED (  -- i<j all-pairs + fused same-token candidates
   SELECT a.sk, a.i AS e1, b.i AS e2
   FROM str2 a JOIN str2 b ON b.sk = a.sk AND a.i < b.i
   WHERE a.is_prot AND b.is_prot
+  UNION ALL
+  SELECT t.sk, t.i, t.i FROM str2 t
+  WHERE t.is_prot AND regexp_matches(t.w, '^PROTEIN[0-9]+.*PROTEIN[0-9]+$')
+),
+k_slcs AS MATERIALIZED (  -- self-pair LCS: ancestors() BFS emits direct
+  -- governors first, in edge-emission order, so the first proper common
+  -- ancestor of (i, i) is the first-ordered non-conj incoming edge's gov
+  SELECT o.sk, o.dep AS e, arg_min(o.gov, o.ord) AS lcs
+  FROM dep_o o
+  WHERE o.reln NOT IN ('conj_and', 'conj_or') AND o.gov <> o.dep
+  GROUP BY o.sk, o.dep
 ),
 k_anc(sk, e, node, depth) AS (  -- conj-skipped upward (dep->gov) closure
   SELECT sk, i, i, 0 FROM str2 WHERE is_prot
@@ -1252,7 +1417,12 @@ k_lcs AS MATERIALIZED (
     FROM k_pairs p
     JOIN k_ancd c2 ON c2.sk = p.sk AND c2.e = p.e2 AND c2.node <> p.e1
     JOIN k_ancd c1 ON c1.sk = p.sk AND c1.e = p.e1 AND c1.node = c2.node
+    WHERE p.e1 < p.e2
   ) z WHERE rnk = 1
+  UNION ALL
+  SELECT p.sk, p.e1, p.e2, s.lcs
+  FROM k_pairs p JOIN k_slcs s ON s.sk = p.sk AND s.e = p.e1
+  WHERE p.e1 = p.e2
 ),
 k_dadj AS MATERIALIZED (  -- directed adjacency, min reln per (gov, dep)
   SELECT sk, gov, dep, min(reln) AS reln FROM dep_e GROUP BY sk, gov, dep
@@ -1363,21 +1533,28 @@ k_scored AS MATERIALIZED (
          pow(0.8, (m - 5) // 2) * cmax / 18.0 AS s
   FROM k_cmax
 ),
-k_mention AS MATERIALIZED ({_MENTION2_CTE})
+mention2 AS MATERIALIZED ({_MENTION2_CTE}),
+surf AS MATERIALIZED ({_SURF_CTE}),
+selfp AS MATERIALIZED ({_SELFP_CTE})
 SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
-       m1.mtext AS subj, 'interacts_with' AS pred, m2.mtext AS obj,
+       s1.surf AS subj, 'interacts_with' AS pred, s2.surf AS obj,
        CASE WHEN sc.lcs < sc.e1 THEN 'LEFT'
             WHEN sc.lcs < sc.e2 THEN 'MIDDLE' ELSE 'RIGHT' END AS ktype,
        CAST(round(sc.s * 1000000) AS BIGINT) AS score_ppm
 FROM k_scored sc
 JOIN sdim d ON d.sk = sc.sk
-JOIN str2 w1 ON w1.sk = sc.sk AND w1.i = sc.e1
-JOIN str2 w2 ON w2.sk = sc.sk AND w2.i = sc.e2
-JOIN k_mention m1 ON m1.conv_id = d.conv_id AND m1.turn_idx = d.turn_idx
-     AND m1.sent_id = d.sent_id AND m1.k = CAST(substr(w1.w, 8) AS INT)
-JOIN k_mention m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
-     AND m2.sent_id = d.sent_id AND m2.k = CAST(substr(w2.w, 8) AS INT)
-WHERE sc.s >= 0.5
+JOIN surf s1 ON s1.sk = sc.sk AND s1.i = sc.e1
+JOIN surf s2 ON s2.sk = sc.sk AND s2.i = sc.e2
+WHERE sc.s >= 0.5 AND sc.e1 <> sc.e2
+UNION ALL
+SELECT d.conv_id, d.turn_idx, d.sent_id, sc.e1, sc.e2,
+       sp.p1 AS subj, 'interacts_with' AS pred, sp.p2 AS obj,
+       CASE WHEN sc.lcs < sc.e1 THEN 'LEFT' ELSE 'RIGHT' END AS ktype,
+       CAST(round(sc.s * 1000000) AS BIGINT) AS score_ppm
+FROM k_scored sc
+JOIN sdim d ON d.sk = sc.sk
+JOIN selfp sp ON sp.sk = sc.sk AND sp.i = sc.e1
+WHERE sc.s >= 0.5 AND sc.e1 = sc.e2 AND sp.np >= 2
 """
 
 
@@ -1925,44 +2102,7 @@ cand AS MATERIALIZED (
   SELECT a.sk, a.i AS e1, b.i AS e2
   FROM bpos a JOIN bpos b ON b.sk = a.sk AND b.i > a.i
 ),
--- ============ emission-order rank model (kernels/depparse order) ============
-rank0 AS (
-  SELECT sk, reln, gov, dep, 1 AS s1, dep AS s2, 0 AS s3 FROM e_np
-  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 0 FROM e_subj
-  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 1 + dep FROM e_neg
-  UNION ALL SELECT sk, reln, gov, dep, 2, gov, 10000 FROM e_dobj
-  UNION ALL SELECT sk, reln, gov, dep, 3, dep, 0 FROM e_advmod
-  UNION ALL SELECT e.sk, e.reln, e.gov, e.dep, 4,
-    (SELECT min(t.i) FROM str2 t WHERE t.sk = e.sk
-     AND t.pos IN ('IN', 'TO') AND t.lw = substr(e.reln, 6)), 0
-  FROM e_prep e
-  UNION ALL SELECT e.sk, e.reln, e.gov, e.dep, 5,
-    (SELECT min(t.i) FROM str2 t WHERE t.sk = e.sk AND t.pos = 'CC'
-     AND t.lw = substr(e.reln, 6) AND t.i > e.gov AND t.i < e.dep), 0
-  FROM e_conj e
-),
-rankb AS MATERIALIZED (
-  SELECT sk, reln, gov, dep,
-         row_number() OVER (PARTITION BY sk ORDER BY s1, s2, s3) AS ord
-  FROM rank0
-),
-rankd AS (  -- CC-distributed edges rank after base, by source ord
-  SELECT b.sk, b.reln, b.gov, r.dst AS dep, 100000 + b.ord AS ord
-  FROM rankb b JOIN conj_reach r ON r.sk = b.sk AND r.src = b.dep
-  WHERE (b.reln IN ('nsubj', 'nsubjpass', 'dobj') OR b.reln LIKE 'prep_%')
-    AND NOT EXISTS (SELECT 1 FROM rankb z WHERE z.sk = b.sk
-                    AND z.reln = b.reln AND z.gov = b.gov AND z.dep = r.dst)
-),
-dep_o AS MATERIALIZED (
-  SELECT sk, reln, gov, dep, min(ord) AS ord
-  FROM (SELECT * FROM rankb UNION ALL SELECT * FROM rankd) z
-  GROUP BY sk, reln, gov, dep
-),
-par AS MATERIALIZED (  -- first incoming edge (list order) per node
-  SELECT sk, dep AS node, arg_min(gov, ord) AS gov,
-         arg_min(reln, ord) AS reln
-  FROM dep_o GROUP BY sk, dep
-),
+{_RANK_MODEL_CTES},
 parna AS MATERIALIZED (  -- first incoming nn|amod edge per node
   SELECT sk, dep AS node, arg_min(gov, ord) AS gov
   FROM dep_o WHERE reln IN ('nn', 'amod') GROUP BY sk, dep

@@ -41,6 +41,16 @@ ADVERSARIAL = [
     "strongly", "very", "big", "novel", "interaction", "merge", "scan",
     "hash", "window", "key", "batch", "value", "therefore", "however",
     "results", "showed", "observed", "suggests", "inhibits", "customer",
+    # round-2 additions stressing the text primitives themselves:
+    ".",                           # sentence boundary inside a turn
+    "(", ")",                      # paren spans for the simplify prune
+    "[3,4]",                       # citation bracket -> strip_citations
+    "spark/table", "vector/row",   # slash-fused entity tokens (rule5/form4)
+    "SPARK", "Table",              # case folding in the gazetteer
+    "don't", "anti-spark",         # apostrophe / hyphen fused tokens
+    "join", "group",               # second words of multiword entities
+    "tab",                         # prefix of an entity, not an entity
+    "sorted", "filtering",         # stem-fallback domain hits
 ]
 
 
