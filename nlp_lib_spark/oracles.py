@@ -774,10 +774,10 @@ FROM u_pairs p
 JOIN sdim d ON d.sk = p.sk
 JOIN str2 w1 ON w1.sk = p.sk AND w1.i = p.e1
 JOIN str2 w2 ON w2.sk = p.sk AND w2.i = p.e2
-JOIN mention2 m1 ON m1.conv_id = d.conv_id AND m1.turn_idx = d.turn_idx
-     AND m1.sent_id = d.sent_id AND m1.k = CAST(substr(w1.w, 8) AS INT)
-JOIN mention2 m2 ON m2.conv_id = d.conv_id AND m2.turn_idx = d.turn_idx
-     AND m2.sent_id = d.sent_id AND m2.k = CAST(substr(w2.w, 8) AS INT)
+JOIN mention2 m1 ON m1.sk = p.sk
+     AND w1.w = 'PROTEIN' || CAST(m1.k AS VARCHAR)
+JOIN mention2 m2 ON m2.sk = p.sk
+     AND w2.w = 'PROTEIN' || CAST(m2.k AS VARCHAR)
 WHERE p.e1 <> p.e2 AND m1.k % 2 <> m2.k % 2
 """
 
