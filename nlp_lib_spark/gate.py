@@ -349,10 +349,24 @@ pstate(conv_id, turn_idx, sent_id, cur, lb, rb) AS (
   FROM (
     SELECT p.conv_id, p.turn_idx, p.sent_id, p.np,
            coalesce(p.cp, p.mx) AS rb,
-           EXISTS (SELECT 1 FROM mention m
-                   WHERE m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx
-                     AND m.sent_id = p.sent_id AND m.ms > p.np
-                     AND m.ms < coalesce(p.cp, p.mx + 1)) AS keep
+           -- simplify keeps the span when any BLINDED token inside
+           -- contains the 'PROTEIN' substring: a placeholder (mention
+           -- start) OR a raw non-mention token that happens to carry it
+           (EXISTS (SELECT 1 FROM mention m
+                    WHERE m.conv_id = p.conv_id AND m.turn_idx = p.turn_idx
+                      AND m.sent_id = p.sent_id AND m.ms > p.np
+                      AND m.ms < coalesce(p.cp, p.mx + 1))
+            OR EXISTS (SELECT 1 FROM tok t2
+                       WHERE t2.conv_id = p.conv_id
+                         AND t2.turn_idx = p.turn_idx
+                         AND t2.sent_id = p.sent_id AND t2.pos > p.np
+                         AND t2.pos < coalesce(p.cp, p.mx + 1)
+                         AND t2.w LIKE '%PROTEIN%'
+                         AND NOT EXISTS (SELECT 1 FROM mention mm
+                                WHERE mm.conv_id = t2.conv_id
+                                  AND mm.turn_idx = t2.turn_idx
+                                  AND mm.sent_id = t2.sent_id
+                                  AND t2.pos BETWEEN mm.ms AND mm.me))) AS keep
     FROM (
       SELECT p0.conv_id, p0.turn_idx, p0.sent_id, p0.np, p0.mx,
              (SELECT min(t.pos) FROM tok t
