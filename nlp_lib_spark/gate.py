@@ -1744,6 +1744,120 @@ def q_kg_link_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=None)
+def _link_tfidf_oracle_sql() -> str:
+    """Replica of ``operators/linking.link_mentions_tfidf``: the same
+    exact tier + 3-gram blocking, scored by integer IDF weights.  The
+    gram->weight map is computed once in Python (gram_idf_weights) from
+    the same dictionary and injected as literals into BOTH engines, so
+    the only arithmetic either engine runs is integer sums plus one
+    BIGINT floor division (``DIV`` in Spark, ``//`` here)."""
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.linking import gram_idf_weights
+    import re
+    ent_norms = tuple(sorted(
+        {re.sub(r"\s+", " ", e.lower()).strip()
+         for e in TESTDATA_ENTITIES}))
+    weights, w_oov = gram_idf_weights(ent_norms)
+    ent_vals = ", ".join(f"('{e}')" for e in sorted(set(TESTDATA_ENTITIES)))
+    wt_vals = ", ".join(f"('{g}', CAST({w} AS BIGINT))"
+                        for g, w in sorted(weights.items()))
+    grams = ("CASE WHEN length({c}) < 3 THEN [{c}] ELSE "
+             "list_distinct(list_transform(generate_series(1, length({c}) - 2), "
+             "i -> substring({c}, i, 3))) END")
+    return f"""
+WITH norms AS (
+  SELECT DISTINCT trim(regexp_replace(lower(tok), '\\s+', ' ', 'g')) AS norm
+  FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+  WHERE trim(regexp_replace(lower(tok), '\\s+', ' ', 'g')) != ''
+),
+d AS (
+  SELECT DISTINCT entity,
+         trim(regexp_replace(lower(entity), '\\s+', ' ', 'g')) AS enorm
+  FROM (VALUES {ent_vals}) AS e(entity)
+),
+wt(gram, w) AS (VALUES {wt_vals}),
+exact AS (
+  SELECT n.norm, d.entity, 'exact' AS method,
+         CAST(1000000 AS BIGINT) AS score_micro
+  FROM norms n JOIN d ON n.norm = d.enorm
+),
+unm AS (SELECT norm FROM norms WHERE norm NOT IN (SELECT enorm FROM d)),
+mge AS (
+  SELECT norm, unnest(grams) AS gram
+  FROM (SELECT norm, {grams.format(c='norm')} AS grams FROM unm)
+),
+aw AS (
+  SELECT norm, sum(COALESCE(wt.w, CAST({w_oov} AS BIGINT))) AS a_w
+  FROM mge LEFT JOIN wt USING (gram) GROUP BY norm
+),
+dgw AS (
+  SELECT entity, gram, wt.w
+  FROM (SELECT entity, unnest(grams) AS gram
+        FROM (SELECT entity, {grams.format(c='enorm')} AS grams FROM d))
+  JOIN wt USING (gram)
+),
+bw AS (SELECT entity, sum(w) AS b_w FROM dgw GROUP BY entity),
+inter AS (
+  SELECT mge.norm, dgw.entity, sum(dgw.w) AS inter_w
+  FROM mge JOIN dgw USING (gram) GROUP BY mge.norm, dgw.entity
+),
+cand AS (
+  SELECT i.norm, i.entity,
+         (i.inter_w * CAST(1000000 AS BIGINT))
+           // (a.a_w + b.b_w - i.inter_w) AS score_micro
+  FROM inter i JOIN aw a USING (norm) JOIN bw b USING (entity)
+),
+best AS (
+  SELECT norm, entity, score_micro FROM (
+    SELECT *, row_number() OVER (PARTITION BY norm
+                                 ORDER BY score_micro DESC, entity) AS rnk
+    FROM cand WHERE score_micro >= 250000)
+  WHERE rnk = 1
+),
+fuzzy AS (
+  SELECT u.norm, b.entity, 'tfidf3' AS method,
+         CAST(b.score_micro AS BIGINT) AS score_micro
+  FROM unm u JOIN best b USING (norm)
+),
+missing AS (
+  SELECT u.norm, u.norm AS entity, 'unlinked' AS method,
+         CAST(0 AS BIGINT) AS score_micro
+  FROM unm u WHERE u.norm NOT IN (SELECT norm FROM best)
+)
+SELECT * FROM exact UNION ALL SELECT * FROM fuzzy
+UNION ALL SELECT * FROM missing
+"""
+
+
+@gate("kg_link_tfidf", oracle=_link_tfidf_oracle_sql())
+def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF-weighted fuzzy linking verdicts (norm, entity, method,
+    score_micro) — the north-star's TF-IDF scoring tier, engine-exact
+    integer scores (operators/linking.link_mentions_tfidf).
+
+    Candidate stream: the distinct corpus token vocabulary (NOT just
+    gazetteer hits, which are dictionary members by construction and
+    would leave the fuzzy tier vacuous) — the candidate-linking shape a
+    real pipeline runs before canonicalization."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.linking import (_NORM,
+                                                 link_mentions_tfidf)
+    register_views(spark, sf_dir)
+    # emptiness is judged on the NORMALIZED form (matching the oracle):
+    # a whitespace-only token must drop on both engines identically
+    mentions = (spark.table("documents")
+                .select(F.explode(F.split("text", " "))
+                        .alias("mention_text"))
+                .filter(F.expr(_NORM % "mention_text") != "")
+                .distinct())
+    dictionary = spark.createDataFrame(
+        [(e,) for e in sorted(set(TESTDATA_ENTITIES))], "entity string")
+    return link_mentions_tfidf(mentions, dictionary)
+
+
+@functools.lru_cache(maxsize=None)
 def _entity_links_oracle_sql() -> str:
     """canonical_map replica: the link-scores SQL feeding a recursive
     transitive-closure CC (min reachable = component label, singletons

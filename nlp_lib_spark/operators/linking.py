@@ -86,6 +86,121 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
     return exact.select(cols).union(fuzzy.select(cols)).union(missing.select(cols))
 
 
+def _py_grams(s: str) -> list[str]:
+    """Python mirror of ``_grams_expr`` (len<3 -> whole string, else
+    first-occurrence-distinct character 3-grams)."""
+    if len(s) < 3:
+        return [s]
+    seen: list[str] = []
+    have = set()
+    for i in range(len(s) - 2):
+        g = s[i:i + 3]
+        if g not in have:
+            have.add(g)
+            seen.append(g)
+    return seen
+
+
+def gram_idf_weights(entity_norms: tuple[str, ...],
+                     scale: int = 1_000_000) -> tuple[dict[str, int], int]:
+    """Integer IDF weight per dictionary 3-gram, plus the OOV weight.
+
+    ``w(g) = max(1, round(scale * ln((N+1)/df(g))))`` over the N distinct
+    dictionary entities; a mention gram absent from every entity gets the
+    smoothed ``df=0.5`` weight.  Weights are computed ONCE driver-side
+    (the dictionary is a broadcast-size dimension by the same contract
+    that lets it broadcast-join) and injected as integer literals into
+    both the Spark plan and the DuckDB oracle — so no ``ln`` ever
+    executes inside either engine and the score arithmetic stays
+    engine-exact (integer sums + one BIGINT floor division; the pr_eval
+    lesson)."""
+    import math
+    norms = sorted(set(entity_norms))
+    n = len(norms)
+    df: dict[str, int] = {}
+    for e in norms:
+        for g in set(_py_grams(e)):
+            df[g] = df.get(g, 0) + 1
+    weights = {g: max(1, int(round(scale * math.log((n + 1) / d))))
+               for g, d in df.items()}
+    w_oov = int(round(scale * math.log((n + 1) / 0.5)))
+    return weights, w_oov
+
+
+def link_mentions_tfidf(mentions: DataFrame, dictionary: DataFrame,
+                        threshold_micro: int = 250_000) -> DataFrame:
+    """TF-IDF-weighted fuzzy linking tier (north-star: "broadcast-joined
+    candidate dictionaries with TF-IDF/Jaccard scoring").
+
+    Same exact-tier + 3-gram blocking as :func:`link_mentions`, but the
+    fuzzy score weights every gram by its dictionary IDF, so rare
+    discriminative grams dominate and ubiquitous ones ("the", "ion")
+    barely count:
+
+        score = W(A ∩ B) / (W(A) + W(B) - W(A ∩ B))
+
+    with ``W`` the integer IDF-weight sum (mention grams are a set, so
+    tf=1 — weighted Jaccard over the gram sets).  ``score_micro`` is the
+    exact BIGINT floor of ``10^6 * score`` — integer end-to-end, so the
+    DuckDB oracle hashes bit-identically.  Output: one verdict per
+    distinct normalized mention ``(norm, entity, method, score_micro)``
+    with method ∈ {exact, tfidf3, unlinked}.
+
+    Scale shape: the dictionary (and thus the gram-weight table) is
+    broadcast; the mention side never shuffles except the one
+    groupBy(norm, entity) over gram-blocked candidates — identical to
+    the Jaccard tier's plan."""
+    spark = mentions.sparkSession
+    m = normalize_mentions(mentions).select("norm").distinct() \
+        .localCheckpoint()
+    d = (dictionary
+         .withColumn("entity_norm", F.expr(_NORM % "entity"))
+         .select("entity", "entity_norm").distinct())
+    ents = tuple(r.entity_norm
+                 for r in d.select("entity_norm").distinct().collect())
+    weights, w_oov = gram_idf_weights(ents)
+    wdf = spark.createDataFrame(sorted(weights.items()),
+                                "gram string, w long")
+
+    exact = (m.join(F.broadcast(d), m.norm == d.entity_norm)
+             .select("norm", "entity",
+                     F.lit("exact").alias("method"),
+                     F.lit(1_000_000).cast("long").alias("score_micro")))
+    unmatched = m.join(F.broadcast(d), m.norm == d.entity_norm,
+                       "left_anti")
+
+    mg = (unmatched.withColumn("grams", F.expr(_grams_expr("norm")))
+          .select("norm", F.explode("grams").alias("gram")))
+    a_w = (mg.join(F.broadcast(wdf), "gram", "left")
+           .groupBy("norm")
+           .agg(F.sum(F.coalesce(F.col("w"), F.lit(w_oov)))
+                .alias("a_w")))
+    dg = (d.withColumn("grams", F.expr(_grams_expr("entity_norm")))
+          .select("entity", F.explode("grams").alias("gram"))
+          .join(wdf, "gram"))
+    b_w = dg.groupBy("entity").agg(F.sum("w").alias("b_w"))
+    inter = (mg.join(F.broadcast(dg), "gram")
+             .groupBy("norm", "entity")
+             .agg(F.sum("w").alias("inter_w")))
+    cand = (inter.join(a_w, "norm").join(F.broadcast(b_w), "entity")
+            .withColumn("score_micro", F.expr(
+                "(inter_w * 1000000L) DIV (a_w + b_w - inter_w)"))
+            .filter(F.col("score_micro") >= threshold_micro))
+    w = Window.partitionBy("norm").orderBy(F.desc("score_micro"),
+                                           F.asc("entity"))
+    best = (cand.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") == 1)
+            .select("norm", "entity", "score_micro"))
+    fuzzy = (unmatched.join(best, "norm")
+             .select("norm", "entity",
+                     F.lit("tfidf3").alias("method"), "score_micro"))
+    missing = (unmatched.join(best, "norm", "left_anti")
+               .select("norm", F.col("norm").alias("entity"),
+                       F.lit("unlinked").alias("method"),
+                       F.lit(0).cast("long").alias("score_micro")))
+    return exact.unionByName(fuzzy).unionByName(missing)
+
+
 def link_edges_for_cc(linked: DataFrame) -> DataFrame:
     """Similarity edges (norm <-> entity) feeding connected components."""
     return (linked.filter(F.col("method") != "unlinked")

@@ -75,6 +75,51 @@ def test_fuzzy_linking_merges_typo(spark):
     assert by_norm["zzz qqq"][1] == "unlinked"
 
 
+def test_tfidf_linking_tiers_and_exact_score(spark):
+    """IDF-weighted tier: hand-checked score arithmetic (integer sums +
+    one BIGINT floor division — must equal the pure-Python rational)."""
+    import math
+
+    from nlp_lib_spark.operators.linking import (gram_idf_weights,
+                                                 link_mentions_tfidf,
+                                                 _py_grams)
+    ents = ("hash join", "table scan", "spark")
+    mentions = spark.createDataFrame(pd.DataFrame(
+        {"mention_text": ["spark", "join", "zzz qqq", "a"]}))
+    dictionary = spark.createDataFrame(pd.DataFrame({"entity": list(ents)}))
+    got = {r.norm: (r.entity, r.method, r.score_micro)
+           for r in link_mentions_tfidf(mentions, dictionary,
+                                        threshold_micro=200_000).collect()}
+    assert got["spark"] == ("spark", "exact", 1_000_000)
+    assert got["zzz qqq"][1] == "unlinked" and got["zzz qqq"][2] == 0
+    assert got["a"][1] == "unlinked"
+    ent, method, score = got["join"]
+    assert (ent, method) == ("hash join", "tfidf3")
+    # independent recomputation of the floor-division score
+    weights, w_oov = gram_idf_weights(ents)
+    a = sum(weights.get(g, w_oov) for g in _py_grams("join"))
+    b = sum(weights[g] for g in _py_grams("hash join"))
+    inter = sum(weights[g] for g in set(_py_grams("join"))
+                & set(_py_grams("hash join")))
+    assert score == (inter * 1_000_000) // (a + b - inter)
+    # weight table construction invariants
+    n = len(set(ents))
+    assert w_oov == int(round(1e6 * math.log((n + 1) / 0.5)))
+    assert all(w >= 1 for w in weights.values())
+
+
+def test_tfidf_rare_gram_dominates(spark):
+    """The discriminative (rare) gram must outvote ubiquitous ones: a
+    mention sharing one rare gram with A scores higher against A than a
+    mention sharing one everywhere-gram scores against anything."""
+    from nlp_lib_spark.operators.linking import (gram_idf_weights,
+                                                 _py_grams)
+    ents = ("alpha common", "beta common", "gamma common", "delta zebraq")
+    weights, _ = gram_idf_weights(ents)
+    # "omm" appears in 3 of 4 entities; "ebr" only in one
+    assert weights["ebr"] > weights["omm"]
+
+
 def test_canonical_map_and_graph(spark):
     mentions = spark.createDataFrame(pd.DataFrame(
         {"mention_text": ["Hash Join", "hash joln", "spark"]}))
