@@ -1858,6 +1858,65 @@ def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=None)
+def _vocab_canon_oracle_sql() -> str:
+    """Canonicalization over the TF-IDF-linked token vocabulary: the
+    tfidf link oracle feeding the same recursive transitive-closure CC
+    as _entity_links_oracle_sql.  This is the first gate whose component
+    structure depends on FUZZY edges (e.g. token "join" merges into the
+    "hash join" entity's component) — kg_entity_links' mention stream is
+    exact-only by construction."""
+    return f"""
+WITH RECURSIVE linked AS (SELECT * FROM ({_link_tfidf_oracle_sql()}) q),
+e0 AS (SELECT norm AS u, entity AS v FROM linked
+       WHERE method != 'unlinked' AND norm != entity),
+e AS (SELECT u, v FROM e0 UNION SELECT v AS u, u AS v FROM e0),
+verts AS (SELECT norm AS id FROM linked UNION SELECT entity FROM linked),
+reach(src, dst) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u
+),
+comp AS (SELECT src AS id, min(dst) AS component FROM reach GROUP BY src)
+SELECT l.norm, c.component AS entity_id, l.method, l.score_micro
+FROM (SELECT DISTINCT norm, entity, method, score_micro FROM linked) l
+JOIN comp c ON c.id = l.norm
+"""
+
+
+@gate("kg_vocab_canon", oracle=_vocab_canon_oracle_sql())
+def q_kg_vocab_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity id per vocabulary token: tfidf linking ->
+    similarity edges -> large-star/small-star connected components
+    (min-label, singletons included)."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.canonicalize import \
+        components_with_singletons
+    from nlp_lib_spark.operators.linking import (_NORM, link_edges_for_cc,
+                                                 link_mentions_tfidf)
+    register_views(spark, sf_dir)
+    mentions = (spark.table("documents")
+                .select(F.explode(F.split("text", " "))
+                        .alias("mention_text"))
+                .filter(F.expr(_NORM % "mention_text") != "")
+                .distinct())
+    dictionary = spark.createDataFrame(
+        [(e,) for e in sorted(set(TESTDATA_ENTITIES))], "entity string")
+    linked = link_mentions_tfidf(mentions, dictionary).localCheckpoint()
+    edges = link_edges_for_cc(linked)
+    verts = (linked.select(F.col("norm").alias("id"))
+             .union(linked.select(F.col("entity").alias("id")))
+             .distinct())
+    comp = components_with_singletons(edges, verts)
+    return (linked.select("norm", "entity", "method", "score_micro")
+            .distinct()
+            .join(comp, linked.norm == comp.id)
+            .select("norm", F.col("component").alias("entity_id"),
+                    "method", "score_micro"))
+
+
+@functools.lru_cache(maxsize=None)
 def _entity_links_oracle_sql() -> str:
     """canonical_map replica: the link-scores SQL feeding a recursive
     transitive-closure CC (min reachable = component label, singletons
