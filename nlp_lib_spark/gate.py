@@ -1949,7 +1949,7 @@ def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_map(mentions, dictionary)
 
 
-@gate("kg_edges")  # canonical KG edge table — rows-only
+@gate("kg_edges")  # canonical KG edge table (oracle attached below)
 def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
     from nlp_lib_spark.operators.extract import triples_from_annotations
