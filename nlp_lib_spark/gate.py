@@ -764,10 +764,9 @@ def q_kg_lll_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     margin).  The oracle reconstructs the dep builder's exact emission
     order and getPathAsList's unmarked-queue BFS — see
     oracles.lll_ml_triples_oracle_sql."""
-    from nlp_lib_spark.kernels.scoring import load_model
-    from nlp_lib_spark.operators.lll import (DEFAULT_LLL_ML_MODEL_PATH,
-                                             extract_triples_lll_ml)
-    weights, bias = load_model(DEFAULT_LLL_ML_MODEL_PATH)
+    from nlp_lib_spark.operators.lll import extract_triples_lll_ml
+    from nlp_lib_spark.resources import load_packaged_model
+    weights, bias = load_packaged_model("lll_me.json")
     t = transcripts(spark, sf_dir, with_ts=False)
     return extract_triples_lll_ml(t, lll_config(), weights, bias)
 
@@ -780,9 +779,9 @@ def q_kg_ml_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     min rounding-boundary distance 0.022 (see oracles.ml_triples_oracle_sql)."""
     from pyspark.sql import functions as F
 
-    from nlp_lib_spark.kernels.scoring import DEFAULT_MODEL_PATH, load_model
     from nlp_lib_spark.operators.ml import extract_triples_ml
-    weights, bias = load_model(DEFAULT_MODEL_PATH)
+    from nlp_lib_spark.resources import load_packaged_model
+    weights, bias = load_packaged_model("ppi_maxent.json")
     t = transcripts(spark, sf_dir, with_ts=False)
     return (extract_triples_ml(t, TESTDATA_CONFIG, weights, bias)
             .withColumn("p_bp",
@@ -1631,15 +1630,11 @@ def q_kg_crf_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     perceptron, the CRF annotator family's trained counterpart) decoded
     per sentence in Arrow batches — value-hash-verified against an exact
     SQL Viterbi over the integer-quantized committed model."""
-    import json
-    import os
-
     from pyspark.sql import functions as F
 
-    from nlp_lib_spark.kernels.crf import DEFAULT_CRF_MODEL_PATH
     from nlp_lib_spark.operators.seqtag import crf_annotate
-    with open(DEFAULT_CRF_MODEL_PATH) as fh:
-        weights = json.load(fh)["weights"]
+    from nlp_lib_spark.resources import model_json
+    weights = model_json("discourse_crf.json")["weights"]
     tagged = crf_annotate(_ann(spark, sf_dir), weights)
     return (tagged.select("conv_id", "turn_idx", "sent_id",
                           F.posexplode("tags").alias("idx", "tag")))

@@ -964,11 +964,8 @@ def ml_triples_oracle_sql() -> str:
     candidate at sf0.01/0.1, min |logit| = 2.23 and min distance of
     p*10000 from a rounding boundary = 0.022 — float noise between
     engines (~1e-12) cannot flip either."""
-    import json
-    import os
-    from nlp_lib_spark.kernels.scoring import DEFAULT_MODEL_PATH
-    with open(os.path.normpath(DEFAULT_MODEL_PATH)) as fh:
-        model = json.load(fh)
+    from nlp_lib_spark.resources import model_json
+    model = model_json("ppi_maxent.json")
     bias = model["bias"]
     wt_vals = ", ".join(
         "('" + k.replace("'", "''") + "', " + repr(w) + ")"
@@ -1568,11 +1565,9 @@ def crf_tags_oracle_sql() -> str:
     resolves ties toward the lexicographically smaller tag exactly like
     the kernel, making the decode bit-identical across engines with no
     float anywhere."""
-    import json
-    from nlp_lib_spark.kernels.crf import (DEFAULT_CRF_MODEL_PATH, START,
-                                           _TRANS)
-    with open(DEFAULT_CRF_MODEL_PATH) as fh:
-        weights = json.load(fh)["weights"]
+    from nlp_lib_spark.kernels.crf import START, _TRANS
+    from nlp_lib_spark.resources import model_json
+    weights = model_json("discourse_crf.json")["weights"]
     emit: dict[tuple[str, str], int] = {}
     trans: dict[tuple[str, str], int] = {}
     tags: set[str] = set()
@@ -2075,15 +2070,10 @@ def lll_ml_triples_oracle_sql() -> str:
     functional-graph walks over the min-rank parent map.  Documented
     bound: the distribution rank model covers single-conj-pair sentences
     (multi-pair: 0 occurrences at every sf)."""
-    import json
-    import os
-
     from nlp_lib_spark.kernels.lexann import LexSynAnnotator
     from nlp_lib_spark.lexicons import TESTDATA_LLL_LEXICON_LINES
-    model_path = os.path.join(os.path.dirname(__file__), "models",
-                              "lll_me.json")
-    with open(model_path) as fh:
-        model = json.load(fh)
+    from nlp_lib_spark.resources import model_json
+    model = model_json("lll_me.json")
     weights = model["weights"]
     bias = float(model["bias"])
     lex = LexSynAnnotator(list(TESTDATA_LLL_LEXICON_LINES))
