@@ -96,10 +96,13 @@ def run_suite(sf_dir: str, cpus: int, repeats: int | None = None) -> dict:
         # queries' checkpoints (measured: cc_components 8.1s in-suite vs
         # 3.2s isolated before this)
         gc.collect()
-    # flagship throughput: steady-state turns/sec over a 10x-replicated
+    # flagship throughput: steady-state turns/sec over a 50x-replicated
     # transcripts table (warm-up pass first so Python-worker spawn and
-    # codegen are not billed — the 100 TB regime is steady-state)
-    t = _replicated_transcripts(spark, sf_dir, replicate=10, cpus=cpus)
+    # codegen are not billed — the 100 TB regime is steady-state).
+    # 50x rather than 10x so the ~1.5s fixed per-job cost (task schedule,
+    # Arrow setup, per-worker model build) amortizes: at 10x the measure
+    # reported job overhead, not pipeline throughput.
+    t = _replicated_transcripts(spark, sf_dir, replicate=50, cpus=cpus)
     n_turns = t.count()
     _materialize(extract_triples(t, TESTDATA_CONFIG))  # warm-up
     flagship_sec = float("inf")
