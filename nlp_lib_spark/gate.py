@@ -1672,9 +1672,13 @@ WITH norms AS (
   FROM ({_mention_oracle_sql()}) mentions
 ),
 d AS (
-  SELECT DISTINCT entity,
-         trim(regexp_replace(lower(entity), '\\s+', ' ', 'g')) AS enorm
-  FROM (VALUES {ent_vals}) AS e(entity)
+  -- one entity per NORMALIZED form, min-entity tiebreak (mirrors the
+  -- engine's _canonical_dictionary: colliding raw entries like 'US'/'us'
+  -- must not emit duplicate exact-tier verdicts for one mention norm)
+  SELECT min(entity) AS entity, enorm FROM (
+    SELECT entity,
+           trim(regexp_replace(lower(entity), '\\s+', ' ', 'g')) AS enorm
+    FROM (VALUES {ent_vals}) AS e(entity)) GROUP BY enorm
 ),
 exact AS (
   SELECT n.norm, d.entity, 'exact' AS method, CAST(1.0 AS DOUBLE) AS score
@@ -1766,9 +1770,13 @@ WITH norms AS (
   WHERE trim(regexp_replace(lower(tok), '\\s+', ' ', 'g')) != ''
 ),
 d AS (
-  SELECT DISTINCT entity,
-         trim(regexp_replace(lower(entity), '\\s+', ' ', 'g')) AS enorm
-  FROM (VALUES {ent_vals}) AS e(entity)
+  -- one entity per NORMALIZED form, min-entity tiebreak (mirrors the
+  -- engine's _canonical_dictionary: colliding raw entries like 'US'/'us'
+  -- must not emit duplicate exact-tier verdicts for one mention norm)
+  SELECT min(entity) AS entity, enorm FROM (
+    SELECT entity,
+           trim(regexp_replace(lower(entity), '\\s+', ' ', 'g')) AS enorm
+    FROM (VALUES {ent_vals}) AS e(entity)) GROUP BY enorm
 ),
 wt(gram, w) AS (VALUES {wt_vals}),
 exact AS (

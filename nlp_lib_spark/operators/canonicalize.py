@@ -97,24 +97,74 @@ def _sig(e: DataFrame) -> tuple:
     return (row.s, row.n)
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
-    """edges(u, v) -> (id, component) with component = min member id."""
-    e = _symmetrize(_local_contract(edges)).localCheckpoint()
+def _persistent_ids(sc) -> set:
+    m = sc._jsc.sc().getPersistentRDDs()
+    it, ids = m.iterator(), set()
+    while it.hasNext():
+        ids.add(it.next()._1())
+    return ids
+
+
+def _unpersist_rdd_ids(sc, ids: set) -> None:
+    """Free localCheckpoint blocks by RDD id.
+
+    ``DataFrame.unpersist()`` is a NO-OP for localCheckpoint'd frames
+    (verified on PySpark 4.1.2: it only uncaches CacheManager entries,
+    while the checkpoint persists the internal RDD directly), so a
+    superseded round must be dropped at the RDD layer — otherwise every
+    round's blocks stay resident until nondeterministic GC, which is
+    exactly the executor-memory pressure a k-round CC over a large graph
+    cannot afford."""
+    m = sc._jsc.sc().getPersistentRDDs()
+    it = m.iterator()
+    while it.hasNext():
+        t = it.next()
+        if t._1() in ids:
+            t._2().unpersist(False)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """edges(u, v) -> (id, component) with component = min member id.
+
+    Raises ``RuntimeError`` if the star rounds have not reached the
+    signature fixpoint within ``max_iter`` iterations: labels derived
+    from a non-converged edge set can split one true component into
+    several, and a silently-wrong canonical map is strictly worse than a
+    loud failure. Kiveris-style alternation needs O(log^2 n) rounds in
+    the worst case and 1-3 in practice after local contraction, so 50 is
+    far above anything a real graph requires.
+    """
+    sc = edges.sparkSession.sparkContext
+    # dirty-edge guard: a null endpoint would crash the union-find
+    # worker ('<' between str and None); self-loops carry no information
+    clean = edges.select("u", "v").filter(
+        F.col("u").isNotNull() & F.col("v").isNotNull()
+        & (F.col("u") != F.col("v")))
+    pre = _persistent_ids(sc)
+    e = _symmetrize(_local_contract(clean)).localCheckpoint()
+    own = _persistent_ids(sc) - pre
     # seed with the contracted state's signature: when local contraction
     # already reached the fixpoint (common — few input partitions), the
     # first star round detects stability immediately instead of paying a
     # second confirmation round
     prev_sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
-        prev = e
-        e = _star(e, large=True)
-        e = _star(e, large=False)
-        e = _symmetrize(e).localCheckpoint()
-        prev.unpersist()  # drop the superseded round's checkpoint blocks
+        prev_ids = own
+        nxt = _star(_star(e, large=True), large=False)
+        pre = _persistent_ids(sc)
+        e = _symmetrize(nxt).localCheckpoint()  # eager: blocks exist now
+        own = _persistent_ids(sc) - pre
+        _unpersist_rdd_ids(sc, prev_ids)  # superseded round's blocks
         sig = _sig(e)
         if prev_sig == sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} star "
+            "rounds — refusing to emit possibly-split component labels")
     comp = (e.groupBy("u").agg(F.min("v").alias("mn"))
             .select(F.col("u").alias("id"),
                     F.least(F.col("u"), F.col("mn")).alias("component")))

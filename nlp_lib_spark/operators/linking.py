@@ -35,6 +35,20 @@ def normalize_mentions(mentions: DataFrame,
     return mentions.withColumn("norm", F.expr(_NORM % text_col))
 
 
+def _canonical_dictionary(dictionary: DataFrame) -> DataFrame:
+    """One entity per NORMALIZED surface form, min-entity tiebreak.
+
+    Two raw dictionary entries that normalize identically (e.g. 'US' /
+    'us') would otherwise both join in the exact tier and emit duplicate
+    verdicts for one mention norm — violating the one-verdict-per-norm
+    contract the fuzzy tier enforces with its row_number tiebreak."""
+    return (dictionary
+            .withColumn("entity_norm", F.expr(_NORM % "entity"))
+            .groupBy("entity_norm")
+            .agg(F.min("entity").alias("entity"))
+            .select("entity", "entity_norm"))
+
+
 def link_mentions(mentions: DataFrame, dictionary: DataFrame,
                   threshold: float = 0.5) -> DataFrame:
     """mentions(..., mention_text) x dictionary(entity) -> +entity, method, score.
@@ -45,9 +59,7 @@ def link_mentions(mentions: DataFrame, dictionary: DataFrame,
     # isEmpty probe, the anti-join, gram explode); localCheckpoint so an
     # expensive upstream (the Arrow annotation chain) runs exactly once
     m = normalize_mentions(mentions).localCheckpoint()
-    d = (dictionary
-         .withColumn("entity_norm", F.expr(_NORM % "entity"))
-         .select("entity", "entity_norm").distinct())
+    d = _canonical_dictionary(dictionary)
 
     exact = (m.join(F.broadcast(d), m.norm == d.entity_norm)
              .withColumn("method", F.lit("exact"))
@@ -153,9 +165,7 @@ def link_mentions_tfidf(mentions: DataFrame, dictionary: DataFrame,
     spark = mentions.sparkSession
     m = normalize_mentions(mentions).select("norm").distinct() \
         .localCheckpoint()
-    d = (dictionary
-         .withColumn("entity_norm", F.expr(_NORM % "entity"))
-         .select("entity", "entity_norm").distinct())
+    d = _canonical_dictionary(dictionary)
     ents = tuple(r.entity_norm
                  for r in d.select("entity_norm").distinct().collect())
     weights, w_oov = gram_idf_weights(ents)

@@ -83,9 +83,14 @@ def lll_turn(rt: LLLRuntime, text: str) -> list[tuple]:
         tokens = tokenize(sentence)
         if not tokens or len(tokens) > rt.max_sent_tokens:
             continue
+        lexe = rt.lexicon.annotate(tokens)
+        if "B" not in lexe:
+            # no lexicon span -> every lex_chunk is None -> nothing can
+            # emit; skip the POS/chunk/parse work (the dominant case on
+            # a web corpus, and the expensive part of the sentence)
+            continue
         pos = pos_tag(tokens, rt.verb_stems)
         chunk = chunk_bio(pos)
-        lexe = rt.lexicon.annotate(tokens)
         edges = dep_parse(tokens, pos)
         for (a, t) in lll_interactions(tokens, pos, chunk, lexe, edges,
                                        rt.restriction):
@@ -197,8 +202,7 @@ def extract_triples_lll_ml(df: DataFrame, config: LLLConfig,
               .mapInPandas(fn, schema=LLL_ML_SCHEMA))
 
 
-RELX_SCHEMA = ("conv_id string, turn_idx int, sent_id int, "
-               "agent int, target int, subj string, pred string, obj string")
+RELX_SCHEMA = LLL_TRIPLES_SCHEMA  # identical emission shape
 
 
 def _relx_surface(surface: str, lexicon) -> str:
@@ -236,8 +240,10 @@ def extract_triples_relx(df: DataFrame, config: LLLConfig) -> DataFrame:
                     tokens = tokenize(sentence)
                     if not tokens or len(tokens) > rt.max_sent_tokens:
                         continue
-                    pos = pos_tag(tokens, rt.verb_stems)
                     lexe = rt.lexicon.annotate(tokens)
+                    if "B" not in lexe:
+                        continue  # no span -> no emission; skip the parse
+                    pos = pos_tag(tokens, rt.verb_stems)
                     s = XSent(tokens, pos, lexe)
                     g = DepGraph(dep_parse(tokens, pos))
                     for (a, t) in extended_relex_interactions(

@@ -141,3 +141,56 @@ def test_canonical_map_and_graph(spark):
     # the two surface variants collapse into ONE canonical edge, weight 2
     assert len(ep) == 1
     assert ep.iloc[0].weight == 2 and ep.iloc[0].subj_id == "hash join"
+
+
+def test_colliding_dictionary_norms_one_verdict_per_norm(spark):
+    """Two raw dictionary entries that normalize identically ('US'/'us')
+    must produce exactly ONE exact-tier verdict per mention norm, with
+    the min-entity tiebreak — not duplicate rows (review finding)."""
+    from nlp_lib_spark.operators.linking import (link_mentions,
+                                                 link_mentions_tfidf)
+    mentions = spark.createDataFrame(pd.DataFrame(
+        {"mention_text": ["us", "US", "the us"]}))
+    dictionary = spark.createDataFrame(pd.DataFrame(
+        {"entity": ["US", "us", "the  US"]}))
+    # link_mentions keeps one row per input MENTION row
+    lp = link_mentions(mentions, dictionary).toPandas()
+    assert (lp.groupby("mention_text").size() == 1).all(), lp
+    assert set(lp.entity) == {"US", "the  US"}   # min('US', 'us') == 'US'
+    assert set(lp.method) == {"exact"}
+    # link_mentions_tfidf dedups to one verdict per distinct NORM
+    tp = link_mentions_tfidf(mentions, dictionary).toPandas()
+    assert (tp.groupby("norm").size() == 1).all(), tp
+    by = {r.norm: (r.entity, r.method) for r in tp.itertuples()}
+    assert by["us"] == ("US", "exact")
+    assert by["the us"] == ("the  US", "exact")
+
+
+def test_cc_tolerates_null_and_self_edges(spark):
+    """A null endpoint or self-loop must be dropped, not crash the
+    per-partition union-find worker (review finding)."""
+    edges = spark.createDataFrame(pd.DataFrame(
+        [("a", "b"), (None, "x"), ("y", None), ("c", "c"), ("b", "c")],
+        columns=["u", "v"]))
+    comp = connected_components(edges).toPandas()
+    labels = {r.id: r.component for r in comp.itertuples()}
+    assert labels == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_cc_frees_superseded_checkpoints(spark):
+    """DataFrame.unpersist() is a no-op after localCheckpoint, so CC must
+    drop superseded rounds at the RDD layer: after a multi-round run, at
+    most ONE checkpoint (the final edge state) may remain resident
+    beyond what was persisted before the call (review finding)."""
+    from nlp_lib_spark.operators.canonicalize import _persistent_ids
+    sc = spark.sparkContext
+    # long path graph -> several star rounds even after local contraction
+    n = 200
+    edges = spark.createDataFrame(pd.DataFrame(
+        [(f"v{i:04d}", f"v{i+1:04d}") for i in range(n)],
+        columns=["u", "v"])).repartition(8)
+    before = _persistent_ids(sc)
+    comp = connected_components(edges)
+    assert comp.select("component").distinct().count() == 1
+    leaked = _persistent_ids(sc) - before
+    assert len(leaked) <= 1, leaked
