@@ -1287,15 +1287,15 @@ b AS (
 cand AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          round(aggregate(zip_with(q.emb, c.emb, (x, y) -> x * y), 0D, (s, v) -> s + v)
-               / (sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
-                  * sqrt(aggregate(c.emb, 0D, (s, v) -> s + v * v))), 4) AS sim
+               / nullif(sqrt(aggregate(q.emb, 0D, (s, v) -> s + v * v))
+                  * sqrt(aggregate(c.emb, 0D, (s, v) -> s + v * v)), 0D), 4) AS sim
   FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
   WHERE q.vec_id < 10
 )
 SELECT query_id, neighbor_id, sim FROM (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
-  FROM cand
+  FROM cand WHERE sim IS NOT NULL
 ) WHERE rnk <= 3
 """)
 

@@ -17,11 +17,31 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def assemble_conversations(turns: DataFrame) -> DataFrame:
-    """-> (conv_id, n_turns, first_role, conversation_text)."""
+def assemble_conversations(turns: DataFrame,
+                           max_turns: int | None = None) -> DataFrame:
+    """-> (conv_id, n_turns, first_role, conversation_text).
+
+    ``max_turns`` is the skew safety valve for adversarial corpora: one
+    hot conv_id with millions of turns would otherwise materialize the
+    full struct list in a single aggregation buffer (the OOM shape
+    ``skew.capped_collect`` exists for). When set, a ``row_number``
+    window keeps the ``max_turns`` LOWEST turn_idx rows per conversation
+    BEFORE the collect (``n_turns`` still counts every turn, so the
+    truncation is observable as ``n_turns > max_turns``). Default None =
+    assemble everything — complete assembly is the semantic contract,
+    so truncation must be an explicit caller decision."""
+    n_all = F.count(F.lit(1))
+    if max_turns is not None:
+        wk = Window.partitionBy("conv_id")
+        turns = (turns
+                 .withColumn("__n_all", F.count(F.lit(1)).over(wk))
+                 .withColumn("__rn", F.row_number().over(
+                     wk.orderBy("turn_idx")))
+                 .filter(F.col("__rn") <= max_turns))
+        n_all = F.first("__n_all")
     return (turns
             .groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("n_turns"),
+            .agg(n_all.alias("n_turns"),
                  F.array_sort(
                      F.collect_list(F.struct("turn_idx", "role", "text"))
                  ).alias("ts_"))
@@ -39,8 +59,7 @@ def with_turn_order(turns: DataFrame) -> DataFrame:
     return (turns
             .withColumn("rn", F.row_number().over(w))
             .withColumn("prev_ts", F.lag("ts").over(w))
-            .withColumn("gap_sec",
-                        F.when(F.col("prev_ts").isNull(), F.lit(None))
-                         .otherwise(F.col("ts").cast("long")
-                                    - F.col("prev_ts").cast("long")))
+            .withColumn("gap_sec",  # NULL prev_ts propagates to NULL gap
+                        F.col("ts").cast("long")
+                        - F.col("prev_ts").cast("long"))
             .drop("prev_ts"))

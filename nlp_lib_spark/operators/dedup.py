@@ -26,12 +26,24 @@ from pyspark.sql import DataFrame
 _N_HASHES = 8
 _N_PLANES = 8
 
-_VIEW = "__dedup_in"
+_VIEW_SEQ = 0
 
 
 def _sql(df: DataFrame, sql: str) -> DataFrame:
-    df.createOrReplaceTempView(_VIEW)
-    return df.sparkSession.sql(sql.replace("{t}", _VIEW))
+    """Run SQL against ``df`` via a UNIQUE, immediately-dropped temp view.
+
+    A fixed view name would leak into (and clobber) the caller's session
+    catalog and race under multithreaded drivers sharing one
+    SparkSession. ``spark.sql`` analyzes eagerly, so the view can be
+    dropped before returning — the resolved plan no longer needs it."""
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    view = f"__dedup_in_{_VIEW_SEQ}"
+    df.createOrReplaceTempView(view)
+    try:
+        return df.sparkSession.sql(sql.replace("{t}", view))
+    finally:
+        df.sparkSession.catalog.dropTempView(view)
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -102,6 +114,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     standard LSH posture at scale)."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
+    # (the cap below is the same row_number-before-collect invariant as
+    # skew.capped_collect — kept inline because this path collects the
+    # CAPPED ids only, with no n_total/truncated columns to strip)
     sig = minhash_signatures(df, id_col, text_col)
     band_structs = ", ".join(
         f"named_struct('band_idx', {b}, 'band_val', md5(mh{2*b} || mh{2*b+1}))"
@@ -168,9 +183,13 @@ WHERE size(array_intersect(a.grams, b.grams)) * 1.0 /
 # Embedding similarity search
 # --------------------------------------------------------------------------
 
+# nullif guards the zero-norm case: an all-zero embedding has undefined
+# cosine, and under Spark 4's default ANSI mode a plain division would
+# raise DIVIDE_BY_ZERO and fail the whole job; NULL sim rows are filtered
+# by every consumer (threshold comparisons and explicit IS NOT NULL)
 _COS = ("round(aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (s, v) -> s + v)"
-        " / (sqrt(aggregate({a}, 0D, (s, v) -> s + v * v))"
-        " * sqrt(aggregate({b}, 0D, (s, v) -> s + v * v))), 4)")
+        " / nullif(sqrt(aggregate({a}, 0D, (s, v) -> s + v * v))"
+        " * sqrt(aggregate({b}, 0D, (s, v) -> s + v * v)), 0D), 4)")
 
 
 def embedding_neardup_pairs(df: DataFrame, id_col: str = "vec_id",
@@ -206,7 +225,7 @@ sims AS (
 SELECT query_id, neighbor_id, sim FROM (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-  FROM sims
+  FROM sims WHERE sim IS NOT NULL
 ) WHERE rnk <= {k}
 """)
 
@@ -216,8 +235,14 @@ def ann_topk_ivf(df: DataFrame, id_col: str = "vec_id",
                  query_max_id: int = 10,
                  cell_width: float = 0.5) -> DataFrame:
     """IVF-style top-k: grid coarse quantizer over the first two dims,
-    probe the query cell plus its 8 neighbors (nprobe=9)."""
-    cos = _COS.format(a="q.emb", b="c.emb")
+    probe the query cell plus its 8 neighbors (nprobe=9).
+
+    The 9 probe cells are EXPLODED on the query side and equi-joined on
+    (cx, cy): a BETWEEN-range join has no equality predicate, so Spark
+    would plan a nested-loop join evaluating every (query, corpus) pair
+    — the same scan cost as brute force, defeating the index. The
+    explode form hash-partitions on the cell key and prunes for real."""
+    cos = _COS.format(a="p.emb", b="c.emb")
     return _sql(df, f"""
 WITH e AS (SELECT {id_col}, transform({vec_col}, x -> cast(x AS DOUBLE)) AS emb
            FROM {{t}}),
@@ -227,18 +252,21 @@ cells AS (
          CAST(floor(element_at(emb, 2) / {cell_width}) AS INT) AS cy
   FROM e
 ),
+probe AS (
+  SELECT q.{id_col}, q.emb, q.cx + dx.v AS cx, q.cy + dy.v AS cy
+  FROM (SELECT * FROM cells WHERE {id_col} < {query_max_id}) q
+  LATERAL VIEW explode(array(-1, 0, 1)) dx AS v
+  LATERAL VIEW explode(array(-1, 0, 1)) dy AS v
+),
 cand AS (
-  SELECT q.{id_col} AS query_id, c.{id_col} AS neighbor_id, {cos} AS sim
-  FROM cells q JOIN cells c
-    ON c.cx BETWEEN q.cx - 1 AND q.cx + 1
-   AND c.cy BETWEEN q.cy - 1 AND q.cy + 1
-   AND q.{id_col} <> c.{id_col}
-  WHERE q.{id_col} < {query_max_id}
+  SELECT p.{id_col} AS query_id, c.{id_col} AS neighbor_id, {cos} AS sim
+  FROM probe p JOIN cells c
+    ON c.cx = p.cx AND c.cy = p.cy AND p.{id_col} <> c.{id_col}
 )
 SELECT query_id, neighbor_id, sim FROM (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) rnk
-  FROM cand
+  FROM cand WHERE sim IS NOT NULL
 ) WHERE rnk <= {k}
 """)
 
@@ -271,13 +299,19 @@ def ann_topk_kmeans_ivf(df: DataFrame, id_col: str = "vec_id",
     cosine over the original floats among vectors in the ``nprobe``
     nearest cells of each query."""
     from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.canonicalize import (_persistent_ids,
+                                                      _unpersist_rdd_ids)
     spark = df.sparkSession
+    sc = spark.sparkContext
+    before_q = _persistent_ids(sc)
     q = df.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
                f"* {scale} + 0.5) AS BIGINT))").alias("qarr"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
     ).localCheckpoint()  # reused every Lloyd pass
+    q_ids = _persistent_ids(sc) - before_q
 
     init = (q.orderBy("vid").limit(n_centroids)
             .select("qarr").collect())
@@ -312,39 +346,53 @@ transform({arr}, c ->
             new[int(r.cid)][int(r.d)] = int(r.c)
         cents = new
 
+    global _VIEW_SEQ
+    _VIEW_SEQ += 1
+    cells_v, cents_v = f"__ivf_cells_{_VIEW_SEQ}", f"__ivf_cents_{_VIEW_SEQ}"
     cells = with_cid(q, cents)
-    cells.createOrReplaceTempView("__ivf_cells")
+    cells.createOrReplaceTempView(cells_v)
     cent_rows = [(ci, di, v) for ci, c in enumerate(cents)
                  for di, v in enumerate(c)]
     spark.createDataFrame(cent_rows, "cid int, d int, c long") \
-         .createOrReplaceTempView("__ivf_cents")
+         .createOrReplaceTempView(cents_v)
     cos = _COS.format(a="qv.emb", b="cv.emb")
-    return spark.sql(f"""
+    # the distance aggregate already carries the query id and the vid
+    # filter — ranking it directly avoids a pointless join back onto the
+    # cells view (one join + one shuffle less, identical output)
+    result = spark.sql(f"""
 WITH probe AS (
-  SELECT vid, cid FROM (
-    SELECT q.vid, c.cid,
-           row_number() OVER (PARTITION BY q.vid
+  SELECT pvid AS vid, cid FROM (
+    SELECT c.pvid, c.cid,
+           row_number() OVER (PARTITION BY c.pvid
                               ORDER BY c.dist, c.cid) AS rnk
-    FROM __ivf_cells q
-    JOIN (SELECT q2.vid AS pvid, ct.cid,
+    FROM (SELECT q2.vid AS pvid, ct.cid,
                  sum((element_at(q2.qarr, ct.d + 1) - ct.c)
                      * (element_at(q2.qarr, ct.d + 1) - ct.c)) AS dist
-          FROM __ivf_cells q2 JOIN __ivf_cents ct ON true
+          FROM {cells_v} q2 JOIN {cents_v} ct ON true
           WHERE q2.vid < {query_max_id}
-          GROUP BY q2.vid, ct.cid) c ON c.pvid = q.vid
-    WHERE q.vid < {query_max_id}
+          GROUP BY q2.vid, ct.cid) c
   ) WHERE rnk <= {nprobe}
 ),
 cand AS (
   SELECT qv.vid AS query_id, cv.vid AS neighbor_id, {cos} AS sim
   FROM probe p
-  JOIN __ivf_cells qv ON qv.vid = p.vid
-  JOIN __ivf_cells cv ON cv.cid = p.cid AND cv.vid <> qv.vid
+  JOIN {cells_v} qv ON qv.vid = p.vid
+  JOIN {cells_v} cv ON cv.cid = p.cid AND cv.vid <> qv.vid
 )
 SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
   SELECT query_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY sim DESC, neighbor_id) AS rnk
-  FROM cand
+  FROM cand WHERE sim IS NOT NULL
 ) WHERE rnk <= {k}
 """)
+    # the result is bounded (top-k over the bounded query set), so
+    # materialize it and release the big intermediate: q's localCheckpoint
+    # blocks would otherwise stay pinned for the session lifetime
+    # (DataFrame.unpersist is a no-op for localCheckpoints — see
+    # canonicalize._unpersist_rdd_ids, reused here)
+    result = result.localCheckpoint()
+    for v in (cells_v, cents_v):
+        spark.catalog.dropTempView(v)
+    _unpersist_rdd_ids(sc, q_ids)
+    return result

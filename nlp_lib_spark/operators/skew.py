@@ -26,10 +26,19 @@ def salted_agg(df: DataFrame, key_cols: list[str],
 
     ``agg_exprs``: output_name -> one of 'count', 'sum:<col>', 'min:<col>',
     'max:<col>' (algebraic aggregates that merge associatively).
+
+    The salt hashes the ROW CONTENT (every column), never
+    ``spark_partition_id()``/``monotonically_increasing_id()``: those are
+    nondeterministic across task recomputation, so a stage retry after a
+    shuffle-fetch failure would re-salt recomputed rows differently and
+    silently double-count or drop them (the SPARK-38388 class of bug —
+    only round-robin repartition gets indeterminate-stage rollback).
+    Caveat: rows that are EXACT duplicates share a salt; hot keys whose
+    payload columns vary (the realistic case) still spread over
+    ``n_salts`` reducers.
     """
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(*key_cols, F.spark_partition_id(),
-                                    F.monotonically_increasing_id()),
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]),
                          F.lit(n_salts)))
     phase1 = []
     phase2 = []
@@ -59,13 +68,16 @@ def capped_collect(df: DataFrame, key_cols: list[str], value_col: str,
     never consume cap slots (``collect_list`` drops them, matching the
     naive version's cap-smallest-non-null semantics).  ``n_total`` comes from an
     unordered count window in the same shuffle; the groupBy reuses the
-    window's hash partitioning, so the whole operator is one exchange."""
+    window's hash partitioning, so the whole operator is one exchange.
+    ``n_total`` counts NON-NULL values (``count(col)`` skips nulls), so
+    ``truncated`` fires only when collectable values were actually
+    dropped — not when null rows merely inflated the raw row count."""
     from pyspark.sql import Window
     wk = Window.partitionBy(*key_cols)
     out = (df
            .withColumn("__rn", F.row_number().over(
                wk.orderBy(F.col(value_col).asc_nulls_last())))
-           .withColumn("__n", F.count(F.lit(1)).over(wk))
+           .withColumn("__n", F.count(F.col(value_col)).over(wk))
            .filter(F.col("__rn") <= cap)
            .groupBy(*key_cols)
            .agg(F.sort_array(F.collect_list(value_col)).alias("values"),

@@ -120,3 +120,40 @@ def test_minhash_lsh_cap_identity_on_organic_data(spark):
     wide = {(r.doc_a, r.doc_b)
             for r in minhash_lsh_pairs(df, bucket_cap=10**6).collect()}
     assert capped == wide
+
+
+def test_capped_collect_nulls_do_not_fake_truncation(spark):
+    """NULL values are dropped by collect_list and must not count toward
+    n_total or trip the truncated flag (review finding)."""
+    rows = [("k", v) for v in [3, 1, 2, None, None, None, None, None]]
+    df = spark.createDataFrame(rows, "key string, v int")
+    out = capped_collect(df, ["key"], "v", cap=5).collect()[0]
+    assert out.values == [1, 2, 3]
+    assert out.n_total == 3 and not out.truncated
+
+
+def test_salted_agg_salt_is_deterministic(spark):
+    """The salt must derive from row content only — partition-dependent
+    salts silently corrupt aggregates under stage retries (review
+    finding). Same rows through different partitionings must produce
+    identical phase-1 salt assignments, hence identical results."""
+    rows = [("hot", float(i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    a = salted_agg(df.repartition(3), ["key"],
+                   {"n": "count", "s": "sum:v"}).collect()[0]
+    b = salted_agg(df.repartition(17, "v"), ["key"],
+                   {"n": "count", "s": "sum:v"}).collect()[0]
+    assert (a.n, a.s) == (b.n, b.s) == (500, sum(i % 7 for i in range(500)))
+
+
+def test_assemble_conversations_max_turns_cap(spark):
+    t = _turns_df(spark, n=5)
+    full = {r.conv_id: r for r in assemble_conversations(t).collect()}
+    capped = {r.conv_id: r
+              for r in assemble_conversations(t, max_turns=2).collect()}
+    for cid, r in capped.items():
+        assert r.n_turns == full[cid].n_turns  # true count survives
+        kept = r.conversation_text.split(" | ")
+        assert len(kept) == min(2, full[cid].n_turns)
+        # the cap keeps the LOWEST turn_idx rows -> prefix of the full text
+        assert full[cid].conversation_text.startswith(r.conversation_text)
