@@ -148,6 +148,18 @@ def resolve_surface(mapping: dict[str, str], token: str) -> str:
     return "/".join(mapping.get(p, p) for p in token.split("/"))
 
 
+def fused_subj_obj(mapping: dict[str, str],
+                   token: str) -> tuple[str, str] | None:
+    """Subj/obj resolution for a fused same-token pair (i == j): the two
+    ``/``-joined placeholder parts resolve independently. None when the
+    token is not actually fused — the shared emit rule of the rule / ML
+    extraction paths (keep in ONE place; it diverged silently once)."""
+    parts = token.split("/")
+    if len(parts) < 2:
+        return None
+    return mapping.get(parts[0], parts[0]), mapping.get(parts[1], parts[1])
+
+
 def triples_for_sentence(rt: KGRuntime, sentence: str) -> list[tuple]:
     """(e1_tok, e2_tok, subj, pred, obj) per predicted pair."""
     ann = annotate_sentence(rt, sentence)
@@ -158,11 +170,10 @@ def triples_for_sentence(rt: KGRuntime, sentence: str) -> list[tuple]:
     for (i, j) in ann["pairs"]:
         pred = _pred_term(domain, i, j)
         if i == j:  # fused same-token pair (RelexRule5)
-            parts = blinded[i].split("/")
-            if len(parts) < 2:
+            so = fused_subj_obj(mapping, blinded[i])
+            if so is None:
                 continue
-            subj = mapping.get(parts[0], parts[0])
-            obj = mapping.get(parts[1], parts[1])
+            subj, obj = so
         else:
             subj = resolve_surface(mapping, blinded[i])
             obj = resolve_surface(mapping, blinded[j])

@@ -165,7 +165,12 @@ def nfold_error_rates(x: list[list[str]], y: list[int],
 
 def paired_t_statistic(a: list[float], b: list[float]) -> float:
     """Paired t statistic over per-fold metrics of two systems
-    (the NFoldTTest protocol: same folds, difference scores)."""
+    (the NFoldTTest protocol: same folds, difference scores).
+
+    Zero variance with a NONZERO mean is the maximally-significant case
+    (every fold shows the identical difference): the statistic diverges,
+    so return signed infinity — returning 0.0 there would report "no
+    difference" for a perfectly consistent one."""
     import math
     assert len(a) == len(b) and len(a) > 1
     d = [x - y for x, y in zip(a, b)]
@@ -173,18 +178,16 @@ def paired_t_statistic(a: list[float], b: list[float]) -> float:
     mean = sum(d) / n
     var = sum((v - mean) ** 2 for v in d) / (n - 1)
     if var == 0:
-        return 0.0
+        return 0.0 if mean == 0 else math.copysign(math.inf, mean)
     return mean / math.sqrt(var / n)
 
 
-def cross_corpus_eval(train_x: list[list[str]], train_y: list[int],
-                      test_x: list[list[str]], test_y: list[int]) -> dict:
-    """Train on one corpus, test on another; P/R/F over positives
-    (MLExtractor.crossCorporaTest, java:246-284)."""
-    from nlp_lib_spark.kernels.scoring import score, train_logreg
-    w, b = train_logreg(train_x, train_y)
+def _count_tp_fp_fn(xs: list[list[str]], ys: list[int],
+                    w, b) -> tuple[int, int, int]:
+    """p>0.5 threshold counts, shared by every driver-side eval loop."""
+    from nlp_lib_spark.kernels.scoring import score
     tp = fp = fn = 0
-    for feats, label in zip(test_x, test_y):
+    for feats, label in zip(xs, ys):
         pred = score(feats, w, b) > 0.5
         if pred and label:
             tp += 1
@@ -192,7 +195,16 @@ def cross_corpus_eval(train_x: list[list[str]], train_y: list[int],
             fp += 1
         elif not pred and label:
             fn += 1
-    return _prf(tp, fp, fn)
+    return tp, fp, fn
+
+
+def cross_corpus_eval(train_x: list[list[str]], train_y: list[int],
+                      test_x: list[list[str]], test_y: list[int]) -> dict:
+    """Train on one corpus, test on another; P/R/F over positives
+    (MLExtractor.crossCorporaTest, java:246-284)."""
+    from nlp_lib_spark.kernels.scoring import train_logreg
+    w, b = train_logreg(train_x, train_y)
+    return _prf(*_count_tp_fp_fn(test_x, test_y, w, b))
 
 
 # --------------------------------------------------------------------------
@@ -212,7 +224,7 @@ def grid_search_c(x: list[list[str]], y: list[int], n_folds: int = 5,
     design: the grid is tiny and training corpora are corpus-scale-small
     (SURVEY §3.2); featurization upstream stays distributed.
     """
-    from nlp_lib_spark.kernels.scoring import score, train_logreg
+    from nlp_lib_spark.kernels.scoring import train_logreg
     size = len(y)
     chunk = size // n_folds
     # best_c starts at the first grid cell so a degenerate corpus (every
@@ -229,18 +241,7 @@ def grid_search_c(x: list[list[str]], y: list[int], n_folds: int = 5,
             te_x = x[begin:stop + 1]
             te_y = y[begin:stop + 1]
             w, b = train_logreg(tr_x, tr_y, l2=1.0 / c)
-            tp = fp = fn = 0
-            for feats, label in zip(te_x, te_y):
-                pred = score(feats, w, b) > 0.5
-                if pred and label:
-                    tp += 1
-                elif pred and not label:
-                    fp += 1
-                elif not pred and label:
-                    fn += 1
-            p = tp / (tp + fp) if tp + fp else 0.0
-            r = tp / (tp + fn) if tp + fn else 0.0
-            total_f += (2 * p * r / (p + r)) if p + r else 0.0
+            total_f += _prf(*_count_tp_fp_fn(te_x, te_y, w, b))["f1"]
             begin = stop + 1
             stop = min(begin + chunk - 1, size - 1)
         mean_f = total_f / n_folds

@@ -70,6 +70,11 @@ def extract_triples(df: DataFrame, config: KGConfig) -> DataFrame:
             yield pd.DataFrame(out)
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=TRIPLES_SCHEMA))
 
 
@@ -113,6 +118,11 @@ def annotate_turns(df: DataFrame, config: KGConfig) -> DataFrame:
                 "entity_count", "pos", "domain", "edges", "pairs"])
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=ANNOTATIONS_SCHEMA))
 
 

@@ -131,6 +131,11 @@ def extract_triples_kernel(df: DataFrame, config: KGConfig,
             yield pd.DataFrame(rows, columns=cols)
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=KERNEL_TRIPLES_SCHEMA))
 
 
@@ -201,6 +206,11 @@ def instance_domain_terms(df: DataFrame, config: KGConfig,
             yield pd.DataFrame(rows, columns=cols)
 
     cand = (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema="conv_id string, turn_idx int, "
                                       "sent_id int, e1 int, e2 int, "
                                       "terms array<string>"))

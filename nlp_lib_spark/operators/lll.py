@@ -123,6 +123,11 @@ def extract_triples_lll(df: DataFrame, config: LLLConfig) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=LLL_TRIPLES_SCHEMA))
 
 
@@ -199,6 +204,11 @@ def extract_triples_lll_ml(df: DataFrame, config: LLLConfig,
             yield pd.DataFrame(rows, columns=cols)
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=LLL_ML_SCHEMA))
 
 
@@ -259,4 +269,9 @@ def extract_triples_relx(df: DataFrame, config: LLLConfig) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=RELX_SCHEMA))

@@ -18,7 +18,7 @@ from nlp_lib_spark.kernels.depgraph import DepGraph
 from nlp_lib_spark.kernels.features import pair_features
 from nlp_lib_spark.kernels.pipeline import (KGConfig, _pred_term,
                                             annotate_sentence,
-                                            resolve_surface)
+                                            fused_subj_obj, resolve_surface)
 from nlp_lib_spark.kernels.scoring import score
 from nlp_lib_spark.kernels.text import split_sentences, strip_citations
 
@@ -75,11 +75,10 @@ def extract_triples_ml(df: DataFrame, config: KGConfig,
                             continue
                         m = ann["mapping"]
                         if i == j:  # fused pair: parts are subj/obj
-                            parts = ann["blinded"][i].split("/")
-                            if len(parts) < 2:
+                            so = fused_subj_obj(m, ann["blinded"][i])
+                            if so is None:
                                 continue
-                            subj = m.get(parts[0], parts[0])
-                            obj = m.get(parts[1], parts[1])
+                            subj, obj = so
                         else:
                             subj = resolve_surface(m, ann["blinded"][i])
                             obj = resolve_surface(m, ann["blinded"][j])
@@ -89,4 +88,9 @@ def extract_triples_ml(df: DataFrame, config: KGConfig,
             yield pd.DataFrame(rows, columns=cols)
 
     return (df.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
               .mapInPandas(fn, schema=ML_TRIPLES_SCHEMA))

@@ -59,6 +59,16 @@ def _lineage(df: DataFrame) -> DataFrame:
 
 class CheckpointedPipeline:
     def __init__(self, spark: SparkSession, root: str, stages: list[Stage]):
+        if "://" in root:
+            # stage DATA goes through Spark writers and could target any
+            # filesystem, but markers/metrics use driver-local open()/
+            # os.path — a remote root would write data then crash at the
+            # first marker (and resume would never see markers). Refuse
+            # loudly; the production posture for remote storage is an
+            # Iceberg table catalog, not this POSIX marker layout.
+            raise ValueError(
+                f"checkpoint root must be a driver-local path, got {root!r}"
+                " (markers and metrics are written with local file I/O)")
         self.spark = spark
         self.root = root.rstrip("/")
         self.stages = stages
@@ -100,15 +110,26 @@ class CheckpointedPipeline:
                                   "ts": time.time()})
                 os.remove(marker)
             dirty.add(stage.name)
+            # drop any stale marker BEFORE overwriting the data: the
+            # dep-dirty cascade and resume=False reach here with an old
+            # marker still on disk, and a kill mid-overwrite must not let
+            # the half-written stage resume as complete (the module's
+            # core invariant — previously only the schema-invalidation
+            # path removed it)
+            if os.path.exists(marker):
+                os.remove(marker)
             t0 = time.time()
             df = stage.fn(self.spark, outputs)
             df.write.mode("overwrite").parquet(data_p)
             written = self.spark.read.parquet(data_p)
-            lin = _lineage(written)
-            lin.withColumn("stage", F.lit(stage.name)) \
-               .write.mode("overwrite").parquet(lin_p)
-            totals = lin.agg(F.sum("n_rows").alias("rows"),
-                             F.count(F.lit(1)).alias("parts")).collect()[0]
+            _lineage(written).withColumn("stage", F.lit(stage.name)) \
+                .write.mode("overwrite").parquet(lin_p)
+            # totals come from the tiny persisted lineage table — re-using
+            # the lin plan here would recompute the full xxhash scan of
+            # the stage data a second time just for two numbers
+            totals = (self.spark.read.parquet(lin_p)
+                      .agg(F.sum("n_rows").alias("rows"),
+                           F.count(F.lit(1)).alias("parts")).collect()[0])
             with open(marker, "w") as f:
                 f.write(json.dumps({"rows": int(totals.rows or 0),
                                     "partitions": int(totals.parts)}))

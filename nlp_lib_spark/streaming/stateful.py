@@ -101,6 +101,11 @@ def conversation_state_counts(src: DataFrame, config: KGConfig,
     terminate), which is why the deterministic parity harness runs
     without a timeout."""
     return (src.select("conv_id", "turn_idx", "text")
+              # boundary guard: a null turn_idx (possible in any
+              # user-supplied frame) reaches the worker as NaN and
+              # int(NaN) raises — in a stream that permanently fails
+              # the query on the same replayed micro-batch
+              .filter("turn_idx IS NOT NULL")
             .groupBy("conv_id")
             .applyInPandasWithState(
                 make_state_fn(config, idle_timeout_ms),

@@ -127,3 +127,41 @@ def test_resume_invalidates_stale_schema(spark, tmp_path):
         "dirty cascade must re-derive downstream stages too"
     triples2 = sorted(map(tuple, outs2["triples"].collect()))
     assert triples1 == triples2
+
+
+def test_recompute_removes_stale_marker_before_overwrite(spark, fixture_df,
+                                                         tmp_path):
+    """A dep-dirty recompute must drop the stage's old marker BEFORE
+    overwriting its data: a kill mid-overwrite would otherwise leave the
+    stale marker guarding half-written data, which the next resume would
+    trust as complete (review finding)."""
+    root = str(tmp_path / "ckpt")
+    pipe = CheckpointedPipeline(spark, root, _stages(fixture_df))
+    pipe.run()
+    marker = f"{root}/triples/_LINEAGE_OK"
+    assert os.path.exists(marker)
+    # invalidate upstream -> 'triples' becomes dep-dirty; make its
+    # recompute die BEFORE any write happens
+    pipe.invalidate("transcripts")
+
+    def boom(sp, o):
+        raise RuntimeError("killed mid-recompute")
+
+    stages = _stages(fixture_df)
+    stages[2] = Stage("triples", boom, deps=("transcripts",))
+    pipe2 = CheckpointedPipeline(spark, root, stages)
+    try:
+        pipe2.run()
+        raise AssertionError("expected the injected failure")
+    except RuntimeError:
+        pass
+    # the stale marker must be gone: the half-done stage cannot resume
+    # as complete
+    assert not os.path.exists(marker)
+
+
+def test_checkpoint_rejects_remote_root(spark, fixture_df):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="driver-local"):
+        CheckpointedPipeline(spark, "s3a://bucket/ckpt",
+                             _stages(fixture_df))

@@ -317,3 +317,32 @@ def test_biodrb_reader_and_conn_shrink(spark, tmp_path):
     # region in the default lexicon; the unknown span goes fully O
     assert got[("d1", 0)] == ["O", "B-conn", "O", "O", "O", "O", "O"]
     assert got[("d1", 1)] == ["O", "O", "O"]
+
+
+def test_paired_t_statistic_zero_variance_nonzero_mean():
+    """Identical per-fold differences are maximally significant — the
+    statistic diverges; returning 0.0 would claim 'no difference' for a
+    uniformly better system (review finding)."""
+    import math
+    from nlp_lib_spark.operators.evaluate import paired_t_statistic
+    # exactly-representable doubles so the variance is exactly zero
+    assert paired_t_statistic([0.25, 0.25, 0.25],
+                              [0.125, 0.125, 0.125]) == math.inf
+    assert paired_t_statistic([0.125, 0.125], [0.375, 0.375]) == -math.inf
+    assert paired_t_statistic([0.1, 0.1], [0.1, 0.1]) == 0.0
+
+
+def test_null_turn_idx_rows_are_dropped_not_fatal(spark):
+    """int(NaN) in the Arrow worker raised on a null turn_idx; the
+    boundary guard must drop such rows instead (review finding)."""
+    import pandas as pd
+    from nlp_lib_spark.fixtures import FIXTURE_CONFIG
+    from nlp_lib_spark.operators.extract import extract_triples
+    pdf = pd.DataFrame({
+        "conv_id": ["c1", "c1"],
+        "turn_idx": pd.array([0, None], dtype="Int32"),
+        "text": ["the kinase binds the promoter region",
+                 "the kinase binds the promoter region"]})
+    df = spark.createDataFrame(pdf)
+    out = extract_triples(df, FIXTURE_CONFIG).toPandas()
+    assert set(out.turn_idx) <= {0}  # the null row vanished, no crash
