@@ -89,6 +89,48 @@ def tree_kernel(t1: Node, t2: Node, lam: float = 0.5) -> float:
                for i in range(len(nodes1)) for j in range(len(nodes2)))
 
 
+def subtree_signatures(root: Node) -> dict[str, int]:
+    """Multiset of FULL-subtree canonical strings, Stanford node shape.
+
+    Every node (word leaves included, as in ``_flatten``) contributes the
+    bracketed string of the complete subtree rooted at it: a word leaf
+    contributes the bare word, a preterminal ``(POS word)``, an internal
+    node ``(LBL child ...)``. The root's signature therefore equals the
+    original bracketed string (modulo whitespace normalization), which
+    ties this kernel to kernels/constit.build_tree output exactly.
+    """
+    counts: dict[str, int] = {}
+
+    def rec(n: Node) -> str:
+        if n.word is not None and n.label:
+            # fused preterminal: count the word leaf AND the preterminal
+            counts[n.word] = counts.get(n.word, 0) + 1
+            sig = f"({n.label} {n.word})"
+        elif n.word is not None:
+            sig = n.word
+        else:
+            sig = "(" + n.label + " " + " ".join(rec(c) for c in n.children) + ")"
+        counts[sig] = counts.get(sig, 0) + 1
+        return sig
+
+    rec(root)
+    return counts
+
+
+def subtree_kernel(t1: Node, t2: Node) -> int:
+    """Subtree (ST) kernel: number of pairs of identical FULL subtrees
+    (Vishwanathan & Smola's S-tree kernel; the un-decayed counting
+    member of the reference's kernel family). Integer-exact — for the
+    depth-3 trees from kernels/constit this has a closed SQL form
+    (leaf-word matches + (POS, word) matches + full-chunk matches + root
+    equality), which is what the kg_tree_scores gate hash-verifies."""
+    c1 = subtree_signatures(t1)
+    c2 = subtree_signatures(t2)
+    if len(c2) < len(c1):
+        c1, c2 = c2, c1
+    return sum(n * c2[sig] for sig, n in c1.items() if sig in c2)
+
+
 def _position(e1: int, e2: int, lcs: int) -> str:
     # DependencyKernel.getPosition (java:157-165)
     if e1 <= lcs <= e2:

@@ -24,6 +24,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# Diagnostics from the most recent connected_components() call on this
+# driver: {"rounds": star rounds run, "peak_persistent": max number of
+# persistent RDDs observed after any round's checkpoint}. Written for the
+# scale-rehearsal harness (scripts/dev_scale_rehearsal.py) — behavior is
+# unaffected.
+LAST_CC_STATS: dict = {}
+
 
 def _symmetrize(edges: DataFrame) -> DataFrame:
     e = edges.select(F.col("u"), F.col("v")).filter(F.col("u") != F.col("v"))
@@ -149,18 +156,25 @@ def connected_components(edges: DataFrame, max_iter: int = 50) -> DataFrame:
     # second confirmation round
     prev_sig = _sig(e)
     converged = False
+    rounds = 0
+    peak_persistent = len(_persistent_ids(sc))
     for _ in range(max_iter):
         prev_ids = own
         nxt = _star(_star(e, large=True), large=False)
         pre = _persistent_ids(sc)
         e = _symmetrize(nxt).localCheckpoint()  # eager: blocks exist now
         own = _persistent_ids(sc) - pre
+        peak_persistent = max(peak_persistent, len(_persistent_ids(sc)))
         _unpersist_rdd_ids(sc, prev_ids)  # superseded round's blocks
+        rounds += 1
         sig = _sig(e)
         if prev_sig == sig:
             converged = True
             break
         prev_sig = sig
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update({"rounds": rounds,
+                          "peak_persistent": peak_persistent})
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} star "

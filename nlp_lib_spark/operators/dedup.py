@@ -23,27 +23,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from nlp_lib_spark.operators.viewsql import sql_over, unique_view
+
 _N_HASHES = 8
 _N_PLANES = 8
 
-_VIEW_SEQ = 0
-
-
 def _sql(df: DataFrame, sql: str) -> DataFrame:
-    """Run SQL against ``df`` via a UNIQUE, immediately-dropped temp view.
-
-    A fixed view name would leak into (and clobber) the caller's session
-    catalog and race under multithreaded drivers sharing one
-    SparkSession. ``spark.sql`` analyzes eagerly, so the view can be
-    dropped before returning — the resolved plan no longer needs it."""
-    global _VIEW_SEQ
-    _VIEW_SEQ += 1
-    view = f"__dedup_in_{_VIEW_SEQ}"
-    df.createOrReplaceTempView(view)
-    try:
-        return df.sparkSession.sql(sql.replace("{t}", view))
-    finally:
-        df.sparkSession.catalog.dropTempView(view)
+    """Run SQL against ``df`` via a unique, immediately-dropped temp view
+    (shared helper; see operators/viewsql.py for why a fixed name is
+    wrong)."""
+    return sql_over(df, sql, prefix="dedup")
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -346,9 +335,7 @@ transform({arr}, c ->
             new[int(r.cid)][int(r.d)] = int(r.c)
         cents = new
 
-    global _VIEW_SEQ
-    _VIEW_SEQ += 1
-    cells_v, cents_v = f"__ivf_cells_{_VIEW_SEQ}", f"__ivf_cents_{_VIEW_SEQ}"
+    cells_v, cents_v = unique_view("ivf_cells"), unique_view("ivf_cents")
     cells = with_cid(q, cents)
     cells.createOrReplaceTempView(cells_v)
     cent_rows = [(ci, di, v) for ci, c in enumerate(cents)

@@ -13,34 +13,56 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from nlp_lib_spark.operators.canonicalize import components_with_singletons
-from nlp_lib_spark.operators.linking import link_edges_for_cc, link_mentions
+from nlp_lib_spark.operators.linking import link_mentions
 
 
 def canonical_map(mentions: DataFrame, dictionary: DataFrame) -> DataFrame:
     """mention norm -> canonical entity id (component min-label).
 
-    The mention stream is consumed by several joins and the CC loop —
-    localCheckpoint it once so the upstream Arrow annotation chain runs
-    exactly once, not once per consumer.
+    The mention-similarity graph produced by :func:`link_mentions` is a
+    bipartite STAR FOREST by construction, so the general iterative CC
+    (operators/canonicalize.py — still used by the cc_components /
+    kg_vocab_canon paths, whose graphs are arbitrary) is unnecessary
+    here and is replaced by one closed-form aggregation:
+
+    * each norm carries exactly ONE verdict edge (the exact tier joins
+      the canonicalized dictionary — one entity per entity_norm — and
+      the fuzzy tier keeps only the row_number()==1 candidate);
+    * entities never interlink: an entity string that occurs as a
+      mention norm is already in normalized form, so it exact-matches
+      its own entity_norm and yields only a self-loop.
+
+    Hence every component is {entity} ∪ norms(entity) and the min-label
+    is ``least(entity, min(norm))`` — one groupBy + one broadcast join
+    instead of local contraction + star rounds + per-round signature
+    probes. Both consumers (kg_entity_links, kg_edges) carry full
+    transitive-closure DuckDB oracles, so this closed form is value-hash
+    verified against the general-CC semantics on every parity/fuzz run.
     """
-    mentions = mentions.localCheckpoint()
-    linked = link_mentions(mentions, dictionary).localCheckpoint()
-    edges = link_edges_for_cc(linked)
-    verts = (linked.select(F.col("norm").alias("id"))
-             .union(linked.select(F.col("entity").alias("id")))
-             .distinct())
-    comp = components_with_singletons(edges, verts)
-    return (linked.select("norm", "entity", "method", "score").distinct()
-            .join(comp, linked.norm == comp.id)
-            .select("norm", F.col("component").alias("entity_id"),
+    linked = link_mentions(mentions, dictionary)
+    # one verdict row per distinct norm; checkpointed because it feeds
+    # both the label aggregate and the final join (and the upstream
+    # Arrow annotation chain must run exactly once)
+    verdicts = (linked.select("norm", "entity", "method", "score")
+                .distinct().localCheckpoint())
+    labels = (verdicts.filter(F.col("method") != "unlinked")
+              .groupBy("entity").agg(F.min("norm").alias("mn"))
+              .select("entity", F.least("entity", "mn").alias("component")))
+    # unlinked rows have entity == norm and no label row: coalesce to the
+    # norm itself (its own singleton component)
+    return (verdicts.join(F.broadcast(labels), "entity", "left")
+            .select("norm",
+                    F.coalesce("component", "norm").alias("entity_id"),
                     "method", "score"))
 
 
 def materialize_graph(triples: DataFrame, cmap: DataFrame
                       ) -> tuple[DataFrame, DataFrame]:
     """Returns (nodes, edges) with canonical ids."""
-    cm = F.broadcast(cmap.select("norm", "entity_id").distinct())
+    # the map is broadcast into TWO joins — localCheckpoint so the
+    # linking/labeling subtree is computed once, not once per broadcast
+    cm = F.broadcast(cmap.select("norm", "entity_id").distinct()
+                     .localCheckpoint())
     t = (triples
          .withColumn("subj_norm", F.expr(
              "trim(regexp_replace(lower(subj), '\\\\s+', ' '))"))

@@ -21,6 +21,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 _NORM = "trim(regexp_replace(lower(%s), '\\\\s+', ' '))"
 
+# Max distinct entity norms for which driver-side IDF computation (and the
+# dictionary broadcast generally) is considered sound. ~1M norms of ~30
+# chars is tens of MB collected — comfortably driver-sized; beyond that,
+# use a distributed IDF (see the error message in link_mentions_tfidf).
+MAX_DICT_ENTITIES = 1_000_000
+
 
 def _grams_expr(col: str) -> str:
     # character 3-grams of the normalized string (padded variant unneeded:
@@ -166,8 +172,23 @@ def link_mentions_tfidf(mentions: DataFrame, dictionary: DataFrame,
     m = normalize_mentions(mentions).select("norm").distinct() \
         .localCheckpoint()
     d = _canonical_dictionary(dictionary)
-    ents = tuple(r.entity_norm
-                 for r in d.select("entity_norm").distinct().collect())
+    # ENFORCED broadcast-size contract: IDF weights are computed
+    # driver-side from the collected dictionary, which is only sound
+    # while the dictionary is a broadcast-size dimension. limit(N+1)
+    # bounds the collect itself, so an oversized dictionary fails fast
+    # here instead of silently OOMing the driver.
+    probe = d.select("entity_norm").distinct() \
+             .limit(MAX_DICT_ENTITIES + 1).collect()
+    if len(probe) > MAX_DICT_ENTITIES:
+        raise ValueError(
+            f"link_mentions_tfidf: dictionary exceeds the broadcast-size "
+            f"contract ({MAX_DICT_ENTITIES} distinct entity norms). For "
+            f"dictionaries beyond broadcast size, compute gram IDF "
+            f"distributed instead: explode entity norms into 3-grams, "
+            f"groupBy(gram).agg(countDistinct(entity)) for df, and join "
+            f"the weights frame rather than injecting driver-side "
+            f"literals.")
+    ents = tuple(r.entity_norm for r in probe)
     weights, w_oov = gram_idf_weights(ents)
     wdf = spark.createDataFrame(sorted(weights.items()),
                                 "gram string, w long")

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-_VIEW = "__textstats_in"
+from nlp_lib_spark.operators.viewsql import sql_over
 
 LANG_STOPS = {
     "en": ("the", "a", "is", "of"),
@@ -21,8 +21,7 @@ LANG_STOPS = {
 
 
 def _sql(df: DataFrame, sql: str) -> DataFrame:
-    df.createOrReplaceTempView(_VIEW)
-    return df.sparkSession.sql(sql.replace("{t}", _VIEW))
+    return sql_over(df, sql, prefix="textstats")
 
 
 def doc_quality(df: DataFrame, id_col: str = "doc_id",

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from nlp_lib_spark.operators.viewsql import sql_over
+
 # split_part is 1-based in both Spark (>=3.5) and DuckDB.
 _A = "split_part(text, ' ', 3)"
 _B = "split_part(text, ' ', 5)"
@@ -76,8 +78,9 @@ def transcripts(spark: SparkSession, sf_dir: str, with_ts: bool = True) -> DataF
     conversation windows shuffle nothing extra).  On a real multi-file
     Iceberg table the scan already produces enough splits and this is a
     no-op branch."""
-    load_documents(spark, sf_dir).createOrReplaceTempView("__documents")
-    df = spark.sql(transcripts_select_sql("__documents", "spark", with_ts))
+    df = sql_over(load_documents(spark, sf_dir),
+                  transcripts_select_sql("{t}", "spark", with_ts),
+                  prefix="documents")
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         df = df.repartition(target, "conv_id")

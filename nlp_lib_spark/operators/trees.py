@@ -1,0 +1,90 @@
+"""Constituency-tree operators: per-sentence Penn trees + ST-kernel scores.
+
+Closes the ParserAnnotator slot (reference ling/ann/ParserAnnotator.java:
+48-98) end-to-end: the frozen builder (kernels/constit.py) runs inside the
+same Arrow ``mapInPandas`` batches as the rest of the annotation chain, so
+tree kernels and tree analyzers consume trees derived from raw transcript
+text — no gold-tree files required.
+
+Scale shape: both operators are one stateless Arrow pass over the
+annotation frame — no shuffle, no driver round-trip; prototypes are a
+handful of constant strings captured in the closure (the broadcast-dim
+pattern, same as the LCS dep-path kernel runtime in
+operators/kernel_score.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from nlp_lib_spark.kernels.constit import build_tree
+from nlp_lib_spark.kernels.pipeline import KGConfig, annotate_sentence
+from nlp_lib_spark.kernels.tree import parse_penn
+from nlp_lib_spark.kernels.treekernel import subtree_kernel
+
+# Prototype sentences for the runtime kernel scorer: one per transcript
+# template family that carries a relation verb, pushed through the SAME
+# frozen chain as the data (tokenize -> gazetteer -> blind -> simplify ->
+# POS -> chunk -> tree) so their trees share the data's vocabulary of
+# productions. Deterministic at import time given the config.
+PROTO_SENTENCES: tuple[str, ...] = (
+    "the spark stream interacts with the hash join .",
+    "interaction of the table scan with a row group was observed .",
+)
+
+
+def prototype_trees(config: KGConfig,
+                    sentences: tuple[str, ...] = PROTO_SENTENCES
+                    ) -> list[str]:
+    """Penn trees of the prototype sentences under ``config``'s chain."""
+    rt = config.build()
+    out = []
+    for s in sentences:
+        ann = annotate_sentence(rt, s, full=True)
+        out.append(build_tree(ann["blinded"], ann["pos"]))
+    return out
+
+
+def trees_from_annotations(ann: DataFrame) -> DataFrame:
+    """annotations -> (conv_id, turn_idx, sent_id, tree)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"],
+                "turn_idx": pdf["turn_idx"],
+                "sent_id": pdf["sent_id"],
+                "tree": [build_tree(list(toks), list(pos))
+                         for toks, pos in zip(pdf["blinded"], pdf["pos"])],
+            })
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded", "pos")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, tree string"))
+
+
+def tree_scores(trees: DataFrame, prototypes: list[str]) -> DataFrame:
+    """(.., tree) x prototypes -> (.., proto_id, k) ST-kernel scores.
+
+    Parses the tree STRING back (parse_penn), so the gate also
+    value-checks the build->parse round trip.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        protos = [(i, parse_penn(p)) for i, p in enumerate(prototypes)]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = parse_penn(r.tree)
+                for pid, pt in protos:
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 pid, int(subtree_kernel(t, pt))))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "proto_id", "k"])
+
+    return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, proto_id int, k long"))

@@ -1,0 +1,111 @@
+"""Scale rehearsal for the iterative paths (VERDICT r2 item 6).
+
+Replicates the sf0.1 tables Nx (distinct ids per copy, so graph/bucket
+structure scales rather than collapsing onto duplicates) and pushes the
+result through the three operators whose behavior could drift with input
+size: minhash_lsh_pairs (bucket caps), connected components (round count
++ checkpoint-block release), and the kg_edges composition. Prints one
+table row per (op, replication) for BASELINE.md.
+
+Usage: python3 scripts/dev_scale_rehearsal.py [reps ...]   (default 1 10 50)
+"""
+
+from __future__ import annotations
+
+import gc
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from nlp_lib_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def replicate_docs(spark, reps: int):
+    """documents with doc_id offset per copy -> distinct conv_ids/texts
+    keep LSH buckets and the linking graph growing with input size."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(reps).withColumnRenamed("id", "copy")
+    return (docs.crossJoin(copies)
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * n)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" rep"),
+                                         F.col("copy")))
+            .drop("copy"))
+
+
+def run_lsh(spark, reps: int) -> dict:
+    from nlp_lib_spark.operators.dedup import minhash_lsh_pairs
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(docs).count()
+    return {"op": "minhash_lsh_pairs", "reps": reps, "rows_in": n_docs,
+            "rows_out": pairs, "sec": round(time.time() - t0, 2)}
+
+
+def run_cc(spark, reps: int) -> dict:
+    from nlp_lib_spark.operators import canonicalize as C
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    n = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    copies = spark.range(reps).withColumnRenamed("id", "copy")
+    edges = (li.filter("l_orderkey % 50 = 0")
+             .crossJoin(copies)
+             .select(
+                 F.concat(F.lit("o"),
+                          (F.col("l_orderkey") + F.col("copy") * n)
+                          .cast("string")).alias("u"),
+                 F.concat(F.lit("p"),
+                          (F.col("l_partkey") + F.col("copy") * 200000)
+                          .cast("string")).alias("v"))
+             .localCheckpoint())
+    n_edges = edges.count()
+    t0 = time.time()
+    comp = C.connected_components(edges)
+    n_comp = comp.select("component").distinct().count()
+    return {"op": "cc_components", "reps": reps, "rows_in": n_edges,
+            "rows_out": n_comp, "sec": round(time.time() - t0, 2),
+            **C.LAST_CC_STATS}
+
+
+def run_kg_edges(spark, reps: int) -> dict:
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG, TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.extract import (annotate_turns,
+                                                 mentions_from_annotations,
+                                                 triples_from_annotations)
+    from nlp_lib_spark.operators.graph import canonical_map, materialize_graph
+    from nlp_lib_spark.operators.transcripts import transcripts_select_sql
+    from nlp_lib_spark.operators.viewsql import sql_over
+    docs = replicate_docs(spark, reps)
+    t = sql_over(docs, transcripts_select_sql("{t}", "spark", False),
+                 prefix="rehearsal")
+    t = t.repartition(spark.sparkContext.defaultParallelism, "conv_id")
+    n_turns = t.count()
+    t0 = time.time()
+    ann = annotate_turns(t, TESTDATA_CONFIG).localCheckpoint()
+    mentions = mentions_from_annotations(ann)
+    dictionary = spark.createDataFrame(
+        [(e,) for e in TESTDATA_ENTITIES], "entity string")
+    cmap = canonical_map(mentions, dictionary)
+    _nodes, edges = materialize_graph(triples_from_annotations(ann), cmap)
+    n_edges = edges.count()
+    return {"op": "kg_edges", "reps": reps, "rows_in": n_turns,
+            "rows_out": n_edges, "sec": round(time.time() - t0, 2)}
+
+
+def main() -> None:
+    reps_list = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    spark = get_spark(cpus=32)
+    for reps in reps_list:
+        for fn in (run_lsh, run_cc, run_kg_edges):
+            gc.collect()
+            print("REHEARSAL", fn(spark, reps), flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

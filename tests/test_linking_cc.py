@@ -194,3 +194,23 @@ def test_cc_frees_superseded_checkpoints(spark):
     assert comp.select("component").distinct().count() == 1
     leaked = _persistent_ids(sc) - before
     assert len(leaked) <= 1, leaked
+
+
+def test_tfidf_dictionary_contract_enforced(spark, monkeypatch):
+    """link_mentions_tfidf fails fast (naming the distributed
+    alternative) when the dictionary exceeds the broadcast-size
+    contract, instead of silently collecting it onto the driver."""
+    import pytest
+
+    from nlp_lib_spark.operators import linking
+
+    mentions = spark.createDataFrame([("spark",)], "mention_text string")
+    dictionary = spark.createDataFrame(
+        [(f"entity {i}",) for i in range(5)], "entity string")
+    monkeypatch.setattr(linking, "MAX_DICT_ENTITIES", 3)
+    with pytest.raises(ValueError, match="broadcast-size contract"):
+        linking.link_mentions_tfidf(mentions, dictionary)
+    # within the contract the same call succeeds
+    monkeypatch.setattr(linking, "MAX_DICT_ENTITIES", 1000)
+    out = linking.link_mentions_tfidf(mentions, dictionary).collect()
+    assert {r.method for r in out} <= {"exact", "tfidf3", "unlinked"}

@@ -125,3 +125,59 @@ def test_chunk_bio_runs():
     assert chunk_bio(["RB", "VBZ"]) == ["O", "B-VP"]
     assert chunk_bio(["NN", "RB"]) == ["B-NP", "O"]
     assert chunk_bio([]) == []
+
+
+def test_build_tree_shape_and_escapes():
+    """Frozen constit builder: chunk grouping, O singletons, Penn bracket
+    escapes in both POS and word positions, and the (S ...) root."""
+    from nlp_lib_spark.kernels.constit import build_tree, penn_escape
+    toks = ["the", "dog", "runs", "(", "fast", ")", "."]
+    pos = ["DT", "NN", "VBZ", "(", "RB", ")", "."]
+    t = build_tree(toks, pos)
+    assert "(NP (DT the) (NN dog))" in t
+    assert "(-LRB- -LRB-)" in t and "(-RRB- -RRB-)" in t
+    assert "(" * 0 + penn_escape("[x]") == "-LSB-x-RSB-"
+    assert t.startswith("(S ") and t.endswith("(. .))")
+
+
+def test_build_tree_parse_roundtrip():
+    """build_tree output reparses loss-free through parse_penn: the
+    leaf sequence reproduces the escaped tokens in order."""
+    from nlp_lib_spark.kernels.constit import build_tree, penn_escape
+    from nlp_lib_spark.kernels.tree import leaves, parse_penn
+    toks = ["a", "hash", "join", "binds", "to", "[", "12", "]", "."]
+    pos = ["DT", "NN", "NN", "VBZ", "TO", "[", "CD", "]", "."]
+    root = parse_penn(build_tree(toks, pos))
+    assert root is not None and root.label == "S"
+    assert [n.word for n in leaves(root)] == [penn_escape(w) for w in toks]
+
+
+def test_subtree_kernel_closed_form():
+    """ST kernel equals the depth-3 closed form the SQL oracle uses:
+    leaf-word matches + (POS,word) preterm matches + full-chunk matches
+    + root equality."""
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import (subtree_kernel,
+                                                  subtree_signatures)
+    t1 = parse_penn(build_tree(["the", "dog", "runs", "."],
+                               ["DT", "NN", "VBZ", "."]))
+    t2 = parse_penn(build_tree(["the", "cat", "runs", "."],
+                               ["DT", "NN", "VBZ", "."]))
+    # identical: every node pairs with itself once per multiset count
+    s1 = subtree_signatures(t1)
+    assert subtree_kernel(t1, t1) == sum(c * c for c in s1.values())
+    # hand count vs t2: words the/runs/. (3) + preterms (DT the),
+    # (VBZ runs), (. .) (3) + chunks: NP differs, VP matches (1) + root
+    # differs (0)
+    assert subtree_kernel(t1, t2) == 3 + 3 + 1
+    assert subtree_kernel(t1, t2) == subtree_kernel(t2, t1)
+
+
+def test_prototype_trees_deterministic():
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.trees import prototype_trees
+    a = prototype_trees(TESTDATA_CONFIG)
+    b = prototype_trees(TESTDATA_CONFIG)
+    assert a == b and len(a) == 2
+    assert all(p.startswith("(S ") for p in a)
