@@ -41,6 +41,8 @@ HEADLINE = (
     "kg_token_stats",      # JVM-side regex token/sentence stats
     "kg_trees",            # frozen constituency builder (round 3)
     "kg_tree_scores",      # ST-kernel vs broadcast prototypes (round 3)
+    "kg_sense_features",   # sense-classifier features over trees (round 3)
+    "kg_tree_deps",        # tree->typed-dependency converter (round 3)
     "minhash_lsh_pairs",   # MinHash+LSH near-dup candidate pairs
     "dedup_exact",         # exact dedup by content hash
     "ann_topk",            # brute-force cosine top-k

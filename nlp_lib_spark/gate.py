@@ -1717,6 +1717,272 @@ LEFT JOIN matches m
 """
 
 
+@functools.lru_cache(maxsize=None)
+def _sense_features_oracle_sql() -> str:
+    """kernels/connfeatures.sense_features closed form for the depth-3
+    constit trees. The LCA + unary climb collapses to a 3-way node-kind
+    CASE (S root / preterminal-in-chunk / S-level element), siblings to
+    group-neighbor lookups, ancestor(2) to the token's group type (or S
+    for O tokens), and removeReferenceTag to one regexp_replace. Feature
+    strings assemble in emission order inside a LIST, then unnest with
+    subscripts — the same order the Arrow kernel enumerates."""
+    conns = ("conns AS MATERIALIZED (SELECT * FROM ("
+             + _connectives_oracle_sql()
+             + ") cq WHERE cq.arg2_head >= 0),")
+    prefix = _tree_elems_sql().replace("\nWITH ", "\nWITH " + conns + "\n", 1)
+    esc_tok = _penn_esc_sql("t.token")
+    esc_pos = _penn_esc_sql("pos_tag")
+    rmtag = "regexp_replace(%s, '-[0-9]+$', '')"
+    return prefix + f""",
+sdim2 AS (
+  SELECT conv_id, turn_idx, sent_id, max(grp) AS n_groups,
+         count(*) AS n_tokens
+  FROM tagged GROUP BY conv_id, turn_idx, sent_id
+),
+ginfo AS (
+  SELECT conv_id, turn_idx, sent_id, grp, max(etyp) AS typ,
+         count(*) AS gsize, min(idx) AS gmin_idx, max(idx) AS gmax_idx,
+         arg_min({esc_pos}, idx) AS first_pos
+  FROM tagged GROUP BY conv_id, turn_idx, sent_id, grp
+),
+span AS (
+  SELECT c.conv_id, c.turn_idx, c.sent_id,
+         c.conn_start AS cs, c.conn_end AS ce, c.sense, c.arg2_head AS a2h,
+         min(t.grp) AS gmin, max(t.grp) AS gmax,
+         string_agg(t.token, ' ' ORDER BY t.idx) AS conn_sent,
+         string_agg({esc_tok}, ' ' ORDER BY t.idx) AS conn_tree
+  FROM conns c
+  JOIN tagged t ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+   AND t.sent_id = c.sent_id AND t.idx BETWEEN c.conn_start AND c.conn_end
+  GROUP BY ALL
+),
+ctx AS (
+  SELECT s.*, d.n_groups, d.n_tokens,
+         g.typ, g.gsize, g.gmin_idx, g.gmax_idx,
+         {_penn_esc_sql("tc.pos_tag")} AS cs_pos,
+         pv.token AS prev_tok, {_penn_esc_sql("pv.pos_tag")} AS prev_pos,
+         pv.grp AS prev_grp,
+         nx.token AS next_tok, {_penn_esc_sql("nx.pos_tag")} AS next_pos,
+         nx.grp AS next_grp,
+         ah.token AS head_tok, {_penn_esc_sql("ah.pos_tag")} AS head_pos
+  FROM span s
+  JOIN sdim2 d ON d.conv_id = s.conv_id AND d.turn_idx = s.turn_idx
+   AND d.sent_id = s.sent_id
+  JOIN ginfo g ON g.conv_id = s.conv_id AND g.turn_idx = s.turn_idx
+   AND g.sent_id = s.sent_id AND g.grp = s.gmin
+  JOIN tagged tc ON tc.conv_id = s.conv_id AND tc.turn_idx = s.turn_idx
+   AND tc.sent_id = s.sent_id AND tc.idx = s.cs
+  JOIN tagged ah ON ah.conv_id = s.conv_id AND ah.turn_idx = s.turn_idx
+   AND ah.sent_id = s.sent_id AND ah.idx = s.a2h
+  LEFT JOIN tagged pv ON pv.conv_id = s.conv_id AND pv.turn_idx = s.turn_idx
+   AND pv.sent_id = s.sent_id AND pv.idx = s.cs - 1
+  LEFT JOIN tagged nx ON nx.conv_id = s.conv_id AND nx.turn_idx = s.turn_idx
+   AND nx.sent_id = s.sent_id AND nx.idx = s.ce + 1
+),
+ctx2 AS (
+  SELECT c.*,
+         CASE WHEN c.gmin != c.gmax THEN 'S'
+              WHEN c.typ IS NOT NULL AND c.ce = c.cs AND c.gsize > 1 THEN 'P'
+              WHEN c.n_groups = 1 THEN 'S'
+              ELSE 'E' END AS kind,
+         le.typ AS ltyp, le.first_pos AS lfp,
+         re.typ AS rtyp, re.first_pos AS rfp,
+         pg.typ AS prev_gtyp, ng.typ AS next_gtyp
+  FROM ctx c
+  LEFT JOIN ginfo le ON le.conv_id = c.conv_id AND le.turn_idx = c.turn_idx
+   AND le.sent_id = c.sent_id AND le.grp = c.gmin - 1
+  LEFT JOIN ginfo re ON re.conv_id = c.conv_id AND re.turn_idx = c.turn_idx
+   AND re.sent_id = c.sent_id AND re.grp = c.gmax + 1
+  LEFT JOIN ginfo pg ON pg.conv_id = c.conv_id AND pg.turn_idx = c.turn_idx
+   AND pg.sent_id = c.sent_id AND pg.grp = c.prev_grp
+  LEFT JOIN ginfo ng ON ng.conv_id = c.conv_id AND ng.turn_idx = c.turn_idx
+   AND ng.sent_id = c.sent_id AND ng.grp = c.next_grp
+),
+lab AS (
+  SELECT *,
+    {rmtag % "CASE kind WHEN 'S' THEN 'S' WHEN 'P' THEN cs_pos ELSE coalesce(typ, cs_pos) END"} AS self_l,
+    {rmtag % "CASE kind WHEN 'S' THEN NULL WHEN 'P' THEN typ ELSE 'S' END"} AS parent_l,
+    {rmtag % '''CASE kind WHEN 'S' THEN NULL
+              WHEN 'P' THEN (CASE WHEN cs > gmin_idx THEN prev_pos END)
+              ELSE (CASE WHEN gmin > 1 THEN coalesce(ltyp, lfp) END) END'''} AS left_l,
+    CASE kind WHEN 'S' THEN NULL
+              WHEN 'P' THEN (CASE WHEN ce < gmax_idx THEN next_pos END)
+              ELSE (CASE WHEN gmax < n_groups THEN coalesce(rtyp, rfp) END)
+              END AS right_raw,
+    CASE WHEN cs > 0 THEN (
+      CASE WHEN regexp_matches({_penn_esc_sql("prev_tok")}, '^[,;:.]$')
+           THEN {_penn_esc_sql("prev_tok")}
+           ELSE coalesce(prev_gtyp, 'S') END) END AS prev_chunk,
+    CASE WHEN ce < n_tokens - 1 THEN (
+      CASE WHEN regexp_matches({_penn_esc_sql("next_tok")}, '^[,;:.]$')
+           THEN {_penn_esc_sql("next_tok")}
+           ELSE coalesce(next_gtyp, 'S') END) END AS next_chunk
+  FROM ctx2
+),
+feats AS (
+  SELECT conv_id, turn_idx, sent_id, cs, ce,
+    [conn_sent]
+    || flatten(list_transform(
+        ['SELF=' || self_l]
+        || [coalesce('PARENT=' || parent_l, 'PARENT=<NONE>')]
+        || [coalesce('LEFT@-1-' || left_l, 'LEFT@-1-<NONE>')]
+        || [coalesce('RIGHT@+1-' || {rmtag % "right_raw"}, 'RIGHT@+1-<NONE>')]
+        || CASE WHEN right_raw IS NULL THEN []::VARCHAR[]
+                WHEN right_raw LIKE 'VP%' THEN ['RIGHT@+1-has-VP']
+                ELSE ['RIGHT@+1-has-no-VP'] END,
+        f -> [f, lower(conn_sent) || '&' || f]))
+    || ['CAT=' || sense]
+    || CASE WHEN cs > 0 THEN
+        ['CONN&PREVW=' || conn_tree || '&' || prev_tok,
+         'CONN&PREV-CHUNK=' || substr({rmtag % "prev_chunk"}, 1, 1)]
+      ELSE
+        ['CONN&PREVW=' || conn_tree || '&NONE', 'CONN&PREV-CHUNK=NONE'] END
+    || CASE WHEN ce < n_tokens - 1 THEN
+        ['CONN&NEXTW=' || conn_tree || '&' || next_tok,
+         'CONN&NEXT-CHUNK=' || substr({rmtag % "next_chunk"}, 1, 1)]
+      ELSE []::VARCHAR[] END
+    || ['CONN=' || lower(conn_tree) || '&HEAD_POS=' || head_pos,
+        'HEAD=' || head_tok] AS fl
+  FROM lab
+)
+SELECT conv_id, turn_idx, sent_id, cs AS conn_start, ce AS conn_end,
+       generate_subscripts(fl, 1) - 1 AS fidx, unnest(fl) AS feature
+FROM feats
+"""
+
+
+@gate("kg_sense_features", oracle=_sense_features_oracle_sql())
+def q_kg_sense_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-connective sense-classifier features (the active families of
+    ml/PDTBConnectiveSense2FeatureVector.pipe, java:65-103) over the
+    frozen constituency trees — the last §2.7 row not previously covered
+    by the single-variant policy."""
+    from nlp_lib_spark.operators.discourse import sense_feature_rows
+    return sense_feature_rows(_ann(spark, sf_dir))
+
+
+@functools.lru_cache(maxsize=None)
+def _tree_deps_oracle_sql() -> str:
+    """kernels/treedep.tree_to_deps closed form for the depth-3 constit
+    trees. Head percolation collapses to: per-group head = Collins
+    priority rank over escaped POS (rightmost tie for NP, leftmost for
+    VP, the ``kids[0]`` fallback = rank-99 extremum of the same key);
+    sentence head = S-rule rank over group labels (leftmost); the frozen
+    relation table becomes one CASE per edge tier. rank*100000±idx keys
+    encode (priority, direction) in a single arg_min."""
+    ep = _penn_esc_sql("pos_tag")
+    ew = _penn_esc_sql("token")
+    return _tree_elems_sql() + f""",
+ranked AS (
+  SELECT conv_id, turn_idx, sent_id, idx, grp, etyp,
+         {ep} AS ep, {ew} AS ew,
+         CASE {ep} WHEN 'NN' THEN 0 WHEN 'NNP' THEN 1 WHEN 'NNPS' THEN 2
+              WHEN 'NNS' THEN 3 WHEN 'NX' THEN 4 WHEN 'POS' THEN 5
+              WHEN 'JJR' THEN 6 WHEN 'NP' THEN 7 WHEN '$' THEN 8
+              WHEN 'ADJP' THEN 9 WHEN 'PRN' THEN 10 WHEN 'CD' THEN 11
+              WHEN 'JJ' THEN 12 WHEN 'JJS' THEN 13 WHEN 'RB' THEN 14
+              WHEN 'QP' THEN 15 ELSE 99 END AS np_rank,
+         CASE {ep} WHEN 'TO' THEN 0 WHEN 'VBD' THEN 1 WHEN 'VBN' THEN 2
+              WHEN 'MD' THEN 3 WHEN 'VBZ' THEN 4 WHEN 'VB' THEN 5
+              WHEN 'VBG' THEN 6 WHEN 'VBP' THEN 7 WHEN 'VP' THEN 8
+              WHEN 'ADJP' THEN 9 WHEN 'NN' THEN 10 WHEN 'NNS' THEN 11
+              WHEN 'NP' THEN 12 ELSE 99 END AS vp_rank
+  FROM tagged
+),
+ghead AS (
+  SELECT conv_id, turn_idx, sent_id, grp, max(etyp) AS typ,
+         CASE max(etyp)
+           WHEN 'NP' THEN arg_min(idx, np_rank * 100000 - idx)
+           WHEN 'VP' THEN arg_min(idx, vp_rank * 100000 + idx)
+           ELSE min(idx) END AS hidx
+  FROM ranked GROUP BY conv_id, turn_idx, sent_id, grp
+),
+glab AS (
+  SELECT g.conv_id, g.turn_idx, g.sent_id, g.grp, g.typ, g.hidx,
+         coalesce(g.typ, r.ep) AS lab, r.ew AS htok
+  FROM ghead g
+  JOIN ranked r ON r.conv_id = g.conv_id AND r.turn_idx = g.turn_idx
+   AND r.sent_id = g.sent_id AND r.idx = g.hidx
+),
+shead AS (
+  SELECT conv_id, turn_idx, sent_id,
+         arg_min(grp,  srank * 100000 + grp) AS s_grp,
+         arg_min(hidx, srank * 100000 + grp) AS s_hidx,
+         arg_min(htok, srank * 100000 + grp) AS s_htok
+  FROM (SELECT *, CASE lab WHEN 'TO' THEN 0 WHEN 'IN' THEN 1
+                  WHEN 'VP' THEN 2 WHEN 'S' THEN 3 WHEN 'SBAR' THEN 4
+                  WHEN 'ADJP' THEN 5 WHEN 'UCP' THEN 6 WHEN 'NP' THEN 7
+                  ELSE 99 END AS srank FROM glab) q
+  GROUP BY conv_id, turn_idx, sent_id
+),
+edges AS (
+  SELECT conv_id, turn_idx, sent_id, 'root' AS reln,
+         -1 AS gov_idx, s_hidx AS dep_idx,
+         'ROOT' AS gov_tok, s_htok AS dep_tok
+  FROM shead
+  UNION ALL
+  SELECT g.conv_id, g.turn_idx, g.sent_id,
+         CASE WHEN g.typ = 'NP' THEN
+                (CASE WHEN g.hidx < s.s_hidx THEN 'nsubj' ELSE 'obj' END)
+              WHEN g.typ = 'VP' THEN 'conj'
+              WHEN g.lab = 'TO' THEN 'mark'
+              WHEN g.lab = 'IN' THEN 'case'
+              WHEN g.lab = 'CC' THEN 'cc'
+              WHEN g.lab = 'MD' THEN 'aux'
+              WHEN g.lab LIKE 'RB%' THEN 'advmod'
+              WHEN NOT regexp_matches(g.lab, '^[A-Za-z]') THEN 'punct'
+              ELSE 'dep' END AS reln,
+         s.s_hidx AS gov_idx, g.hidx AS dep_idx,
+         s.s_htok AS gov_tok, g.htok AS dep_tok
+  FROM glab g
+  JOIN shead s ON s.conv_id = g.conv_id AND s.turn_idx = g.turn_idx
+   AND s.sent_id = g.sent_id
+  WHERE g.grp != s.s_grp
+  UNION ALL
+  SELECT r.conv_id, r.turn_idx, r.sent_id,
+         CASE WHEN g.typ = 'NP' THEN
+                CASE WHEN r.ep IN ('DT', 'PDT') THEN 'det'
+                     WHEN r.ep = 'PRP$' THEN 'nmod:poss'
+                     WHEN r.ep = 'POS' THEN 'case'
+                     WHEN r.ep = 'CD' THEN 'nummod'
+                     WHEN r.ep LIKE 'JJ%' THEN 'amod'
+                     WHEN r.ep LIKE 'NN%' THEN 'compound'
+                     WHEN r.ep LIKE 'RB%' THEN 'advmod'
+                     ELSE 'dep' END
+              ELSE
+                CASE WHEN r.ep = 'TO' THEN 'mark'
+                     WHEN r.ep = 'MD' THEN 'aux'
+                     WHEN r.ep LIKE 'VB%' THEN
+                       (CASE WHEN r.idx < g.hidx THEN 'aux' ELSE 'xcomp' END)
+                     WHEN r.ep LIKE 'RB%' THEN 'advmod'
+                     ELSE 'dep' END
+              END AS reln,
+         g.hidx AS gov_idx, r.idx AS dep_idx,
+         g.htok AS gov_tok, r.ew AS dep_tok
+  FROM ranked r
+  JOIN glab g ON g.conv_id = r.conv_id AND g.turn_idx = r.turn_idx
+   AND g.sent_id = r.sent_id AND g.grp = r.grp
+  WHERE g.typ IS NOT NULL AND r.idx != g.hidx
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(sent_id AS INT) AS sent_id, reln,
+       CAST(gov_idx AS INT) AS gov_idx, CAST(dep_idx AS INT) AS dep_idx,
+       gov_tok, dep_tok
+FROM edges
+"""
+
+
+@gate("kg_tree_deps", oracle=_tree_deps_oracle_sql())
+def q_kg_tree_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-dependency edges converted from the frozen constituency
+    trees (the PTB2Dep slot, reference corpus/pdtb/PTB2Dep.java:29-99) —
+    Collins-head percolation + frozen relation table, end-to-end from raw
+    transcript text through build_tree -> parse_penn -> tree_to_deps."""
+    from nlp_lib_spark.operators.trees import (tree_dep_edges,
+                                               trees_from_annotations)
+    return tree_dep_edges(trees_from_annotations(_ann(spark, sf_dir)))
+
+
 @gate("kg_trees", oracle=_trees_oracle_sql())
 def q_kg_trees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-sentence Penn constituency tree from the frozen builder
@@ -2271,7 +2537,7 @@ _GATE_ORDER = [
     "pr_eval", "cc_components", "tpch_q1", "top_event_types",
     "cust_nation_rev", "fold_split", "union_distinct_keys", "topk_terms",
     # -- new in round 3 ----------------------------------------------------
-    "kg_trees", "kg_tree_scores",
+    "kg_trees", "kg_tree_scores", "kg_sense_features", "kg_tree_deps",
     # -- KG pipeline -------------------------------------------------------
     "kg_triples", "kg_edges", "kg_transcripts", "kg_sentences",
     "kg_token_stats", "kg_conversations", "kg_tool_stats", "kg_mentions",
@@ -2282,12 +2548,17 @@ _GATE_ORDER = [
     "kg_lll_triples", "kg_relx_triples", "kg_lll_ml_triples",
     "kg_triple_counts", "kg_link_scores", "kg_link_tfidf",
     "kg_vocab_canon", "kg_entity_links",
-    # -- LLM-data pipeline ------------------------------------------------
-    "dedup_exact", "doc_fingerprint", "minhash_signatures",
-    "minhash_lsh_pairs", "simhash", "doc_quality", "doc_lang_id",
-    "token_counts", "media_features", "ann_topk_ivf_kmeans", "ann_topk",
-    # -- demoted past the 50-gate cap (all driver-green in r02) -----------
-    "ann_topk_lsh", "ann_topk_ivf", "ngram_jaccard_pairs",
+    # -- LLM-data pipeline (least-critical last: with 61 registered gates
+    # the driver's 50-cap now cuts into this section; doc_fingerprint /
+    # simhash / ann_topk are simple SQL certified in BOTH prior rounds,
+    # so they take the overflow instead of media_features / the k-means
+    # IVF path) -------------------------------------------------------
+    "dedup_exact", "minhash_signatures", "minhash_lsh_pairs",
+    "doc_quality", "doc_lang_id", "media_features",
+    "ann_topk_ivf_kmeans", "doc_fingerprint", "simhash", "ann_topk",
+    # -- demoted past the 50-gate cap (all driver-green in r02;
+    # token_counts joined the overflow when kg_tree_deps landed) ----------
+    "token_counts", "ann_topk_lsh", "ann_topk_ivf", "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "kg_rule1_pairs", "kg_rule2_pairs",
     "kg_rule3_pairs", "kg_rule2b_pairs",
 ]

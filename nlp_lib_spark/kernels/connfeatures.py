@@ -27,7 +27,7 @@ import re
 from collections import deque
 
 from nlp_lib_spark.kernels.depgraph import DepGraph
-from nlp_lib_spark.kernels.tree import Node, lca
+from nlp_lib_spark.kernels.tree import Node, lca, leaves
 
 _SUBJ_RE = re.compile(r".*subj.*")
 _MOD_RE = re.compile(r"RB|ADVP|NP|DT|PP|,")
@@ -52,7 +52,11 @@ def _sibling(n: Node, k: int) -> Node | None:
     p = n.parent
     if p is None:
         return None
-    i = p.children.index(n)
+    # identity, NOT equality: list.index would resolve a structurally
+    # identical sibling (e.g. the same word occurring twice at the same
+    # tree level) to its FIRST occurrence and return the wrong neighbor
+    # (caught by adversarial fuzz seed 404)
+    i = next(idx for idx, c in enumerate(p.children) if c is n)
     j = i + k
     if 0 <= j < len(p.children):
         return p.children[j]
@@ -164,4 +168,142 @@ def connective_features(tokens: list[str], pos: list[str], g: DepGraph,
                         break
         feats.append(f"PSUBJ={str(parent_has_subj).lower()}")
         feats.append(f"SSUBJ={str(sibling_has_subj).lower()}")
+    return feats
+
+
+_PUNCT_CHUNK_RE = re.compile(r"[,;:.]")
+_REF_TAG_RE = re.compile(r"[0-9]+")
+
+
+def _remove_reference_tag(tag: str) -> str:
+    """Strip a trailing ``-<digits>`` reference index from a constituent
+    label (PDTBConnectiveSense2FeatureVector.removeReferenceTag,
+    java:1092-1107). Our frozen labels never carry one; kept for exact
+    fidelity (note the Penn escapes like ``-LSB-`` end in ``-`` followed
+    by nothing, so they pass through unchanged just as in Java)."""
+    if "-" not in tag:
+        return tag
+    parts = tag.split("-")
+    if not _REF_TAG_RE.fullmatch(parts[-1]):
+        return tag
+    return "-".join(parts[:-1])
+
+
+def _stanford_value(n: Node) -> str:
+    """Stanford Tree.value(): label for internal/preterminal nodes, the
+    word for a bare leaf."""
+    return n.label if n.label else (n.word or "")
+
+
+def _contains_vp(n: Node) -> bool:
+    """BFS for a VP.* label among descendants, recursing only into
+    phrasal (non-preterminal) children
+    (PDTBConnectiveSense2FeatureVector.java:858-871)."""
+    q = deque(n.children)
+    while q:
+        c = q.popleft()
+        if c.label.startswith("VP"):
+            return True
+        if c.word is None and c.children:  # phrasal, not a preterminal
+            q.extend(c.children)
+    return False
+
+
+def sense_features(tokens: list[str], pos: list[str], tree: Node,
+                   start: int, end: int, arg2_head: int,
+                   category: str) -> list[str]:
+    """ACTIVE feature families of the sense classifier's pipe
+    (``ml/PDTBConnectiveSense2FeatureVector.pipe``, java:65-103 — the
+    syntax-tree/custom/clause/temporal/path/constituent/dependency blocks
+    are commented out in the reference; the manual syn-syn pair
+    conjunctions are behind ``if (1 < 2) return`` and therefore dead):
+
+    1. identity (java:165-169): the raw connective string;
+    2. Penn block (java:808-897): unary-climbed LCA SELF / PARENT /
+       LEFT@-1 / RIGHT@+1 (+ VP-containment flag), each emitted plain
+       and conn-conjoined, interleaved;
+    3. surface (java:119-164): CAT=<lexicon category>, CONN&PREVW /
+       CONN&PREV-CHUNK (first char of the ancestor(2) label, or the
+       punctuation itself), same for NEXT — with NO else branch at the
+       sentence end, exactly as in the reference;
+    4. head (java:105-118): CONN=<conn>&HEAD_POS=<preterminal of the
+       Arg2 head leaf> and HEAD=<Arg2 head word>.
+
+    Fidelity notes: the reference mixes word sources — ``getConnString``
+    reads TREE leaf values (Penn-escaped) while ``Sentence.toString`` /
+    ``.word()`` read the raw tokens — mirrored here via ``tree`` vs
+    ``tokens``. A null LCA would NPE in the reference (java:833); ports
+    return the two SELF=<NONE> features for that unreachable branch.
+    """
+    lv = leaves(tree)
+    feats: list[str] = []
+
+    conn_sent = " ".join(tokens[start:end + 1])       # Sentence.toString
+    # getConnString reads tree LEAF values (Penn-escaped words)
+    conn_tree = " ".join(lv[i].word or "" for i in range(start, end + 1))
+
+    # 1. identity
+    feats.append(conn_sent)
+
+    # 2. Penn block
+    conn_l = conn_sent.lower()
+    node = lca(tree, start, end)
+    base: list[str] = []
+    if node is None:  # reference-unreachable (would NPE at java:833)
+        base.append("SELF=<NONE>")
+    else:
+        parent = node.parent
+        while parent is not None and len(parent.children) == 1:
+            node = parent
+            parent = node.parent
+        base.append("SELF=" + _remove_reference_tag(_stanford_value(node)))
+        base.append("PARENT=" + _remove_reference_tag(_stanford_value(parent))
+                    if parent is not None else "PARENT=<NONE>")
+        left = _sibling(node, -1)
+        base.append("LEFT@-1-" + _remove_reference_tag(_stanford_value(left))
+                    if left is not None else "LEFT@-1-<NONE>")
+        right = _sibling(node, 1)
+        if right is not None:
+            base.append("RIGHT@+1-"
+                        + _remove_reference_tag(_stanford_value(right)))
+            if right.label:  # Stanford isLeaf() false: preterminal/phrasal
+                if _contains_vp(right) or right.label.startswith("VP"):
+                    base.append("RIGHT@+1-has-VP")
+                else:
+                    base.append("RIGHT@+1-has-no-VP")
+        else:
+            base.append("RIGHT@+1-<NONE>")
+    for f in base:
+        feats.append(f)
+        feats.append(conn_l + "&" + f)
+
+    # 3. surface
+    feats.append("CAT=" + category)
+    n = len(tokens)
+    if start > 0:
+        feats.append(f"CONN&PREVW={conn_tree}&{tokens[start - 1]}")
+        leaf = lv[start - 1]
+        chunk = leaf.word or ""
+        if not _PUNCT_CHUNK_RE.fullmatch(chunk):
+            anc2 = leaf.parent if leaf.word is not None else leaf
+            chunk = _stanford_value(anc2) if anc2 is not None else chunk
+        feats.append("CONN&PREV-CHUNK=" + _remove_reference_tag(chunk)[:1])
+    else:
+        feats.append(f"CONN&PREVW={conn_tree}&NONE")
+        feats.append("CONN&PREV-CHUNK=NONE")
+    if end < n - 1:
+        feats.append(f"CONN&NEXTW={conn_tree}&{tokens[end + 1]}")
+        leaf = lv[end + 1]
+        chunk = leaf.word or ""
+        if not _PUNCT_CHUNK_RE.fullmatch(chunk):
+            anc2 = leaf.parent if leaf.word is not None else leaf
+            chunk = _stanford_value(anc2) if anc2 is not None else chunk
+        feats.append("CONN&NEXT-CHUNK=" + _remove_reference_tag(chunk)[:1])
+    # (no else branch: the reference emits nothing at the sentence end)
+
+    # 4. head
+    conn_tl = conn_tree.lower()
+    # leaf.parent(root).value() = the preterminal label (our fused node)
+    feats.append(f"CONN={conn_tl}&HEAD_POS={lv[arg2_head].label}")
+    feats.append("HEAD=" + tokens[arg2_head])
     return feats

@@ -90,7 +90,10 @@ def gorn_address(root: Node, node: Node) -> str:
     path: list[int] = []
     cur = node
     while cur.parent is not None:
-        path.append(cur.parent.children.index(cur))
+        # identity, not equality: a structurally identical sibling (same
+        # word twice under one parent) would .index() to the FIRST copy
+        path.append(next(i for i, c in enumerate(cur.parent.children)
+                         if c is cur))
         cur = cur.parent
     if cur is not root:
         raise ValueError("node not under root")

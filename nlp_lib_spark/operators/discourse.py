@@ -123,3 +123,56 @@ def hor_edges(disc: DataFrame, triples: DataFrame) -> DataFrame:
         F.col("turn_idx").alias("dst_turn_idx"),
         F.col("sent_id").alias("dst_sent_id"),
         "arg2_subj", "arg2_pred", "arg2_obj")
+
+
+def sense_feature_rows(ann: DataFrame,
+                       conn2cat: dict[str, str] | None = None) -> DataFrame:
+    """Per-connective sense-classifier feature rows (the
+    PDTBConnectiveSense2FeatureVector port, kernels/connfeatures.
+    sense_features) — one row per emitted feature string, order-indexed.
+
+    Consumes the frozen constituency tree (kernels/constit.build_tree)
+    parsed back from its Penn string, so the features see exactly what a
+    kg_trees consumer sees. Connectives whose Arg2 head rule finds no
+    eligible token (arg2_head == -1) are skipped: the reference indexes
+    leaves by the gold head and cannot receive that input.
+
+    One stateless Arrow pass; the lexicon rides the closure (broadcast
+    dims)."""
+    from nlp_lib_spark.kernels.connfeatures import sense_features
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.discourse import arg2_head
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = ConnectiveLexicon(conn2cat)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = list(r.blinded)
+                pos = list(r.pos)
+                if not toks or len(pos) != len(toks):
+                    continue
+                spans = lex.find(toks)
+                if not spans:
+                    continue
+                tree = parse_penn(build_tree(toks, pos))
+                for span in spans:
+                    a2h = arg2_head(toks, pos, span)
+                    if a2h < 0:
+                        continue
+                    feats = sense_features(toks, pos, tree, span[0], span[1],
+                                           a2h, lex.sense(toks, span))
+                    for fi, f in enumerate(feats):
+                        rows.append((r.conv_id, int(r.turn_idx),
+                                     int(r.sent_id), span[0], span[1],
+                                     fi, f))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_id", "conn_start", "conn_end",
+                "fidx", "feature"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded", "pos")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, conn_start int, "
+                                    "conn_end int, fidx int, "
+                                    "feature string"))

@@ -88,3 +88,101 @@ def tree_scores(trees: DataFrame, prototypes: list[str]) -> DataFrame:
     return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
             .mapInPandas(fn, schema="conv_id string, turn_idx int, "
                                     "sent_id int, proto_id int, k long"))
+
+
+def tree_dep_edges(trees: DataFrame) -> DataFrame:
+    """(.., tree) -> typed-dependency edges (the PTB2Dep slot).
+
+    Reference ``corpus/pdtb/PTB2Dep.java:29-99`` converts every Penn tree
+    to Stanford typed dependencies (``gs.typedDependencies()``); here the
+    frozen Collins-head converter (kernels/treedep.tree_to_deps) runs in
+    one stateless Arrow pass over the tree strings — no shuffle, no
+    driver round-trip. Output row per edge, root edge with gov_idx -1 and
+    gov_tok 'ROOT' (the reader's ``ROOT-0`` convention)."""
+    from nlp_lib_spark.kernels.tree import leaves
+    from nlp_lib_spark.kernels.treedep import tree_to_deps
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                root = parse_penn(r.tree)
+                if root is None:
+                    continue
+                words = [l.word for l in leaves(root)]
+                for reln, g, d in tree_to_deps(root):
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 reln, g, d,
+                                 "ROOT" if g < 0 else words[g], words[d]))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_id", "reln",
+                "gov_idx", "dep_idx", "gov_tok", "dep_tok"])
+
+    return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, reln string, "
+                                    "gov_idx int, dep_idx int, "
+                                    "gov_tok string, dep_tok string"))
+
+
+def dep_lines(trees: DataFrame) -> DataFrame:
+    """(.., tree) -> one ``.dep``-format line per sentence — the exact
+    file payload PTB2Dep.java:84-96 writes (tab-separated
+    ``reln(gov-G, dep-D)``), so writing these lines per doc_id reproduces
+    the reference's deps/ corpus layout and round-trips through
+    ``sources/readers.read_deps``."""
+    from nlp_lib_spark.kernels.tree import leaves
+    from nlp_lib_spark.kernels.treedep import format_dep_line, tree_to_deps
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                root = parse_penn(r.tree)
+                if root is None:
+                    continue
+                words = [l.word for l in leaves(root)]
+                rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                             format_dep_line(tree_to_deps(root), words)))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "dep_line"])
+
+    return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, dep_line string"))
+
+
+def sst_tree_scores(trees: DataFrame, prototypes: list[str],
+                    lam: float = 0.5, scale: int = 10_000) -> DataFrame:
+    """Collins-Duffy SST kernel (kernels/treekernel.tree_kernel, the
+    libsvm/TreeKernel.java:26-110 port) of every sentence tree against
+    the broadcast prototypes.
+
+    The SST kernel is float-valued (lambda decay), so the driver gate
+    stays on the integer ST kernel (kg_tree_scores); this operator is the
+    runtime path for the reference's actual kernel and is pytest-verified
+    against a driver-side loop. Scores ship as ``floor(scale * k)`` —
+    integer column, so downstream joins/aggregations hash exactly.
+    """
+    import math
+
+    from nlp_lib_spark.kernels.treekernel import tree_kernel
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        protos = [(i, parse_penn(p)) for i, p in enumerate(prototypes)]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = parse_penn(r.tree)
+                for pid, pt in protos:
+                    k = tree_kernel(t, pt, lam)
+                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
+                                 pid, int(math.floor(scale * k))))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "proto_id",
+                                              "k_scaled"])
+
+    return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, proto_id int, "
+                                    "k_scaled long"))

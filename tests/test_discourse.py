@@ -233,3 +233,77 @@ def test_crf_annotate_distributed_matches_kernel(spark):
     for i, d in enumerate(data):
         key = (f"c{i%5}", i // 5)
         assert out[key] == viterbi(d[0][0], d[0][1], tags, w)
+
+
+def test_sense_features_golden():
+    """Hand-worked golden for the sense-classifier pipe's four active
+    families (PDTBConnectiveSense2FeatureVector.java:65-103), in exact
+    emission order."""
+    from nlp_lib_spark.kernels.connfeatures import sense_features
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    toks = ["moreover", ",", "the", "dog", "runs", "."]
+    pos = ["RB", ",", "DT", "NN", "VBZ", "."]
+    tree = parse_penn(build_tree(toks, pos))
+    # tree: (S (RB moreover) (, ,) (NP (DT the) (NN dog)) (VP (VBZ runs)) (. .))
+    got = sense_features(toks, pos, tree, 0, 0, 4, "Expansion")
+    assert got == [
+        "moreover",                       # identity (raw conn string)
+        "SELF=RB", "moreover&SELF=RB",    # Penn block, interleaved
+        "PARENT=S", "moreover&PARENT=S",
+        "LEFT@-1-<NONE>", "moreover&LEFT@-1-<NONE>",
+        "RIGHT@+1-,", "moreover&RIGHT@+1-,",
+        "RIGHT@+1-has-no-VP", "moreover&RIGHT@+1-has-no-VP",
+        "CAT=Expansion",
+        "CONN&PREVW=moreover&NONE", "CONN&PREV-CHUNK=NONE",
+        "CONN&NEXTW=moreover&,", "CONN&NEXT-CHUNK=,",
+        "CONN=moreover&HEAD_POS=VBZ", "HEAD=runs",
+    ]
+
+
+def test_sense_features_chunk_internal_and_vp():
+    """Single-token connective INSIDE a chunk: SELF = its preterminal,
+    PARENT = the chunk, siblings = neighbor preterminals; right sibling
+    VP chunk at S level flags has-VP; no NEXT else-branch at sentence
+    end (reference emits nothing there)."""
+    from nlp_lib_spark.kernels.connfeatures import sense_features
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    toks = ["if", "results", "hold"]
+    pos = ["IN", "NNS", "VBP"]
+    # (S (IN if) (NP (NNS results)) (VP (VBP hold)))
+    tree = parse_penn(build_tree(toks, pos))
+    got = sense_features(toks, pos, tree, 0, 0, 2, "Contingency")
+    assert "SELF=IN" in got and "PARENT=S" in got
+    assert "RIGHT@+1-NP" in got and "RIGHT@+1-has-no-VP" in got
+    # sentence-initial: PREVW NONE branch; last-token NEXT exists here
+    assert "CONN&PREVW=if&NONE" in got
+    assert "CONN&NEXTW=if&results" in got and "CONN&NEXT-CHUNK=N" in got
+    assert got[-2:] == ["CONN=if&HEAD_POS=VBP", "HEAD=hold"]
+    # connective at the LAST token -> no NEXT features at all
+    got2 = sense_features(toks, pos, tree, 2, 2, 1, "Contingency")
+    assert not any(f.startswith("CONN&NEXT") for f in got2)
+    # right sibling of (NP results)'s... the VP chunk flags has-VP
+    got3 = sense_features(toks, pos, tree, 1, 1, 2, "Contingency")
+    assert "SELF=NNS" not in got3  # span==whole NP chunk -> SELF=NP
+    assert "SELF=NP" in got3
+    assert "RIGHT@+1-VP" in got3 and "RIGHT@+1-has-VP" in got3
+
+
+def test_sense_features_duplicate_sibling_identity():
+    """Two structurally identical leaves at the same tree level must
+    resolve siblings by IDENTITY, not equality (fuzz seed 404: the
+    second 'however' picked up the first one's neighbors)."""
+    from nlp_lib_spark.kernels.connfeatures import sense_features
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    toks = ["however", ",", "the", "x", "however", "runs", "."]
+    pos = ["RB", ",", "DT", "NN", "RB", "VBZ", "."]
+    tree = parse_penn(build_tree(toks, pos))
+    # second 'however' (idx 4): left sibling is the NP, right the VP
+    got = sense_features(toks, pos, tree, 4, 4, 5, "Comparison")
+    assert "LEFT@-1-NP" in got
+    assert "RIGHT@+1-VP" in got and "RIGHT@+1-has-VP" in got

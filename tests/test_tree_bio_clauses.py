@@ -181,3 +181,81 @@ def test_prototype_trees_deterministic():
     b = prototype_trees(TESTDATA_CONFIG)
     assert a == b and len(a) == 2
     assert all(p.startswith("(S ") for p in a)
+
+
+def test_sst_tree_scores_matches_driver_loop(spark):
+    """Distributed SST scoring == driver-side tree_kernel loop."""
+    import math
+
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import tree_kernel
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.extract import annotate_turns
+    from nlp_lib_spark.operators.transcripts import transcripts
+    from nlp_lib_spark.operators.trees import (prototype_trees,
+                                               sst_tree_scores,
+                                               trees_from_annotations)
+
+    ann = annotate_turns(transcripts(spark, "/root/testdata/sf0.001",
+                                     with_ts=False), TESTDATA_CONFIG)
+    trees = trees_from_annotations(ann).limit(40).localCheckpoint()
+    protos = prototype_trees(TESTDATA_CONFIG)
+    got = {(r.conv_id, r.turn_idx, r.sent_id, r.proto_id): r.k_scaled
+           for r in sst_tree_scores(trees, protos).collect()}
+    ptrees = [parse_penn(p) for p in protos]
+    want = {}
+    for r in trees.collect():
+        t = parse_penn(r.tree)
+        for pid, pt in enumerate(ptrees):
+            want[(r.conv_id, r.turn_idx, r.sent_id, pid)] = \
+                int(math.floor(10_000 * tree_kernel(t, pt, 0.5)))
+    assert got == want and len(got) == 80
+
+
+# ---- tree -> typed dependencies (the PTB2Dep slot) -------------------------
+
+def test_tree_to_deps_golden_built_tree():
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.treedep import tree_to_deps
+    toks = "the PROTEIN1 strongly activates PROTEIN2 in the cell".split()
+    root = parse_penn(build_tree(toks, pos_tag(toks)))
+    deps = tree_to_deps(root)
+    # S head: Collins S-rule prefers IN ("in", idx 5); NP heads attach by
+    # side (nsubj left / obj right); group internals to group heads.
+    assert deps == [("root", -1, 5), ("nsubj", 5, 1), ("advmod", 5, 2),
+                    ("nsubj", 5, 4), ("obj", 5, 7), ("det", 1, 0),
+                    ("compound", 4, 3), ("det", 7, 6)]
+
+
+def test_tree_to_deps_gold_tree_and_properties():
+    from nlp_lib_spark.kernels.treedep import tree_to_deps
+    root = parse_penn(PENN)  # nested gold tree (ROOT (S (NP..) (VP.. (NP..))))
+    deps = tree_to_deps(root)
+    # every leaf governed exactly once; exactly one root edge
+    governed = sorted(d for _, _, d in deps)
+    assert governed == list(range(len(leaves(root))))
+    assert sum(1 for r, g, _ in deps if r == "root" and g == -1) == 1
+    # VP head 'chases' is sentence head; subject NP head 'dog' left -> nsubj
+    assert ("nsubj", 2, 1) in deps and ("obj", 2, 4) in deps
+    assert ("det", 1, 0) in deps and ("det", 4, 3) in deps
+
+
+def test_tree_to_deps_empty_and_malformed():
+    from nlp_lib_spark.kernels.treedep import tree_to_deps
+    assert tree_to_deps(parse_penn("(S )")) == []
+    assert tree_to_deps(None) == []
+
+
+def test_dep_line_round_trip():
+    """format_dep_line output parses back through sources/readers.parse_dep
+    byte-for-byte (the PTB2Dep.java file payload round trip)."""
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.treedep import format_dep_line, tree_to_deps
+    from nlp_lib_spark.sources.readers import parse_dep
+    toks = "( see Figure 2 ) and results suggest the receptor".split()
+    root = parse_penn(build_tree(toks, pos_tag(toks)))
+    deps = tree_to_deps(root)
+    words = [l.word for l in leaves(root)]
+    line = format_dep_line(deps, words)
+    parsed = [parse_dep(raw) for raw in line.split("\t")]
+    assert parsed == deps
