@@ -43,6 +43,7 @@ HEADLINE = (
     "kg_tree_scores",      # ST-kernel vs broadcast prototypes (round 3)
     "kg_sense_features",   # sense-classifier features over trees (round 3)
     "kg_tree_deps",        # tree->typed-dependency converter (round 3)
+    "kg_conn_features_v2", # variant-2 connective features (round 3)
     "minhash_lsh_pairs",   # MinHash+LSH near-dup candidate pairs
     "dedup_exact",         # exact dedup by content hash
     "ann_topk",            # brute-force cosine top-k

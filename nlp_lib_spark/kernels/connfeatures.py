@@ -27,7 +27,7 @@ import re
 from collections import deque
 
 from nlp_lib_spark.kernels.depgraph import DepGraph
-from nlp_lib_spark.kernels.tree import Node, lca, leaves
+from nlp_lib_spark.kernels.tree import Node, head_leaf, lca, leaves
 
 _SUBJ_RE = re.compile(r".*subj.*")
 _MOD_RE = re.compile(r"RB|ADVP|NP|DT|PP|,")
@@ -207,6 +207,179 @@ def _contains_vp(n: Node) -> bool:
         if c.word is None and c.children:  # phrasal, not a preterminal
             q.extend(c.children)
     return False
+
+
+def _domination_path(root: Node, node: Node) -> list[Node]:
+    """Stanford Tree.dominationPath: root..node inclusive."""
+    path = []
+    cur: Node | None = node
+    while cur is not None:
+        path.append(cur)
+        if cur is root:
+            break
+        cur = cur.parent
+    return list(reversed(path))
+
+
+def connective_features_v2(tokens: list[str], pos: list[str], tree: Node,
+                           start: int, end: int,
+                           category: str) -> list[str]:
+    """ACTIVE feature families of the richer connective-disambiguation
+    pipe (``ml/PDTBConnective2FeatureVector2.pipe``, java:65-112 — the
+    syntax-tree/my-syntactic/clause/temporal/path/constituent/dependency
+    blocks are commented out in the reference):
+
+    1. identity (java:152-156): raw connective string + ``LC=<lower>``;
+    2. Penn block (java:795-901): unary-climbed LCA SELF / PARENT /
+       LEFT@-1 (PLAIN sibling — no modifier skip, unlike variant 1) /
+       RIGHT@+1 (+ VP-containment flag), every label through
+       removeReferenceTag, each emitted plain and lowercase-conn-conjoined
+       interleaved; then the manual syn-syn conjunctions INCLUDING the
+       extra PARENT&RIGHT_VP pair (java:886-896; the RIGHT_TRACE pairs
+       are dead — the trace feature itself is commented out);
+    3. custom block (java:157-295): CAT, PREVW/NEXTW raw words plain and
+       tree-conn-conjoined, CONN&PREV/NEXT-CHUNK with the FULL
+       removeReferenceTag'd ancestor(2) label (no [:1] truncation, unlike
+       the surface family), no PREV-CHUNK feature in the start==0 branch;
+       then the domination path of the unary-climbed LCA: ``ANC@k=<tag>``
+       for ancestors at distance k>2 only (i < sz-2, java:228-234 — dead
+       on depth-3 trees, live on gold trees) and, at the self node, the
+       right sibling's Collins-head preterminal label as
+       ``<category>&RIGHT-HEAD@1=<label>`` (java:252-258; NOT
+       reference-tag-stripped);
+    4. surface block (java:113-151): CAT again, CONN&PREVW/NEXTW over the
+       raw POS tags, CONN&PREV/NEXT-CHUNK over the FIRST CHARACTER of the
+       stripped chunk label, with the NONE else-branch only on the left.
+
+    Word-source fidelity (as in sense_features): ``getConnString`` reads
+    TREE leaf values (Penn-escaped), ``Sentence.toString``/``word()``/
+    ``getTag("POS")`` read the raw token/POS lists.
+    """
+    lv = leaves(tree)
+    n = len(tokens)
+    feats: list[str] = []
+
+    conn_sent = " ".join(tokens[start:end + 1])
+    conn_tree = " ".join(lv[i].word or "" for i in range(start, end + 1))
+
+    # 1. identity
+    feats.append(conn_sent)
+    feats.append("LC=" + conn_sent.lower())
+
+    # 2. Penn block
+    conn_l = conn_sent.lower()
+    node = lca(tree, start, end)
+    base: list[str] = []
+    if node is None:  # reference-unreachable (would NPE at java:821)
+        base.append("SELF=<NONE>")
+    else:
+        parent = node.parent
+        while parent is not None and len(parent.children) == 1:
+            node = parent
+            parent = node.parent
+        base.append("SELF=" + _remove_reference_tag(_stanford_value(node)))
+        base.append("PARENT=" + _remove_reference_tag(_stanford_value(parent))
+                    if parent is not None else "PARENT=<NONE>")
+        left = _sibling(node, -1)
+        base.append("LEFT@-1-" + _remove_reference_tag(_stanford_value(left))
+                    if left is not None else "LEFT@-1-<NONE>")
+        right = _sibling(node, 1)
+        if right is not None:
+            base.append("RIGHT@+1-"
+                        + _remove_reference_tag(_stanford_value(right)))
+            if right.label:  # Stanford isLeaf() false
+                if _contains_vp(right) or right.label.startswith("VP"):
+                    base.append("RIGHT@+1-has-VP")
+                else:
+                    base.append("RIGHT@+1-has-no-VP")
+        else:
+            base.append("RIGHT@+1-<NONE>")
+    for f in base:
+        feats.append(f)
+        feats.append(conn_l + "&" + f)
+    SELF, PARENT, LEFT, RIGHT, RIGHT_VP = 0, 1, 2, 3, 4
+    if len(base) >= 4:
+        feats.append(base[LEFT] + "&" + base[RIGHT])
+        feats.append(base[SELF] + "&" + base[LEFT])
+        feats.append(base[SELF] + "&" + base[RIGHT])
+        feats.append(base[PARENT] + "&" + base[LEFT])
+        feats.append(base[PARENT] + "&" + base[RIGHT])
+        feats.append(base[SELF] + "&" + base[PARENT])
+    if len(base) > 4:
+        feats.append(base[RIGHT] + "&" + base[RIGHT_VP])
+        feats.append(base[PARENT] + "&" + base[RIGHT_VP])
+
+    # 3. custom block
+    feats.append("CAT=" + category)
+    if start > 0:
+        feats.append("PREVW=" + tokens[start - 1])
+        feats.append(f"CONN&PREVW={conn_tree}&{tokens[start - 1]}")
+        leaf = lv[start - 1]
+        chunk = leaf.word or ""
+        if not _PUNCT_CHUNK_RE.fullmatch(chunk):
+            anc2 = leaf.parent if leaf.word is not None else leaf
+            chunk = _stanford_value(anc2) if anc2 is not None else chunk
+        feats.append(f"CONN&PREV-CHUNK={conn_tree}&"
+                     + _remove_reference_tag(chunk))
+    else:
+        feats.append("PREVW=NONE")
+        feats.append(f"CONN&PREVW={conn_tree}&NONE")
+        # (no PREV-CHUNK feature in this branch, java:195-199)
+    if end < n - 1:
+        feats.append("NEXTW=" + tokens[end + 1])
+        feats.append(f"CONN&NEXTW={conn_tree}&{tokens[end + 1]}")
+        leaf = lv[end + 1]
+        chunk = leaf.word or ""
+        if not _PUNCT_CHUNK_RE.fullmatch(chunk):
+            anc2 = leaf.parent if leaf.word is not None else leaf
+            chunk = _stanford_value(anc2) if anc2 is not None else chunk
+        feats.append(f"CONN&NEXT-CHUNK={conn_tree}&"
+                     + _remove_reference_tag(chunk))
+    # domination-path block (java:215-266)
+    node = lca(tree, start, end)
+    if node is not None:
+        parent = node.parent
+        while parent is not None and len(parent.children) == 1:
+            node = parent
+            parent = node.parent
+        path = _domination_path(tree, node)
+        sz = len(path)
+        for i in range(1, sz):
+            t = path[i]
+            if _stanford_value(t):
+                tag = _remove_reference_tag(_stanford_value(t))
+                if i < sz - 2:
+                    feats.append(f"ANC@{sz - i}={tag}")
+                if sz - i < 2:
+                    right_sib = _sibling(t, 1)
+                    if right_sib is not None:
+                        hl = head_leaf(right_sib)
+                        if hl is not None:
+                            feats.append(f"{category}&RIGHT-HEAD@{sz - i}="
+                                         + hl.label)
+
+    # 4. surface block
+    feats.append("CAT=" + category)
+    if start > 0:
+        feats.append(f"CONN&PREVW={conn_tree}&{pos[start - 1]}")
+        leaf = lv[start - 1]
+        chunk = leaf.word or ""
+        if not _PUNCT_CHUNK_RE.fullmatch(chunk):
+            anc2 = leaf.parent if leaf.word is not None else leaf
+            chunk = _stanford_value(anc2) if anc2 is not None else chunk
+        feats.append("CONN&PREV-CHUNK=" + _remove_reference_tag(chunk)[:1])
+    else:
+        feats.append(f"CONN&PREVW={conn_tree}&NONE")
+        feats.append("CONN&PREV-CHUNK=NONE")
+    if end < n - 1:
+        feats.append(f"CONN&NEXTW={conn_tree}&{pos[end + 1]}")
+        leaf = lv[end + 1]
+        chunk = leaf.word or ""
+        if not _PUNCT_CHUNK_RE.fullmatch(chunk):
+            anc2 = leaf.parent if leaf.word is not None else leaf
+            chunk = _stanford_value(anc2) if anc2 is not None else chunk
+        feats.append("CONN&NEXT-CHUNK=" + _remove_reference_tag(chunk)[:1])
+    return feats
 
 
 def sense_features(tokens: list[str], pos: list[str], tree: Node,

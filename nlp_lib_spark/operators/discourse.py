@@ -125,6 +125,53 @@ def hor_edges(disc: DataFrame, triples: DataFrame) -> DataFrame:
         "arg2_subj", "arg2_pred", "arg2_obj")
 
 
+def conn_features_v2_rows(ann: DataFrame,
+                          conn2cat: dict[str, str] | None = None
+                          ) -> DataFrame:
+    """Per-candidate connective-disambiguation feature rows from the
+    richer variant-2 pipe (kernels/connfeatures.connective_features_v2,
+    the ml/PDTBConnective2FeatureVector2.java port) — one row per emitted
+    feature string, order-indexed. Unlike the sense pipe, EVERY lexicon
+    candidate span is an instance (the disambiguation classifier decides
+    connective-or-not), so there is no Arg2-head filter.
+
+    One stateless Arrow pass; the lexicon rides the closure."""
+    from nlp_lib_spark.kernels.connfeatures import connective_features_v2
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = ConnectiveLexicon(conn2cat)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = list(r.blinded)
+                pos = list(r.pos)
+                if not toks or len(pos) != len(toks):
+                    continue
+                spans = lex.find(toks)
+                if not spans:
+                    continue
+                tree = parse_penn(build_tree(toks, pos))
+                for span in spans:
+                    cat = lex.sense(toks, span)
+                    feats = connective_features_v2(toks, pos, tree,
+                                                   span[0], span[1], cat)
+                    for fi, f in enumerate(feats):
+                        rows.append((r.conv_id, int(r.turn_idx),
+                                     int(r.sent_id), span[0], span[1],
+                                     fi, f))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_id", "conn_start", "conn_end",
+                "fidx", "feature"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded", "pos")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, conn_start int, "
+                                    "conn_end int, fidx int, "
+                                    "feature string"))
+
+
 def sense_feature_rows(ann: DataFrame,
                        conn2cat: dict[str, str] | None = None) -> DataFrame:
     """Per-connective sense-classifier feature rows (the

@@ -307,3 +307,76 @@ def test_sense_features_duplicate_sibling_identity():
     got = sense_features(toks, pos, tree, 4, 4, 5, "Comparison")
     assert "LEFT@-1-NP" in got
     assert "RIGHT@+1-VP" in got and "RIGHT@+1-has-VP" in got
+
+
+def test_connective_features_v2_golden():
+    """Variant-2 pipe families (ml/PDTBConnective2FeatureVector2.java
+    active blocks) — golden on a built tree."""
+    from nlp_lib_spark.kernels.connfeatures import connective_features_v2
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.postag import pos_tag
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    toks = "and then the cell responds".split()
+    pos = pos_tag(toks)
+    tree = parse_penn(build_tree(toks, pos))
+    got = connective_features_v2(toks, pos, tree, 1, 1, "Temporal")
+    # identity pair leads
+    assert got[:2] == ["then", "LC=then"]
+    # Penn block plain+conjoined interleave
+    i = got.index("SELF=RB")
+    assert got[i + 1] == "then&SELF=RB"
+    # the variant-2-only PARENT&RIGHT_VP conjunction
+    assert "PARENT=S&RIGHT@+1-has-no-VP" in got
+    # custom block: raw-word PREVW, tree-conn conjunctions, FULL chunk tag
+    assert "PREVW=and" in got and "CONN&PREVW=then&and" in got
+    assert "CONN&PREV-CHUNK=then&S" in got      # O token -> ancestor(2)=S
+    assert "CONN&NEXT-CHUNK=then&NP" in got     # full tag, no truncation
+    # Collins head of the right S-sibling (NP the cell responds -> NN)
+    assert "Temporal&RIGHT-HEAD@1=NN" in got
+    # surface block: POS-based PREVW and single-char chunks
+    assert "CONN&PREVW=then&CC" in got
+    assert got[-1] == "CONN&NEXT-CHUNK=N"
+    # CAT emitted by BOTH custom and surface blocks
+    assert sum(1 for f in got if f == "CAT=Temporal") == 2
+
+
+def test_connective_features_v2_gold_tree_anc():
+    """ANC@k fires only for ancestors at distance > 2 — dead on depth-3
+    built trees, live on deeper gold trees (java:228-234)."""
+    from nlp_lib_spark.kernels.connfeatures import connective_features_v2
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    deep = ("(ROOT (S (NP (NN x)) (VP (VBZ says) (SBAR (IN that) "
+            "(S (NP (NN y)) (VP (VBZ runs)))))))")
+    tree = parse_penn(deep)
+    toks = ["x", "says", "that", "y", "runs"]
+    pos = ["NN", "VBZ", "IN", "NN", "VBZ"]
+    # 'that' (idx 2): LCA = preterminal IN under SBAR; path ROOT-S-VP-SBAR-IN
+    got = connective_features_v2(toks, pos, tree, 2, 2, "Contingency")
+    assert "ANC@4=S" in got and "ANC@3=VP" in got
+    assert not any(f.startswith("ANC@2") or f.startswith("ANC@1")
+                   for f in got)
+    # right sibling of the IN preterminal inside SBAR is the embedded S;
+    # its Collins head leaf is the VBZ preterminal of 'runs'
+    assert "Contingency&RIGHT-HEAD@1=VBZ" in got
+
+
+def test_connective_features_v2_edge_spans():
+    from nlp_lib_spark.kernels.connfeatures import connective_features_v2
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.postag import pos_tag
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    toks = "however the results hold".split()
+    pos = pos_tag(toks)
+    tree = parse_penn(build_tree(toks, pos))
+    # sentence-initial connective: PREVW NONE branches, NO custom
+    # PREV-CHUNK feature (the reference's else branch omits it)
+    got = connective_features_v2(toks, pos, tree, 0, 0, "Comparison")
+    assert "PREVW=NONE" in got and "CONN&PREVW=however&NONE" in got
+    assert not any(f.startswith("CONN&PREV-CHUNK=however&") for f in got)
+    assert "CONN&PREV-CHUNK=NONE" in got  # surface block DOES emit NONE
+    # connective at the last token: no NEXT features anywhere
+    got2 = connective_features_v2(toks, pos, tree, 3, 3, "Expansion")
+    assert not any("NEXT" in f for f in got2)
