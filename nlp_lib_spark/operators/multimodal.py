@@ -2,12 +2,18 @@
 
 Design per the build brief: image/audio/video travel as ``binary`` columns
 with typed metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` operators. The actual codecs are NOT available
-in this container, so the decode step is STUBBED: ``mode="fake"`` produces a
-deterministic md5-derived feature vector (stable across runs/partitions, so
-the Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is fully real and testable); ``mode="real"`` raises ``NotImplementedError``
-at the exact seam where PIL/librosa/pyav decoding plugs in.
+Arrow-batched ``mapInPandas`` operators. Two modes:
+
+* ``mode="fake"`` — deterministic md5-derived feature vector (stable across
+  runs/partitions, so the Spark-side plumbing — schema, partitioning, UDF
+  signature, batch shape — is testable independent of any codec).
+* ``mode="real"`` — genuine decode via ``operators/mediacodec``: magic-byte
+  dispatch to an uncompressed-24bpp-BMP parser (struct + row padding +
+  bottom-up/top-down handling) and a stdlib PCM16 WAV reader, emitting
+  pixel/sample statistics + a 4x4 nearest-neighbor resize. PIL/librosa/pyav
+  are absent from this container (recorded in BASELINE.md); richer codecs
+  plug in at ``mediacodec.real_features``. Video frame decode stays a
+  stub — the stdlib has no container demuxer.
 """
 
 from __future__ import annotations
@@ -41,18 +47,17 @@ def extract_media_features(df: DataFrame, mode: str = "fake") -> DataFrame:
         raise ValueError(mode)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "real":
+            from nlp_lib_spark.operators.mediacodec import real_features
+            feat = real_features
+        else:
+            feat = _fake_features
         for pdf in batches:
-            if mode == "real":
-                # Plug point: PIL.Image.open / librosa.load / av.open
-                raise NotImplementedError(
-                    "real media decoding requires image/audio libs not "
-                    "present in this environment")
             rows = []
             for mid, kind, payload in zip(pdf["media_id"], pdf["kind"],
                                           pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                rows.append((int(mid), kind, len(data),
-                             _fake_features(data)))
+                rows.append((int(mid), kind, len(data), feat(data)))
             yield pd.DataFrame(rows, columns=["media_id", "kind", "n_bytes",
                                               "features"])
 

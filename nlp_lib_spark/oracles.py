@@ -2536,3 +2536,452 @@ JOIN sdim d ON d.sk = p.sk
 JOIN lsp pa ON pa.sk = p.sk AND pa.ms = p.e1
 JOIN lsp pb ON pb.sk = p.sk AND pb.ms = p.e2
 """
+
+
+@functools.lru_cache(maxsize=None)
+def aimed_features_oracle_sql() -> str:
+    """kg_aimed_features oracle (operators/ml.aimed_feature_rows without
+    the order index): the RelexPipeAIMed feature multiset per PROTEIN
+    pair, compared set-valued (frame_hash is order-insensitive, so fidx
+    is dropped and UNION ALL assembly order is free).
+
+    Graph machinery reuses the proven lll_ml shapes over the transcripts
+    chain: the emission-order rank model gives first-edge reads, the
+    entity-head climb is a functional-graph walk (both Java climb
+    patterns — ``det|nn|amod|abbrev|num|conj`` and ``det|nn|amod|num`` —
+    reduce to ``det|nn|amod|num`` on the frozen builder's label
+    vocabulary: bare ``conj``/``abbrev`` are never emitted), LCS/getRoot
+    are seen-guarded parent walks (incl. the visited-after-move quirk),
+    and the getPathAsList BFS is the unmarked-queue simulation with
+    "parent = max-pi earlier neighbor".
+
+    Corpus-dead branches (counter-verified by the kernel pytest, dead by
+    label vocabulary): rcmod/partmod/pobj never appear, so RCMOD is the
+    NONE constant when a path exists, the CPATH pobj word branch and the
+    PP pp1/pp2 pobj scans always yield Java's ``null``, and the CONJ
+    feature (needs a bare ``conj`` label) never fires.  The HEAD family
+    collapses to the depth-3 tree kind model: same head -> the leaf,
+    same chunk -> the Collins group head, cross-group -> the S head
+    (rank CASEs never match punctuation, so raw POS equals escaped POS
+    everywhere a rank applies)."""
+    from nlp_lib_spark.kernels.aimed import RESTRICTION_TERMS
+    terms = ", ".join(f"({i}, '{t}')" for i, t in
+                      enumerate(RESTRICTION_TERMS))
+    return dep_sql_prefix() + "," + _RANK_MODEL_CTES + f""",
+rterms(tord, term) AS (SELECT * FROM (VALUES {terms}) v),
+am_prot AS MATERIALIZED (SELECT sk, i FROM str2 WHERE is_prot),
+am_cand AS MATERIALIZED (
+  SELECT a.sk, a.i AS e1, b.i AS e2
+  FROM am_prot a JOIN am_prot b ON b.sk = a.sk AND b.i > a.i
+),
+am_parc AS MATERIALIZED (  -- first incoming det|nn|amod|num edge
+  SELECT sk, dep AS node, arg_min(gov, ord) AS gov
+  FROM dep_o WHERE reln IN ('det', 'nn', 'amod', 'num')
+  GROUP BY sk, dep
+),
+am_eh(sk, root, cur, seen) AS (
+  SELECT sk, i, i, [i] FROM am_prot
+  UNION ALL
+  SELECT e.sk, e.root, p.gov, list_append(e.seen, p.gov)
+  FROM am_eh e JOIN am_parc p ON p.sk = e.sk AND p.node = e.cur
+  WHERE NOT list_contains(e.seen, p.gov)
+),
+am_ehf AS MATERIALIZED (  -- terminal: no edge -> cur; cycle -> ORIGINAL
+  SELECT e.sk, e.root,
+         CASE WHEN p.node IS NULL THEN e.cur ELSE e.root END AS head
+  FROM am_eh e LEFT JOIN am_parc p ON p.sk = e.sk AND p.node = e.cur
+  WHERE p.node IS NULL OR list_contains(e.seen, p.gov)
+),
+am_pair AS MATERIALIZED (
+  SELECT c.sk, c.e1, c.e2,
+         least(ha.head, hb.head) AS h1, greatest(ha.head, hb.head) AS h2
+  FROM am_cand c
+  JOIN am_ehf ha ON ha.sk = c.sk AND ha.root = c.e1
+  JOIN am_ehf hb ON hb.sk = c.sk AND hb.root = c.e2
+),
+am_hpair AS MATERIALIZED (SELECT DISTINCT sk, h1, h2 FROM am_pair),
+am_hset AS (SELECT DISTINCT sk, h1 AS node FROM am_hpair
+            UNION SELECT DISTINCT sk, h2 FROM am_hpair),
+am_h1set AS (SELECT DISTINCT sk, h1 AS node FROM am_hpair),
+-- ==================== LCS (getLCS root paths, first common) ==============
+am_rp(sk, src, cur, depth, seen) AS (
+  SELECT sk, node, node, 0, [node] FROM am_hset
+  UNION ALL
+  SELECT r.sk, r.src, p.gov, r.depth + 1, list_append(r.seen, p.gov)
+  FROM am_rp r JOIN par p ON p.sk = r.sk AND p.node = r.cur
+  WHERE NOT list_contains(r.seen, p.gov)
+),
+am_lcs AS MATERIALIZED (
+  SELECT p.sk, p.h1, p.h2,
+    (SELECT a.cur FROM am_rp a WHERE a.sk = p.sk AND a.src = p.h1
+       AND EXISTS (SELECT 1 FROM am_rp b WHERE b.sk = p.sk
+                   AND b.src = p.h2 AND b.cur = a.cur)
+     ORDER BY a.depth LIMIT 1) AS lcs
+  FROM am_hpair p
+),
+-- ==================== getRoot (visited-after-move quirk) =================
+am_rw(sk, src, cur, seen) AS (
+  SELECT sk, node, node, []::INT[] FROM am_h1set
+  UNION ALL
+  SELECT r.sk, r.src, p.gov, list_append(r.seen, p.gov)
+  FROM am_rw r JOIN par p ON p.sk = r.sk AND p.node = r.cur
+  WHERE NOT list_contains(r.seen, p.gov)
+),
+am_root AS MATERIALIZED (
+  SELECT r.sk, r.src,
+         CASE WHEN p.node IS NULL THEN r.cur ELSE p.gov END AS root
+  FROM am_rw r LEFT JOIN par p ON p.sk = r.sk AND p.node = r.cur
+  WHERE p.node IS NULL OR list_contains(r.seen, p.gov)
+),
+-- ==================== PP reachability (CC graph) =========================
+am_ppv(sk, root, node) AS (
+  SELECT sk, node, node FROM am_hset
+  UNION
+  SELECT v.sk, v.root, e.gov
+  FROM am_ppv v JOIN dep_o e ON e.sk = v.sk AND e.dep = v.node
+  WHERE e.reln IN ('nn', 'amod') OR e.reln LIKE 'prep_%'
+),
+am_ppr AS MATERIALIZED (
+  SELECT DISTINCT v.sk, v.root, e.gov AS node
+  FROM am_ppv v JOIN dep_o e ON e.sk = v.sk AND e.dep = v.node
+  WHERE e.reln LIKE 'prep_%'
+),
+am_common AS MATERIALIZED (  -- common PP ancestors per head pair
+  SELECT p.sk, p.h1, p.h2, r1.node AS c
+  FROM am_hpair p
+  JOIN am_ppr r1 ON r1.sk = p.sk AND r1.root = p.h1
+  JOIN am_ppr r2 ON r2.sk = p.sk AND r2.root = p.h2 AND r2.node = r1.node
+),
+-- ============== getPathAsList BFS simulation (unmarked queue) ============
+am_adjp AS MATERIALIZED (
+  SELECT DISTINCT sk, gov AS a, dep AS b FROM dep_o
+  UNION SELECT DISTINCT sk, dep, gov FROM dep_o
+),
+am_adj AS MATERIALIZED (
+  SELECT sk, a AS node, list_sort(list(b)) AS nbrs FROM am_adjp
+  GROUP BY sk, a
+),
+am_labt AS MATERIALIZED (  -- oriented label matrix, last edge wins
+  SELECT sk, a, b, arg_max(lab, ord) AS lab FROM (
+    SELECT sk, gov AS a, dep AS b, reln AS lab, ord FROM dep_o
+    UNION ALL
+    SELECT sk, dep, gov, '-' || reln, ord FROM dep_o
+  ) z GROUP BY sk, a, b
+),
+am_srcs AS MATERIALIZED (
+  SELECT DISTINCT sk, node FROM (
+    SELECT sk, h1 AS node FROM am_hpair WHERE h1 <> h2
+    UNION ALL SELECT sk, c FROM am_common
+  ) z
+),
+am_sim(sk, src, queue, visited, assigned, pi) AS (
+  SELECT sk, node, [node], []::INT[], NULL::INT, -1 FROM am_srcs
+  UNION ALL
+  SELECT s.sk, s.src,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN s.queue[2:]
+         ELSE s.queue[2:] || list_filter(coalesce(a.nbrs, []),
+                x -> NOT list_contains(list_append(s.visited, s.queue[1]), x))
+    END,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN s.visited
+         ELSE list_append(s.visited, s.queue[1]) END,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN NULL
+         ELSE s.queue[1] END,
+    CASE WHEN list_contains(s.visited, s.queue[1]) THEN s.pi ELSE s.pi + 1 END
+  FROM am_sim s LEFT JOIN am_adj a ON a.sk = s.sk AND a.node = s.queue[1]
+  WHERE len(s.queue) > 0
+),
+am_pi AS MATERIALIZED (
+  SELECT sk, src, assigned AS node, pi FROM am_sim WHERE assigned IS NOT NULL
+),
+am_parw AS MATERIALIZED (  -- parent = last toucher = max-pi earlier neighbor
+  SELECT n.sk, n.src, n.node, arg_max(m.node, m.pi) AS par
+  FROM am_pi n
+  JOIN am_adjp e ON e.sk = n.sk AND e.a = n.node
+  JOIN am_pi m ON m.sk = n.sk AND m.src = n.src AND m.node = e.b
+              AND m.pi < n.pi
+  GROUP BY n.sk, n.src, n.node
+),
+am_wp AS MATERIALIZED (  -- (src, dst) pairs needing a path walk
+  SELECT DISTINCT w.sk, w.src, w.dst FROM (
+    SELECT sk, h1 AS src, h2 AS dst FROM am_hpair WHERE h1 <> h2
+    UNION ALL SELECT sk, c, h1 FROM am_common
+    UNION ALL SELECT sk, c, h2 FROM am_common WHERE h2 <> h1
+  ) w
+  WHERE EXISTS (SELECT 1 FROM am_pi t WHERE t.sk = w.sk AND t.src = w.src
+                AND t.node = w.dst)
+    AND w.src <> w.dst
+),
+am_walk(sk, src, dst, cur, labs, idxs) AS (
+  SELECT sk, src, dst, dst, []::VARCHAR[], []::INT[] FROM am_wp
+  UNION ALL
+  SELECT w.sk, w.src, w.dst, p.par,
+    list_prepend(l.lab, w.labs),
+    list_prepend(CASE WHEN l.lab LIKE '-%' THEN
+                   (CASE WHEN regexp_full_match(l.lab,
+                            '-(rcmod|partmod|dobj)')
+                         THEN p.par ELSE w.cur END)
+                 ELSE
+                   (CASE WHEN regexp_full_match(l.lab,
+                            'rcmod|partmod|dobj')
+                         THEN w.cur ELSE p.par END)
+                 END, w.idxs)
+  FROM am_walk w
+  JOIN am_parw p ON p.sk = w.sk AND p.src = w.src AND p.node = w.cur
+  JOIN am_labt l ON l.sk = w.sk AND l.a = p.par AND l.b = w.cur
+  WHERE w.cur <> w.src
+),
+am_path AS MATERIALIZED (
+  SELECT sk, src, dst, labs, idxs FROM am_walk WHERE cur = src
+),
+-- ==================== HEAD (depth-3 tree kind model) =====================
+am_tb AS (
+  SELECT sk, i, w, pos,
+         CASE WHEN w LIKE '%PROTEIN%' THEN 'NP'
+              WHEN pos LIKE 'N%' OR pos IN ('DT', 'JJ', 'CD', 'PRP')
+                   THEN 'NP'
+              WHEN pos LIKE 'V%' OR pos = 'MD' THEN 'VP'
+              WHEN pos = 'RB' THEN 'RB'
+              ELSE NULL END AS base
+  FROM str2
+),
+am_te AS (
+  SELECT sk, i, w, pos,
+         CASE WHEN base = 'RB' THEN
+           (CASE WHEN last_value(CASE WHEN base IS DISTINCT FROM 'RB'
+                                      THEN coalesce(base, 'O') END
+                                 IGNORE NULLS)
+                 OVER (PARTITION BY sk ORDER BY i
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 = 'VP' THEN 'VP' END)
+         ELSE base END AS etyp
+  FROM am_tb
+),
+am_tm AS (
+  SELECT sk, i, w, pos, etyp,
+         CASE WHEN etyp IS NULL THEN 1
+              WHEN lag(etyp) OVER (PARTITION BY sk ORDER BY i)
+                   IS DISTINCT FROM etyp THEN 1 ELSE 0 END AS is_new
+  FROM am_te
+),
+am_tg AS MATERIALIZED (
+  SELECT sk, i, w, pos, etyp,
+         sum(is_new) OVER (PARTITION BY sk ORDER BY i) AS grp
+  FROM am_tm
+),
+am_gi AS MATERIALIZED (
+  SELECT sk, grp, max(etyp) AS typ, min(i) AS gmin_idx,
+         CASE max(etyp)
+           WHEN 'NP' THEN arg_min(i,
+             (CASE pos WHEN 'NN' THEN 0 WHEN 'NNP' THEN 1 WHEN 'NNPS' THEN 2
+                  WHEN 'NNS' THEN 3 WHEN 'NX' THEN 4 WHEN 'POS' THEN 5
+                  WHEN 'JJR' THEN 6 WHEN 'NP' THEN 7 WHEN '$' THEN 8
+                  WHEN 'ADJP' THEN 9 WHEN 'PRN' THEN 10 WHEN 'CD' THEN 11
+                  WHEN 'JJ' THEN 12 WHEN 'JJS' THEN 13 WHEN 'RB' THEN 14
+                  WHEN 'QP' THEN 15 ELSE 99 END) * 100000 - i)
+           WHEN 'VP' THEN arg_min(i,
+             (CASE pos WHEN 'TO' THEN 0 WHEN 'VBD' THEN 1 WHEN 'VBN' THEN 2
+                  WHEN 'MD' THEN 3 WHEN 'VBZ' THEN 4 WHEN 'VB' THEN 5
+                  WHEN 'VBG' THEN 6 WHEN 'VBP' THEN 7 WHEN 'VP' THEN 8
+                  WHEN 'ADJP' THEN 9 WHEN 'NN' THEN 10 WHEN 'NNS' THEN 11
+                  WHEN 'NP' THEN 12 ELSE 99 END) * 100000 + i)
+           ELSE min(i) END AS hidx
+  FROM am_tg GROUP BY sk, grp
+),
+am_sh AS MATERIALIZED (  -- S head: Collins S rule over group labels
+  SELECT g.sk, arg_min(g.hidx,
+    (CASE coalesce(g.typ, t.pos) WHEN 'TO' THEN 0 WHEN 'IN' THEN 1
+         WHEN 'VP' THEN 2 WHEN 'S' THEN 3 WHEN 'SBAR' THEN 4
+         WHEN 'ADJP' THEN 5 WHEN 'UCP' THEN 6 WHEN 'NP' THEN 7
+         ELSE 99 END) * 100000 + g.grp) AS s_hidx
+  FROM am_gi g
+  JOIN am_tg t ON t.sk = g.sk AND t.i = g.hidx
+  GROUP BY g.sk
+),
+am_head AS MATERIALIZED (
+  SELECT p.sk, p.h1, p.h2,
+         CASE WHEN p.h1 = p.h2 THEN p.h1
+              WHEN ta.grp = tb.grp THEN ga.hidx
+              ELSE sh.s_hidx END AS hd
+  FROM am_hpair p
+  JOIN am_tg ta ON ta.sk = p.sk AND ta.i = p.h1
+  JOIN am_tg tb ON tb.sk = p.sk AND tb.i = p.h2
+  JOIN am_gi ga ON ga.sk = p.sk AND ga.grp = ta.grp
+  JOIN am_sh sh ON sh.sk = p.sk
+),
+-- ==================== feature assembly (per head pair) ===================
+am_sbj AS (  -- last hop containing nsubj: label prefix + index word
+  SELECT z.sk, z.src, z.dst,
+         arg_max(CASE WHEN z.l LIKE '-%' THEN '-' ELSE '' END, z.o) AS pfx,
+         arg_max(z.ix, z.o) AS ix
+  FROM (SELECT w.sk, w.src, w.dst, u.l, w.idxs[u.o] AS ix, u.o
+        FROM am_path w,
+        LATERAL (SELECT unnest(w.labs) AS l,
+                        generate_subscripts(w.labs, 1) AS o) u
+        WHERE contains(u.l, 'nsubj')) z
+  GROUP BY z.sk, z.src, z.dst
+),
+am_cp AS (  -- CPATH elements (pobj word branch dead: no pobj labels)
+  SELECT w.sk, w.src, w.dst,
+         coalesce(string_agg(u.l || ':', '' ORDER BY u.o),
+                  '[' || array_to_string(w.labs, ', ') || ']') AS cp
+  FROM am_path w
+  LEFT JOIN LATERAL (SELECT unnest(w.labs) AS l,
+                            generate_subscripts(w.labs, 1) AS o) u
+    ON NOT regexp_full_match(u.l, '-?(amod|nn|prep|conj)')
+  GROUP BY w.sk, w.src, w.dst, w.labs
+),
+am_hfeat AS MATERIALIZED (  -- per-head-pair feature multiset
+  -- baseline: LCS
+  SELECT l.sk, l.h1, l.h2,
+         CASE WHEN l.lcs IS NULL THEN 'LCS=NONE'
+              ELSE 'LCS=' || (SELECT t.w FROM str2 t
+                              WHERE t.sk = l.sk AND t.i = l.lcs) END AS feat
+  FROM am_lcs l
+  UNION ALL
+  SELECT l.sk, l.h1, l.h2,
+         'LCS_POS=' || (SELECT t.pos FROM str2 t
+                        WHERE t.sk = l.sk AND t.i = l.lcs)
+  FROM am_lcs l WHERE l.lcs IS NOT NULL
+  UNION ALL
+  -- baseline: ROOT1
+  SELECT p.sk, p.h1, p.h2,
+         'ROOT1=' || (SELECT t.w FROM str2 t
+                      WHERE t.sk = p.sk AND t.i = r.root)
+  FROM am_hpair p JOIN am_root r ON r.sk = p.sk AND r.src = p.h1
+  UNION ALL
+  -- baseline: P1 / P2 (first incoming edge)
+  SELECT p.sk, p.h1, p.h2,
+         'P1=' || coalesce(
+           (SELECT t.w || '-' || q.reln FROM par q JOIN str2 t
+              ON t.sk = q.sk AND t.i = q.gov
+            WHERE q.sk = p.sk AND q.node = p.h1), 'NONE')
+  FROM am_hpair p
+  UNION ALL
+  SELECT p.sk, p.h1, p.h2,
+         'P2=' || coalesce(
+           (SELECT t.w || '-' || q.reln FROM par q JOIN str2 t
+              ON t.sk = q.sk AND t.i = q.gov
+            WHERE q.sk = p.sk AND q.node = p.h2), 'NONE')
+  FROM am_hpair p
+  UNION ALL
+  -- rule1: SBJ (last nsubj-containing hop) — only when a path exists
+  SELECT w.sk, w.src, w.dst,
+         'SBJ=' || coalesce(
+           (SELECT s.pfx || CASE WHEN EXISTS (
+                SELECT 1 FROM rterms r, str2 t
+                WHERE t.sk = w.sk AND t.i = s.ix
+                  AND starts_with(lower(t.w), r.term))
+              THEN 'true' ELSE 'false' END
+            FROM am_sbj s WHERE s.sk = w.sk AND s.src = w.src
+              AND s.dst = w.dst), 'NONE')
+  FROM am_path w JOIN am_hpair hp
+    ON hp.sk = w.sk AND hp.h1 = w.src AND hp.h2 = w.dst
+  UNION ALL
+  -- rule1: RCMOD (rcmod labels never emitted -> NONE constant)
+  SELECT w.sk, w.src, w.dst, 'RCMOD=NONE'
+  FROM am_path w JOIN am_hpair hp
+    ON hp.sk = w.sk AND hp.h1 = w.src AND hp.h2 = w.dst
+  UNION ALL
+  -- rule1: CPATH + LEN
+  SELECT c.sk, c.src, c.dst, 'CPATH=' || c.cp
+  FROM am_cp c JOIN am_hpair hp
+    ON hp.sk = c.sk AND hp.h1 = c.src AND hp.h2 = c.dst
+  UNION ALL
+  SELECT w.sk, w.src, w.dst, 'LEN=' || CAST(len(w.labs) AS VARCHAR)
+  FROM am_path w JOIN am_hpair hp
+    ON hp.sk = w.sk AND hp.h1 = w.src AND hp.h2 = w.dst
+  UNION ALL
+  -- rule2: PP features per common ancestor (pp1/pp2 pobj scans dead ->
+  -- Java null concat), else PP=NONE
+  SELECT c.sk, c.h1, c.h2,
+         'PP=' || (SELECT t.w FROM str2 t WHERE t.sk = c.sk AND t.i = c.c)
+  FROM am_common c
+  WHERE EXISTS (SELECT 1 FROM am_path w WHERE w.sk = c.sk AND w.src = c.c
+                AND w.dst = c.h1)
+    AND (c.h1 = c.h2 OR EXISTS (SELECT 1 FROM am_path w
+          WHERE w.sk = c.sk AND w.src = c.c AND w.dst = c.h2))
+  UNION ALL
+  SELECT c.sk, c.h1, c.h2,
+         'PP=' || (SELECT t.pos FROM str2 t
+                   WHERE t.sk = c.sk AND t.i = c.c) || '&null&null'
+  FROM am_common c
+  WHERE EXISTS (SELECT 1 FROM am_path w WHERE w.sk = c.sk AND w.src = c.c
+                AND w.dst = c.h1)
+    AND (c.h1 = c.h2 OR EXISTS (SELECT 1 FROM am_path w
+          WHERE w.sk = c.sk AND w.src = c.c AND w.dst = c.h2))
+  UNION ALL
+  SELECT p.sk, p.h1, p.h2, 'PP=NONE'
+  FROM am_hpair p
+  WHERE NOT EXISTS (SELECT 1 FROM am_common c WHERE c.sk = p.sk
+                    AND c.h1 = p.h1 AND c.h2 = p.h2)
+  UNION ALL
+  -- rule2: PP_PATH (>30% non-prepositional labels -> false)
+  SELECT w.sk, w.src, w.dst,
+         'PP_PATH=' || CASE WHEN (
+             SELECT count(*) FROM unnest(w.labs) AS u(l)
+             WHERE NOT regexp_full_match(u.l, '-?(prep|pobj|nn|amod)'))
+           * 1.0 / len(w.labs) > 0.3 THEN 'false' ELSE 'true' END
+  FROM am_path w JOIN am_hpair hp
+    ON hp.sk = w.sk AND hp.h1 = w.src AND hp.h2 = w.dst
+  UNION ALL
+  -- surface: SUBS + CSUBS over the tokens strictly between the heads
+  SELECT p.sk, p.h1, p.h2,
+         'SUBS=' || coalesce(
+           (SELECT string_agg(CASE WHEN t.pos LIKE 'VB%' THEN t.pos
+                                   ELSE t.w END || ':', '' ORDER BY t.i)
+            FROM str2 t WHERE t.sk = p.sk AND t.i > p.h1 AND t.i < p.h2
+              AND (t.pos LIKE 'VB%' OR t.pos = 'IN')), '')
+  FROM am_hpair p
+  UNION ALL
+  SELECT p.sk, p.h1, p.h2,
+         'CSUBS=' || coalesce(
+           (SELECT arg_min(t.w, t.i) FROM str2 t
+            WHERE t.sk = p.sk AND t.i > p.h1 AND t.i < p.h2
+              AND t.pos LIKE 'VB%'), '')
+         || '-' || coalesce(
+           (SELECT arg_max(t.w, t.i) FROM str2 t
+            WHERE t.sk = p.sk AND t.i > p.h1 AND t.i < p.h2
+              AND t.pos = 'IN'), '')
+  FROM am_hpair p
+  UNION ALL
+  -- surface: DOMAIN=<first matching term> + DOMAIN=<bool>
+  SELECT d.sk, d.h1, d.h2, 'DOMAIN=' || d.term
+  FROM (SELECT p.sk, p.h1, p.h2,
+          (SELECT arg_min(r.term, r.tord) FROM rterms r
+           WHERE contains(
+             (SELECT string_agg(t.w, ' ' ORDER BY t.i) FROM str2 t
+              WHERE t.sk = p.sk AND t.i BETWEEN p.h1 AND p.h2),
+             r.term)) AS term
+        FROM am_hpair p) d
+  WHERE d.term IS NOT NULL
+  UNION ALL
+  SELECT p.sk, p.h1, p.h2,
+         'DOMAIN=' || CASE WHEN EXISTS (
+             SELECT 1 FROM rterms r
+             WHERE contains(
+               (SELECT string_agg(t.w, ' ' ORDER BY t.i) FROM str2 t
+                WHERE t.sk = p.sk AND t.i BETWEEN p.h1 AND p.h2),
+               r.term)) THEN 'true' ELSE 'false' END
+  FROM am_hpair p
+  UNION ALL
+  -- syntactic: HEAD word + domain flag (depth-3 kind model)
+  SELECT h.sk, h.h1, h.h2,
+         'HEAD=' || (SELECT t.w FROM str2 t
+                     WHERE t.sk = h.sk AND t.i = h.hd)
+  FROM am_head h
+  UNION ALL
+  SELECT h.sk, h.h1, h.h2,
+         'HEAD=' || CASE WHEN EXISTS (
+             SELECT 1 FROM rterms r, str2 t
+             WHERE t.sk = h.sk AND t.i = h.hd
+               AND starts_with(lower(t.w), r.term))
+           THEN 'true' ELSE 'false' END
+  FROM am_head h
+)
+SELECT d.conv_id, CAST(d.turn_idx AS INT) AS turn_idx,
+       CAST(d.sent_id AS INT) AS sent_id,
+       CAST(p.e1 AS INT) AS e1, CAST(p.e2 AS INT) AS e2, f.feat AS feature
+FROM am_pair p
+JOIN am_hfeat f ON f.sk = p.sk AND f.h1 = p.h1 AND f.h2 = p.h2
+JOIN sdim d ON d.sk = p.sk
+"""

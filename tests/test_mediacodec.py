@@ -1,0 +1,133 @@
+"""Real media codec path: BMP/WAV encode<->decode round trips, header
+edge cases (row padding, top-down BMPs), feature extraction, and the
+mode="real" Arrow seam in extract_media_features."""
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from nlp_lib_spark.operators.mediacodec import (
+    audio_features,
+    decode_bmp,
+    decode_wav,
+    encode_bmp,
+    encode_wav,
+    image_features,
+    md5_expand,
+    real_features,
+    synth_payload,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 13), st.integers(1, 9), st.data())
+def test_bmp_roundtrip_any_dims(w, h, data):
+    # odd widths exercise the 4-byte row padding
+    gray = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                              max_size=w * h))
+    blob = encode_bmp(gray, w, h)
+    assert blob[:2] == b"BM"
+    assert len(blob) == 54 + ((w * 3 + 3) // 4 * 4) * h
+    w2, h2, gray2 = decode_bmp(blob)
+    assert (w2, h2, gray2) == (w, h, gray)
+
+
+def test_bmp_topdown_negative_height():
+    gray = list(range(12))  # 4x3
+    blob = bytearray(encode_bmp(gray, 4, 3))
+    # rewrite as top-down: negate height, reverse stored row order
+    stride = (4 * 3 + 3) // 4 * 4
+    rows = [bytes(blob[54 + i * stride:54 + (i + 1) * stride])
+            for i in range(3)]
+    body = b"".join(reversed(rows))
+    struct.pack_into("<i", blob, 22, -3)
+    topdown = bytes(blob[:54]) + body
+    assert decode_bmp(topdown) == (4, 3, gray)
+
+
+def test_bmp_rejects_non_bmp_and_unsupported_bpp():
+    with pytest.raises(ValueError):
+        decode_bmp(b"PNG garbage")
+    blob = bytearray(encode_bmp([0, 0], 2, 1))
+    struct.pack_into("<H", blob, 28, 8)  # claim 8bpp
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(blob))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip(samples, rate):
+    blob = encode_wav(samples, rate)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    assert len(blob) == 44 + 2 * len(samples)  # canonical PCM16 header
+    rate2, samples2 = decode_wav(blob)
+    assert (rate2, samples2) == (rate, samples)
+
+
+def test_wav_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxAVI LIST")
+
+
+def test_real_features_dispatch_and_values():
+    # image: known pixels -> exact stats + 4x4 nearest-neighbor resize
+    gray = list(range(32))  # 8x4
+    feats = real_features(encode_bmp(gray, 8, 4))
+    assert feats[:5] == [8.0, 4.0, 0.0, 31.0, float(sum(gray))]
+    assert feats[5:] == [float(i * 8 + 2 * j)
+                         for i in range(4) for j in range(4)]
+    # audio: rate, n, min, max, sum|s|, then the first 16 samples
+    s = [-5, 7, 0]
+    feats = real_features(encode_wav(s, 8000))
+    assert feats[:5] == [8000.0, 3.0, -5.0, 7.0, 12.0]
+    assert feats[5:] == [-5.0, 7.0] + [0.0] * 14
+    with pytest.raises(ValueError):
+        real_features(b"\x00\x01mystery")
+
+
+def test_md5_expand_blocks():
+    import hashlib
+    b = md5_expand("abc", 40)
+    assert b[:16] == hashlib.md5(b"abc").digest()
+    assert b[16:32] == hashlib.md5(b"abc:1").digest()
+    assert b[32:40] == hashlib.md5(b"abc:2").digest()[:8]
+
+
+def test_synth_payload_matches_oracle_model():
+    """The gate's payload builder must equal the oracle's closed form:
+    image pixels / audio samples are the md5-expansion bytes."""
+    kind, blob = synth_payload(2, "hello")
+    assert kind == "image" and len(blob) == 150
+    w, h, gray = decode_bmp(blob)
+    assert (w, h) == (8, 4) and bytes(gray) == md5_expand("hello", 32)
+    kind, blob = synth_payload(3, "hello")
+    assert kind == "audio" and len(blob) == 76
+    rate, samples = decode_wav(blob)
+    b = md5_expand("hello", 32)
+    assert rate == 8000
+    assert samples == [b[2 * k] * 256 + b[2 * k + 1] - 32768
+                       for k in range(16)]
+
+
+def test_extract_media_features_real_spark(spark):
+    import pandas as pd
+
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    rows = [synth_payload(i, f"doc {i}") for i in range(6)]
+    pdf = pd.DataFrame({"media_id": range(6),
+                        "kind": [k for k, _ in rows],
+                        "payload": [p for _, p in rows]})
+    df = spark.createDataFrame(pdf)
+    out = {r["media_id"]: r
+           for r in extract_media_features(df, mode="real").collect()}
+    assert len(out) == 6
+    for i in range(6):
+        kind, blob = rows[i]
+        expect = (image_features(blob) if kind == "image"
+                  else audio_features(blob))
+        assert out[i]["kind"] == kind
+        assert out[i]["n_bytes"] == len(blob)
+        assert [round(x, 4) for x in out[i]["features"]] == expect
