@@ -84,7 +84,7 @@ def run_suite(sf_dir: str, cpus: int, repeats: int | None = None) -> dict:
     rebuilds its plan and checkpoints, so the min is a true re-measure,
     minus first-touch JIT and load spikes."""
     if repeats is None:
-        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+        repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = get_spark(app="nlp_lib_spark-bench", cpus=cpus)
     timings: dict[str, float] = {}
     _warmup(spark, cpus)
@@ -103,6 +103,14 @@ def run_suite(sf_dir: str, cpus: int, repeats: int | None = None) -> dict:
         # queries' checkpoints (measured: cc_components 8.1s in-suite vs
         # 3.2s isolated before this)
         gc.collect()
+        # ...and force the JVM side too: ContextCleaner enqueues block
+        # removals asynchronously on weak-ref collection, so without an
+        # explicit System.gc() a 25-query suite accumulates dead shuffle /
+        # broadcast / checkpoint blocks faster than the idle-GC drains
+        # them (measured round 3: minhash_lsh_pairs 6.4s at suite position
+        # 17 vs 3.2s in a fresh session; kg_link_scores 6.3s vs 3.5s).
+        spark.catalog.clearCache()
+        spark._jvm.System.gc()
     # flagship throughput: steady-state turns/sec over a 50x-replicated
     # transcripts table (warm-up pass first so Python-worker spawn and
     # codegen are not billed — the 100 TB regime is steady-state).
@@ -199,7 +207,7 @@ def main() -> None:
         "n_turns": res["n_turns"],
         "turns_per_sec": res["turns_per_sec"],
         "repeats_per_query": int(
-            os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")),
+            os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
     }
     if os.environ.get("SPARK_GRAFT_SCALING"):
         payload["scaling"] = run_scaling(sf_dir)

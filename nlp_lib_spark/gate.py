@@ -2637,8 +2637,8 @@ def q_kg_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_map(mentions, dictionary)
 
 
-@gate("kg_edges")  # canonical KG edge table (oracle attached below)
-def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _graph_tables(spark: SparkSession, sf_dir: str
+                  ) -> tuple[DataFrame, DataFrame]:
     from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
     from nlp_lib_spark.operators.extract import triples_from_annotations
     from nlp_lib_spark.operators.graph import canonical_map, materialize_graph
@@ -2650,8 +2650,50 @@ def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     dictionary = spark.createDataFrame(
         [(e,) for e in TESTDATA_ENTITIES], "entity string")
     cmap = canonical_map(mentions, dictionary)
-    _nodes, edges = materialize_graph(triples_from_annotations(ann), cmap)
-    return edges
+    return materialize_graph(triples_from_annotations(ann), cmap)
+
+
+@gate("kg_edges")  # canonical KG edge table (oracle attached below)
+def q_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _graph_tables(spark, sf_dir)[1]
+
+
+@gate("kg_nodes")  # canonical KG node table (oracle attached below)
+def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Node half of operators/graph.materialize_graph (the north star's
+    partitioned node/edge materialization): per canonical entity_id,
+    distinct surface aliases + total triple-endpoint mentions."""
+    return _graph_tables(spark, sf_dir)[0]
+
+
+@gate("kg_stream_conv_state")  # oracle attached below (splices triples SQL)
+def q_kg_stream_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming driver-certified end-to-end: the transcripts
+    are written out as several parquet files and drained ONE FILE PER
+    MICRO-BATCH through the applyInPandasWithState conversation tracker
+    (streaming/stateful.py), so per-conv state genuinely carries across
+    batch boundaries; the final accumulated totals must equal the batch
+    aggregation (count/max over transcripts + the flagship triples oracle
+    counted per conversation). A hash match certifies the stateful
+    operator's accumulation semantics, not just its plumbing."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nlp_lib_spark.streaming.stateful import run_stateful_once
+    t = transcripts(spark, sf_dir, with_ts=True)
+    in_dir = tempfile.mkdtemp(prefix="kgx_stream_gate_")
+    try:
+        t.repartition(4).write.mode("overwrite").parquet(in_dir)
+        out = run_stateful_once(
+            spark, in_dir, TESTDATA_CONFIG,
+            query_name=f"conv_state_{uuid.uuid4().hex[:8]}")
+        # the memory sink holds the drained rows; localCheckpoint pins the
+        # post-drain selection so the input files can be deleted NOW
+        # rather than leak one temp dir per invocation
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
 
 
 _CC_EDGES_SPARK = """
@@ -2752,6 +2794,21 @@ def _register_rule_chain_oracles() -> None:
         + O.triples_oracle_sql() + ") t GROUP BY pred")
     ORACLES["kg_wgp_triples"] = O.wgp_triples_oracle_sql()
     ORACLES["kg_edges"] = O.kg_edges_oracle_sql()
+    ORACLES["kg_nodes"] = O.kg_nodes_oracle_sql()
+    ORACLES["kg_stream_conv_state"] = f"""
+WITH tr AS ({transcripts_select_sql("documents", "duckdb", with_ts=True)}),
+tc AS (
+  SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn_idx
+  FROM tr GROUP BY conv_id
+),
+tn AS (
+  SELECT conv_id, count(*) AS n_triples
+  FROM ({O.triples_oracle_sql()}) tro GROUP BY conv_id
+)
+SELECT tc.conv_id, tc.n_turns,
+       coalesce(tn.n_triples, 0) AS n_triples, tc.max_turn_idx
+FROM tc LEFT JOIN tn ON tn.conv_id = tc.conv_id
+"""
     ORACLES["kg_discourse"] = O.discourse_oracle_sql()
     ORACLES["kg_hor_edges"] = O.hor_edges_oracle_sql()
     ORACLES["kg_ml_triples"] = O.ml_triples_oracle_sql()
@@ -2800,10 +2857,10 @@ _GATE_ORDER = [
     "cust_nation_rev", "fold_split", "union_distinct_keys", "topk_terms",
     # -- new in round 3 ----------------------------------------------------
     "kg_trees", "kg_tree_scores", "kg_sense_features", "kg_tree_deps",
-    "kg_conn_features_v2", "kg_aimed_features",
+    "kg_conn_features_v2", "kg_aimed_features", "kg_stream_conv_state",
     # -- KG pipeline -------------------------------------------------------
-    "kg_triples", "kg_edges", "kg_transcripts", "kg_sentences",
-    "kg_token_stats", "kg_conversations", "kg_tool_stats", "kg_mentions",
+    "kg_triples", "kg_edges", "kg_nodes", "kg_transcripts", "kg_sentences",
+    "kg_token_stats", "kg_conversations", "kg_mentions",
     "kg_blinded", "kg_domain_tags", "kg_pos_tags", "kg_dep_edges",
     "kg_clauses", "kg_entity_spans", "kg_chunks", "kg_connectives",
     "kg_crf_tags", "kg_discourse", "kg_hor_edges", "kg_rel_candidates",
@@ -2816,16 +2873,17 @@ _GATE_ORDER = [
     # simhash / ann_topk are simple SQL certified in BOTH prior rounds,
     # so they take the overflow instead of media_features / the k-means
     # IVF path) -------------------------------------------------------
-    "dedup_exact", "minhash_lsh_pairs",
-    "media_features", "media_features_real",
+    "dedup_exact", "minhash_lsh_pairs", "media_features_real",
     "ann_topk_ivf_kmeans", "doc_fingerprint", "simhash", "ann_topk",
     # -- demoted past the 50-gate cap (all driver-green in r01 AND r02;
-    # doc_quality / doc_lang_id / token_counts / minhash_signatures joined
-    # the overflow as the round-3 gates (kg_tree_deps, kg_conn_features_v2,
-    # kg_aimed_features, media_features_real) landed, keeping both media
-    # paths + the k-means IVF path certified --------------------------------
-    "minhash_signatures", "doc_quality", "doc_lang_id", "token_counts",
-    "ann_topk_lsh", "ann_topk_ivf", "ngram_jaccard_pairs",
+    # doc_quality / doc_lang_id / token_counts / minhash_signatures /
+    # media_features (fake path — superseded by the real-decode gate, which
+    # exercises the same Arrow plumbing plus an actual codec) joined the
+    # overflow as the round-3 gates (kg_tree_deps, kg_conn_features_v2,
+    # kg_aimed_features, media_features_real, kg_nodes) landed --------------
+    "kg_tool_stats", "media_features", "minhash_signatures", "doc_quality",
+    "doc_lang_id", "token_counts", "ann_topk_lsh", "ann_topk_ivf",
+    "ngram_jaccard_pairs",
     "embedding_neardup_pairs", "kg_rule1_pairs", "kg_rule2_pairs",
     "kg_rule3_pairs", "kg_rule2b_pairs",
 ]

@@ -811,6 +811,38 @@ FROM t GROUP BY subj_id, pred, obj_id
 """
 
 
+def kg_nodes_oracle_sql() -> str:
+    """kg_nodes oracle: the node half of operators/graph.materialize_graph
+    — same linking chain as kg_edges_oracle_sql, then per-entity alias /
+    mention aggregation over the subj+obj endpoint union (one row per
+    triple endpoint, aliases counted on the PRE-linking norm)."""
+    from nlp_lib_spark.gate import _entity_links_oracle_sql
+    return f"""
+WITH triples AS MATERIALIZED ({triples_oracle_sql()}),
+cmap AS MATERIALIZED (
+  SELECT DISTINCT norm, entity_id FROM ({_entity_links_oracle_sql()}) links
+),
+t AS (
+  SELECT coalesce(cs.entity_id, sn.v) AS subj_id,
+         coalesce(co.entity_id, ob.v) AS obj_id,
+         sn.v AS subj_norm, ob.v AS obj_norm
+  FROM triples tr
+  CROSS JOIN LATERAL (SELECT trim(regexp_replace(lower(tr.subj), '\\s+', ' ', 'g')) AS v) sn
+  CROSS JOIN LATERAL (SELECT trim(regexp_replace(lower(tr.obj), '\\s+', ' ', 'g')) AS v) ob
+  LEFT JOIN cmap cs ON cs.norm = sn.v
+  LEFT JOIN cmap co ON co.norm = ob.v
+)
+SELECT entity_id, count(DISTINCT alias) AS n_aliases,
+       count(*) AS n_mentions
+FROM (
+  SELECT subj_id AS entity_id, subj_norm AS alias FROM t
+  UNION ALL
+  SELECT obj_id, obj_norm FROM t
+) endpoints
+GROUP BY entity_id
+"""
+
+
 def discourse_oracle_sql() -> str:
     """kg_discourse oracle (operators/discourse.discourse_relations over
     kernels/discourse.py): connective longest-match scan (the same

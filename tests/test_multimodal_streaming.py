@@ -29,9 +29,18 @@ def test_media_features_deterministic(spark, media_df):
     assert (a.n_bytes > 0).all()
 
 
-def test_media_real_mode_is_stubbed(spark, media_df):
+def test_media_real_mode_rejects_unknown_containers(spark, media_df):
+    """mode="real" is a genuine decoder since round 3 (BMP/WAV via
+    operators/mediacodec); payloads that are no known container must
+    fail loudly, naming the available codecs — not decode as garbage."""
     with pytest.raises(Exception) as ei:
         extract_media_features(media_df, mode="real").collect()
+    assert "unsupported media container" in str(ei.value)
+
+
+def test_video_frame_decode_still_stubbed(spark, media_df):
+    with pytest.raises(Exception) as ei:
+        frame_sample_stub(media_df, mode="real").collect()
     assert "NotImplementedError" in str(ei.value) or \
         isinstance(ei.value, NotImplementedError)
 
