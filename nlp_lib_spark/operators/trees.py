@@ -76,14 +76,23 @@ def tree_scores(trees: DataFrame, prototypes: list[str]) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         protos = [(i, parse_penn(p)) for i, p in enumerate(prototypes)]
         for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                t = parse_penn(r.tree)
-                for pid, pt in protos:
-                    rows.append((r.conv_id, int(r.turn_idx), int(r.sent_id),
-                                 pid, int(subtree_kernel(t, pt))))
-            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
-                                              "sent_id", "proto_id", "k"])
+            # columnar emission: one score column per prototype over the
+            # batch, then a vectorized repeat/tile — building a Python
+            # list of |rows|x|protos| tuples here churned the worker
+            # allocator hard enough that 32 reused workers retained ~15 GB
+            # RSS after one sf0.1 pass (glibc arenas don't shrink); the
+            # columnar form allocates O(batch) ndarrays instead
+            parsed = [parse_penn(t) for t in pdf["tree"]]
+            n, p = len(parsed), len(protos)
+            scores = [int(subtree_kernel(t, pt))
+                      for t in parsed for _, pt in protos]
+            yield pd.DataFrame({
+                "conv_id": pdf["conv_id"].repeat(p).to_numpy(),
+                "turn_idx": pdf["turn_idx"].astype("int32").repeat(p).to_numpy(),
+                "sent_id": pdf["sent_id"].astype("int32").repeat(p).to_numpy(),
+                "proto_id": [pid for _ in range(n) for pid, _ in protos],
+                "k": pd.array(scores, dtype="int64"),
+            })
 
     return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
             .mapInPandas(fn, schema="conv_id string, turn_idx int, "
