@@ -97,11 +97,72 @@ def run_kg_edges(spark, reps: int) -> dict:
             "rows_out": n_edges, "sec": round(time.time() - t0, 2)}
 
 
+def run_media_real(spark, reps: int) -> dict:
+    """Round-3 addition: the real-decode media path at volume — payload
+    bytes are born and consumed inside one task (two chained MapInPandas,
+    zero Exchanges), so wall time must stay linear in row count and no
+    payload ever hits a shuffle."""
+    import pandas as pd
+
+    from nlp_lib_spark.operators.mediacodec import synth_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), *synth_payload(int(d), t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload"])
+
+    media = docs.select("doc_id", "text").mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    n = extract_media_features(media, mode="real").count()
+    return {"op": "media_features_real", "reps": reps, "rows_in": n_docs,
+            "rows_out": n, "sec": round(time.time() - t0, 2)}
+
+
+def run_stream_state(spark, reps: int) -> dict:
+    """Round-3 addition: applyInPandasWithState under growing input.
+    conv_id = doc_id % 100, so replication multiplies TURNS PER
+    CONVERSATION while the conversation count stays 100 — exactly the
+    regime that proves the state store is O(live conversations), not
+    O(input rows): rows_out must stay 100 at every rep level while wall
+    time stays linear in turns."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.transcripts import transcripts_select_sql
+    from nlp_lib_spark.operators.viewsql import sql_over
+    from nlp_lib_spark.streaming.stateful import run_stateful_once
+    docs = replicate_docs(spark, reps)
+    t = sql_over(docs, transcripts_select_sql("{t}", "spark", True),
+                 prefix="rehearsal")
+    in_dir = tempfile.mkdtemp(prefix="kgx_rehearsal_stream_")
+    try:
+        t.repartition(4).write.mode("overwrite").parquet(in_dir)
+        n_turns = spark.read.parquet(in_dir).count()
+        t0 = time.time()
+        out = run_stateful_once(
+            spark, in_dir, TESTDATA_CONFIG,
+            query_name=f"rehearsal_{uuid.uuid4().hex[:8]}")
+        n_convs = out.count()
+        return {"op": "stream_conv_state", "reps": reps,
+                "rows_in": n_turns, "rows_out": n_convs,
+                "sec": round(time.time() - t0, 2)}
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
 def main() -> None:
     reps_list = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     spark = get_spark(cpus=32)
     for reps in reps_list:
-        for fn in (run_lsh, run_cc, run_kg_edges):
+        for fn in (run_lsh, run_cc, run_kg_edges, run_media_real,
+                   run_stream_state):
             gc.collect()
             print("REHEARSAL", fn(spark, reps), flush=True)
     spark.stop()
