@@ -42,6 +42,7 @@ HEADLINE = (
     "kg_trees",            # frozen constituency builder (round 3)
     "kg_tree_scores",      # ST-kernel vs broadcast prototypes (round 3)
     "kg_sense_features",   # sense-classifier features over trees (round 3)
+    "kg_sense_pred",       # trained sense classifier argmax (round 3)
     "kg_tree_deps",        # tree->typed-dependency converter (round 3)
     "kg_conn_features_v2", # variant-2 connective features (round 3)
     "kg_aimed_features",   # AIMed feature pipe per candidate pair (round 3)
@@ -49,6 +50,7 @@ HEADLINE = (
     "dedup_exact",         # exact dedup by content hash
     "ann_topk",            # brute-force cosine top-k
     "media_features_real", # real BMP/WAV decode + pixel/sample stats (r3)
+    "media_frames_avi",    # real AVI demux + frame sampling (r3)
     "doc_quality",         # text quality scoring
     "tpch_q1",             # relational aggregate baseline
     "kg_link_scores",      # broadcast-dict linking (exact + Jaccard)

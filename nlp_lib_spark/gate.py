@@ -1251,6 +1251,120 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("feature_sig")))
 
 
+@gate("media_features_png", oracle="""
+WITH hx AS (
+  SELECT doc_id, md5(text) || md5(text || ':1') || md5(text || ':2')
+         || md5(text || ':3') AS h
+  FROM documents
+), b AS (
+  SELECT doc_id, g.k AS k,
+         (strpos('0123456789abcdef', substr(h, 2*g.k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 2*g.k + 2, 1)) - 1 AS v
+  FROM hx, generate_series(0, 63) AS g(k)
+), px AS (
+  SELECT doc_id, list(v ORDER BY k) AS p,
+         min(v) AS mn, max(v) AS mx, sum(v) AS sm
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       array_to_string([8, 8, mn, mx, sm] ||
+         list_transform(generate_series(0, 15), t ->
+           p[(t // 4) * 16 + (t % 4) * 2 + 1]), ',') AS feature_sig
+FROM px
+""")
+def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode: documents become genuine 8x8 gray8
+    PNGs (zlib-deflated scanlines, filter type r % 5 so every payload
+    exercises all five PNG filters, IDAT split in two chunks), and
+    extract_media_features(mode="real") performs an actual PNG decode —
+    chunk walk, IDAT concatenation, inflate, five-filter scanline
+    reconstruction (operators/mediacodec.decode_png) — plus the 4x4
+    nearest-neighbor resize. The oracle recomputes the pixel statistics
+    closed-form from the md5-expansion raster, so a hash match proves the
+    decoder exactly inverts deflate + filtering. n_bytes is excluded by
+    design: compressed size depends on the zlib build, not the data
+    contract."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_png_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "image", synth_png_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
+@gate("media_frames_avi", oracle="""
+WITH fr AS (SELECT unnest([0, 2]) AS f),
+hx AS (
+  SELECT doc_id, fr.f AS f,
+         md5(text || '#f' || CAST(fr.f AS VARCHAR))
+         || md5(text || '#f' || CAST(fr.f AS VARCHAR) || ':1') AS h
+  FROM documents, fr
+), b AS (
+  SELECT doc_id, f, g.k AS k,
+         (strpos('0123456789abcdef', substr(h, 2*g.k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 2*g.k + 2, 1)) - 1 AS v
+  FROM hx, generate_series(0, 31) AS g(k)
+), px AS (
+  SELECT doc_id, f, list(v ORDER BY k) AS p,
+         min(v) AS mn, max(v) AS mx, sum(v) AS sm
+  FROM b GROUP BY doc_id, f
+)
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       array_to_string([8, 4, mn, mx, sm] ||
+         list_transform(generate_series(0, 15), t ->
+           p[(t // 4) * 8 + (t % 4) * 2 + 1]), ',') AS feature_sig
+FROM px
+""")
+def q_media_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (closing the round-2 stub honestly, with
+    no optional deps): documents become genuine uncompressed-DIB AVI
+    containers (4 frames of 8x4 gray, frame k's raster =
+    md5_expand(text#fk, 32)), and frame_sample(mode="real") performs an
+    actual demux — RIFF chunk walk, strf header parse, '00db' frame
+    iteration, per-frame bottom-up DIB decode (operators/mediacodec
+    .decode_avi) — sampling every 2nd frame with per-frame stats + 4x4
+    resize. The oracle recomputes every sampled frame closed-form from the
+    per-frame md5 expansions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_avi_payload
+    from nlp_lib_spark.operators.multimodal import frame_sample
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "video", synth_avi_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = docs.mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (frame_sample(media, every_n=2, mode="real")
+            .select("media_id", "frame_idx",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
 @gate("token_counts", oracle="""
 SELECT doc_id,
        len(string_split(text, ' ')) AS n_ws_tokens,
@@ -2124,6 +2238,70 @@ def q_kg_sense_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=None)
+def _sense_pred_oracle_sql() -> str:
+    """kg_sense_pred oracle: the committed integer-quantized softmax
+    (models/sense_me.json, scripts/train_sense.py) applied over the
+    sense-feature closed form.  Per-connective per-class score = bias +
+    sum of matched weights (duplicate features count with multiplicity —
+    the feature CTE is exploded one row per emission, so a plain join+sum
+    is exactly the kernel's list-sum); argmax with min(class) on ties
+    mirrors score_softmax_int's strict-``>`` first-class-wins.  All
+    arithmetic is integer, so the cross-engine hash cannot diverge
+    (min trained argmax gap 7.8e6 vs quantization error 0)."""
+    from nlp_lib_spark.resources import model_json
+    m = model_json("sense_me.json")
+    classes = sorted(m["classes"])
+    wt_vals = ", ".join(
+        "('" + c + "', '" + f.replace("'", "''") + "', " + str(w) + ")"
+        for c in classes for f, w in sorted(m["weights"][c].items()))
+    b_vals = ", ".join(f"('{c}', {m['biases'][c]})" for c in classes)
+    key = "conv_id, turn_idx, sent_id, conn_start, conn_end"
+    return f"""
+WITH sf AS ({_sense_features_oracle_sql()}),
+wts(cls, feat, wt) AS (VALUES {wt_vals}),
+cbias(cls, b) AS (VALUES {b_vals}),
+conn0 AS (SELECT DISTINCT {key} FROM sf),
+psum AS (
+  SELECT {key}, w.cls, sum(w.wt) AS s
+  FROM sf JOIN wts w ON w.feat = sf.feature
+  GROUP BY ALL
+),
+scored AS (
+  SELECT c.conv_id, c.turn_idx, c.sent_id, c.conn_start, c.conn_end,
+         b.cls, b.b + coalesce(p.s, 0) AS score
+  FROM conn0 c CROSS JOIN cbias b
+  LEFT JOIN psum p ON p.conv_id = c.conv_id AND p.turn_idx = c.turn_idx
+   AND p.sent_id = c.sent_id AND p.conn_start = c.conn_start
+   AND p.conn_end = c.conn_end AND p.cls = b.cls
+),
+best AS (
+  SELECT {key}, max(score) AS score FROM scored GROUP BY ALL
+)
+SELECT b.conv_id, b.turn_idx, b.sent_id, b.conn_start, b.conn_end,
+       min(s.cls) AS pred_sense, CAST(b.score AS BIGINT) AS score
+FROM best b
+JOIN scored s ON s.conv_id = b.conv_id AND s.turn_idx = b.turn_idx
+ AND s.sent_id = b.sent_id AND s.conn_start = b.conn_start
+ AND s.conn_end = b.conn_end AND s.score = b.score
+GROUP BY ALL
+"""
+
+
+@gate("kg_sense_pred", oracle=_sense_pred_oracle_sql())
+def q_kg_sense_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-connective PREDICTED sense from the TRAINED multiclass MaxEnt
+    (ml/PDTBNewConnectiveSenseTrainer.java:96-150 trains it;
+    integration/SenseExtractor.java applies it) — the trainer slot of the
+    sense stack, completing §2.7's 'Trainers (per model family)' row with
+    a committed, integer-quantized, driver-oracled model.  The classifier
+    is genuinely contextual: ambiguous connectives flip sense with the
+    chunk right of the connective (see scripts/train_sense.py)."""
+    from nlp_lib_spark.operators.discourse import sense_predictions
+    from nlp_lib_spark.resources import model_json
+    return sense_predictions(_ann(spark, sf_dir), model_json("sense_me.json"))
+
+
+@functools.lru_cache(maxsize=None)
 def _tree_deps_oracle_sql() -> str:
     """kernels/treedep.tree_to_deps closed form for the depth-3 constit
     trees. Head percolation collapses to: per-group head = Collins
@@ -2856,8 +3034,9 @@ _GATE_ORDER = [
     "pr_eval", "cc_components", "tpch_q1", "top_event_types",
     "cust_nation_rev", "fold_split", "union_distinct_keys", "topk_terms",
     # -- new in round 3 ----------------------------------------------------
-    "kg_trees", "kg_tree_scores", "kg_sense_features", "kg_tree_deps",
-    "kg_conn_features_v2", "kg_aimed_features", "kg_stream_conv_state",
+    "kg_trees", "kg_tree_scores", "kg_sense_features", "kg_sense_pred",
+    "kg_tree_deps", "kg_conn_features_v2", "kg_aimed_features",
+    "kg_stream_conv_state", "media_features_png", "media_frames_avi",
     # -- KG pipeline -------------------------------------------------------
     "kg_triples", "kg_edges", "kg_nodes", "kg_transcripts", "kg_sentences",
     "kg_token_stats", "kg_conversations", "kg_mentions",
@@ -2868,13 +3047,15 @@ _GATE_ORDER = [
     "kg_lll_triples", "kg_relx_triples", "kg_lll_ml_triples",
     "kg_triple_counts", "kg_link_scores", "kg_link_tfidf",
     "kg_vocab_canon", "kg_entity_links",
-    # -- LLM-data pipeline (least-critical last: with 61 registered gates
-    # the driver's 50-cap now cuts into this section; doc_fingerprint /
-    # simhash / ann_topk are simple SQL certified in BOTH prior rounds,
-    # so they take the overflow instead of media_features / the k-means
+    # -- LLM-data pipeline (least-critical last: with 70 registered gates
+    # the driver's 50-cap now cuts into this section; dedup_exact /
+    # minhash_lsh_pairs / doc_fingerprint / simhash / ann_topk are simple
+    # SQL certified in BOTH prior rounds, so they take the overflow
+    # instead of the never-certified round-3 media gates and the k-means
     # IVF path) -------------------------------------------------------
-    "dedup_exact", "minhash_lsh_pairs", "media_features_real",
-    "ann_topk_ivf_kmeans", "doc_fingerprint", "simhash", "ann_topk",
+    "media_features_real", "ann_topk_ivf_kmeans",
+    "dedup_exact", "minhash_lsh_pairs", "doc_fingerprint", "simhash",
+    "ann_topk",
     # -- demoted past the 50-gate cap (all driver-green in r01 AND r02;
     # doc_quality / doc_lang_id / token_counts / minhash_signatures /
     # media_features (fake path — superseded by the real-decode gate, which

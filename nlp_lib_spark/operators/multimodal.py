@@ -8,12 +8,14 @@ Arrow-batched ``mapInPandas`` operators. Two modes:
   runs/partitions, so the Spark-side plumbing — schema, partitioning, UDF
   signature, batch shape — is testable independent of any codec).
 * ``mode="real"`` — genuine decode via ``operators/mediacodec``: magic-byte
-  dispatch to an uncompressed-24bpp-BMP parser (struct + row padding +
-  bottom-up/top-down handling) and a stdlib PCM16 WAV reader, emitting
-  pixel/sample statistics + a 4x4 nearest-neighbor resize. PIL/librosa/pyav
-  are absent from this container (recorded in BASELINE.md); richer codecs
-  plug in at ``mediacodec.real_features``. Video frame decode stays a
-  stub — the stdlib has no container demuxer.
+  dispatch across an uncompressed-24bpp-BMP parser (struct + row padding +
+  bottom-up/top-down handling), a gray8 PNG reader (zlib inflate + all
+  five filter reconstructions), a stdlib PCM16 WAV reader, and an
+  uncompressed-DIB AVI demuxer (RIFF chunk walk) for real video frame
+  sampling — emitting pixel/sample statistics + a 4x4 nearest-neighbor
+  resize. PIL/librosa/pyav are absent from this container (recorded in
+  BASELINE.md); richer compressed codecs plug in at
+  ``mediacodec.real_features``.
 """
 
 from __future__ import annotations
@@ -65,28 +67,43 @@ def extract_media_features(df: DataFrame, mode: str = "fake") -> DataFrame:
               .mapInPandas(fn, schema=MEDIA_FEATURES_SCHEMA))
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10,
-                      mode: str = "fake") -> DataFrame:
-    """video -> sampled frame rows (media_id, frame_idx, frame_features).
+def frame_sample(df: DataFrame, every_n: int = 10,
+                 mode: str = "fake") -> DataFrame:
+    """video -> sampled frame rows (media_id, frame_idx, features).
 
-    Frame decode is stubbed like above; the explode shape (one input row ->
-    K frame rows) is real.
+    ``mode="real"`` demuxes uncompressed-DIB AVI payloads (RIFF walk via
+    operators/mediacodec.decode_avi) and emits per-sampled-frame pixel
+    stats + a 4x4 nearest-neighbor resize — a genuine decode/frame-sample,
+    not a stub. ``mode="fake"`` keeps the deterministic md5 stand-in so
+    the explode shape (one input row -> K frame rows) is testable without
+    real payloads. One Arrow batch in -> one out; payload bytes never
+    leave the executor.
     """
+    if mode not in ("fake", "real"):
+        raise ValueError(mode)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if mode == "real":
+            from nlp_lib_spark.operators.mediacodec import frame_features
         for pdf in batches:
-            if mode == "real":
-                raise NotImplementedError("video decoding not available")
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 data = bytes(payload) if payload is not None else b""
-                n_frames = max(1, len(data) // 64)
-                for k in range(0, n_frames, every_n):
-                    rows.append((int(mid), k,
-                                 _fake_features(data + k.to_bytes(4, "big"))))
+                if mode == "real":
+                    for k, feats in frame_features(data, every_n):
+                        rows.append((int(mid), k, feats))
+                else:
+                    n_frames = max(1, len(data) // 64)
+                    for k in range(0, n_frames, every_n):
+                        rows.append((int(mid), k, _fake_features(
+                            data + k.to_bytes(4, "big"))))
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx",
                                               "features"])
 
     return (df.select("media_id", "payload")
               .mapInPandas(fn, schema="media_id long, frame_idx int, "
                                       "features array<float>"))
+
+
+# Back-compat name from when real video decode was stubbed (round 2).
+frame_sample_stub = frame_sample

@@ -10,14 +10,22 @@ from hypothesis import strategies as st
 
 from nlp_lib_spark.operators.mediacodec import (
     audio_features,
+    decode_avi,
     decode_bmp,
+    decode_png,
     decode_wav,
+    encode_avi,
     encode_bmp,
+    encode_png,
     encode_wav,
+    frame_features,
     image_features,
     md5_expand,
     real_features,
+    synth_avi_payload,
     synth_payload,
+    synth_png_payload,
+    video_features,
 )
 
 
@@ -86,6 +94,77 @@ def test_real_features_dispatch_and_values():
     assert feats[5:] == [-5.0, 7.0] + [0.0] * 14
     with pytest.raises(ValueError):
         real_features(b"\x00\x01mystery")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 13), st.integers(1, 11), st.data())
+def test_png_roundtrip_any_dims(w, h, data):
+    # h >= 5 exercises all five filter types (scanline r uses filter r % 5)
+    gray = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                              max_size=w * h))
+    blob = encode_png(gray, w, h)
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    assert blob.count(b"IDAT") == 2  # decoder must concatenate IDATs
+    assert decode_png(blob) == (w, h, gray)
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"BM not a png")
+    # rewrite IHDR to claim RGB (color type 2): must refuse, not misdecode
+    blob = bytearray(encode_png([1, 2, 3, 4], 2, 2))
+    blob[8 + 8 + 9] = 2  # sig + chunk len/tag + 9th IHDR byte = color type
+    import zlib
+    body = bytes(blob[16:16 + 13])
+    struct.pack_into(">I", blob, 16 + 13, zlib.crc32(b"IHDR" + body))
+    with pytest.raises(ValueError):
+        decode_png(bytes(blob))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(1, 5), st.integers(1, 9), st.integers(1, 6), st.data())
+def test_avi_roundtrip(n_frames, w, h, data):
+    frames = [data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                 max_size=w * h)) for _ in range(n_frames)]
+    blob = encode_avi(frames, w, h)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"AVI "
+    assert decode_avi(blob) == (w, h, frames)
+
+
+def test_avi_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxWAVEdata")
+
+
+def test_frame_features_sampling():
+    frames = [[(f * 37 + p) % 256 for p in range(8 * 4)] for f in range(5)]
+    blob = encode_avi(frames, 8, 4)
+    rows = frame_features(blob, every_n=2)
+    assert [k for k, _ in rows] == [0, 2, 4]
+    for k, feats in rows:
+        g = frames[k]
+        assert feats[:5] == [8.0, 4.0, float(min(g)), float(max(g)),
+                             float(sum(g))]
+        assert feats[5:] == [float(g[i * 8 + 2 * j])
+                             for i in range(4) for j in range(4)]
+    vf = video_features(blob)
+    allpx = [v for f in frames for v in f]
+    assert vf == [8.0, 4.0, 5.0, float(min(allpx)), float(max(allpx)),
+                  float(sum(allpx))]
+
+
+def test_synth_png_avi_match_oracle_model():
+    """The new gate payload builders must equal the oracles' closed form:
+    PNG raster = md5_expand(text, 64); AVI frame k = md5_expand(text#fk, 32)."""
+    w, h, gray = decode_png(synth_png_payload("hello"))
+    assert (w, h) == (8, 8) and bytes(gray) == md5_expand("hello", 64)
+    w, h, frames = decode_avi(synth_avi_payload("hello"))
+    assert (w, h, len(frames)) == (8, 4, 4)
+    for k, f in enumerate(frames):
+        assert bytes(f) == md5_expand(f"hello#f{k}", 32)
+    # real_features dispatches PNG to image stats and AVI to clip stats
+    assert real_features(synth_png_payload("hello"))[:2] == [8.0, 8.0]
+    assert real_features(synth_avi_payload("hello"))[:3] == [8.0, 4.0, 4.0]
 
 
 def test_md5_expand_blocks():

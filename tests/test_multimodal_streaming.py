@@ -38,11 +38,30 @@ def test_media_real_mode_rejects_unknown_containers(spark, media_df):
     assert "unsupported media container" in str(ei.value)
 
 
-def test_video_frame_decode_still_stubbed(spark, media_df):
+def test_video_frame_real_rejects_non_avi(spark, media_df):
+    """mode="real" frame sampling is a genuine AVI demuxer since round 3;
+    payloads that are not AVI containers must fail loudly."""
     with pytest.raises(Exception) as ei:
         frame_sample_stub(media_df, mode="real").collect()
-    assert "NotImplementedError" in str(ei.value) or \
-        isinstance(ei.value, NotImplementedError)
+    assert "not an AVI payload" in str(ei.value)
+
+
+def test_video_frame_real_decodes_avi(spark):
+    from nlp_lib_spark.operators.mediacodec import (frame_features,
+                                                    synth_avi_payload)
+    from nlp_lib_spark.operators.multimodal import frame_sample
+    rows = [(i, "video", synth_avi_payload(f"clip {i}")) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary")
+    out = frame_sample(df.repartition(3), every_n=2, mode="real").toPandas()
+    assert sorted(out.media_id.unique()) == list(range(5))
+    for i in range(5):
+        got = (out[out.media_id == i].sort_values("frame_idx")
+               [["frame_idx", "features"]].values.tolist())
+        expect = [[k, feats] for k, feats in
+                  frame_features(synth_avi_payload(f"clip {i}"), 2)]
+        assert [[g[0], [round(float(x), 4) for x in g[1]]] for g in got] \
+            == expect
 
 
 def test_frame_sampling_shape(spark, media_df):
