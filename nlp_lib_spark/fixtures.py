@@ -99,6 +99,54 @@ def _templates(rng: random.Random) -> Sent:
                 [(a, v, b), (a, v, c)])
 
 
+_DISC_ENTS: tuple[str, ...] = (
+    "spark", "table", "row", "window", "key", "value", "batch", "stream",
+    "column", "query", "data", "part", "customer", "vector",
+)
+_DISC_VERBS: tuple[str, ...] = ("binds", "regulates", "inhibits",
+                                "activates")
+# (connective, verb-context?) — ambiguous connectives appear in BOTH a
+# verb-chunk-right context ("{conn} {verb} the {e}") and a noun-right one;
+# unambiguous connectives get mixed surroundings for class coverage.
+_DISC_AMBIG: tuple[str, ...] = ("since", "when", "but", "then")
+_DISC_PLAIN: tuple[str, ...] = (
+    "because", "therefore", "thus", "however", "although", "whereas",
+    "moreover", "furthermore", "also", "after", "before", "meanwhile",
+)
+
+
+def generate_discourse_turns(n_turns: int = 600,
+                             seed: int = 42) -> list[str]:
+    """Connective-rich synthetic turn texts over the TESTDATA vocabulary —
+    the training corpus for the sense classifier (the testdata documents
+    themselves only realize 'however'/'moreover', so this generator plants
+    every lexicon connective, and plants the ambiguous ones in both the
+    verb-right and noun-right contexts the synthetic annotation rule keys
+    on; see scripts/train_sense.py).  Separate from generate_transcripts
+    on purpose: its seeded stream must stay byte-identical."""
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n_turns):
+        a, b, c = rng.sample(_DISC_ENTS, 3)
+        v1, v2 = rng.choice(_DISC_VERBS), rng.choice(_DISC_VERBS)
+        kind = rng.randrange(4)
+        if kind < 2:  # ambiguous connective, both contexts
+            conn = rng.choice(_DISC_AMBIG)
+            if kind == 0:  # verb chunk right of the connective
+                text = f"the {a} {v1} the {b} {conn} {v2} the {c} ."
+            else:
+                text = (f"the {a} {v1} the {b} {conn} the {c} "
+                        f"was observed .")
+        elif kind == 2:  # sentence-initial unambiguous
+            conn = rng.choice(_DISC_PLAIN)
+            text = f"{conn} , the {a} {v1} the {b} ."
+        else:  # medial unambiguous
+            conn = rng.choice(_DISC_PLAIN)
+            text = f"the {a} {v1} the {b} {conn} the {c} {v2} the {a} ."
+        out.append(text)
+    return out
+
+
 def generate_transcripts(n_convs: int = 60, seed: int = 42):
     """Returns (turn_rows, gold_rows).
 

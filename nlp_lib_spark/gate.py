@@ -3050,9 +3050,10 @@ _GATE_ORDER = [
     # -- LLM-data pipeline (least-critical last: with 70 registered gates
     # the driver's 50-cap now cuts into this section; dedup_exact /
     # minhash_lsh_pairs / doc_fingerprint / simhash / ann_topk are simple
-    # SQL certified in BOTH prior rounds, so they take the overflow
-    # instead of the never-certified round-3 media gates and the k-means
-    # IVF path) -------------------------------------------------------
+    # SQL certified in BOTH prior rounds and ann_topk_ivf_kmeans was
+    # driver-certified in r02, so they take the overflow instead of the
+    # never-certified round-3 gates (media + sense-pred); the real-decode
+    # media gate keeps the last in-cap slot) ---------------------------
     "media_features_real", "ann_topk_ivf_kmeans",
     "dedup_exact", "minhash_lsh_pairs", "doc_fingerprint", "simhash",
     "ann_topk",

@@ -108,6 +108,88 @@ def prune_by_info_gain(x: list[list[str]], y: list[int],
     return [[f for f in feats if f in keep] for feats in x]
 
 
+def train_softmax(x: list[list[str]], y: list[str], classes: list[str],
+                  epochs: int = 80, lr: float = 0.3,
+                  l2: float = 1e-4, seed: int = 42,
+                  ) -> tuple[dict[str, dict[str, float]], dict[str, float]]:
+    """Deterministic multinomial (softmax) logistic regression over sparse
+    string-count features — the multiclass analogue of ``train_logreg``
+    for the sense-classifier slot (``ml/PDTBNewConnectiveSenseTrainer``
+    trains a Mallet MaxEnt, which IS multinomial logistic regression;
+    Mallet ``MaxEntTrainer`` docs).  Training is offline and corpus-small
+    (SURVEY.md §3.2), so plain per-example SGD with a seeded shuffle is
+    enough.  Duplicate features count with multiplicity, matching Mallet's
+    additive ``FeatureVector`` construction.
+
+    Returns ``(weights, biases)`` with ``weights[cls][feat]`` /
+    ``biases[cls]``."""
+    import random
+    rng = random.Random(seed)
+    classes = sorted(classes)
+    weights: dict[str, dict[str, float]] = {c: {} for c in classes}
+    biases: dict[str, float] = {c: 0.0 for c in classes}
+    idx = list(range(len(x)))
+    for _ in range(epochs):
+        rng.shuffle(idx)
+        for i in idx:
+            counts: dict[str, int] = {}
+            for f in x[i]:
+                counts[f] = counts.get(f, 0) + 1
+            logits = []
+            for c in classes:
+                wc = weights[c]
+                s = biases[c]
+                for f, n in counts.items():
+                    w = wc.get(f)
+                    if w is not None:
+                        s += w * n
+                logits.append(s)
+            m = max(logits)
+            exps = [math.exp(s - m) for s in logits]
+            z = sum(exps)
+            for c, e in zip(classes, exps):
+                g = e / z - (1.0 if c == y[i] else 0.0)
+                biases[c] -= lr * g
+                wc = weights[c]
+                for f, n in counts.items():
+                    wc[f] = wc.get(f, 0.0) * (1 - lr * l2) - lr * g * n
+    return weights, biases
+
+
+def quantize_softmax(weights: dict[str, dict[str, float]],
+                     biases: dict[str, float], scale: int = 1_000_000,
+                     ) -> tuple[dict[str, dict[str, int]], dict[str, int]]:
+    """Integer-quantize a softmax model (same committed-model trick as the
+    CRF: integer scores make the cross-engine argmax exact — no float
+    formatting or summation-order divergence between Spark workers and the
+    DuckDB oracle).  Zero quantized weights are dropped."""
+    wq = {c: {f: int(round(w * scale)) for f, w in wc.items()
+              if int(round(w * scale)) != 0}
+          for c, wc in weights.items()}
+    bq = {c: int(round(b * scale)) for c, b in biases.items()}
+    return wq, bq
+
+
+def score_softmax_int(features: list[str],
+                      weights: dict[str, dict[str, int]],
+                      biases: dict[str, int],
+                      classes: list[str]) -> tuple[str, int]:
+    """Argmax class + its integer score.  ``classes`` must be sorted;
+    strict ``>`` keeps the first (lexicographically smallest) class on
+    ties — mirrored by the oracle's ``min(cls)`` over the max score.
+    Duplicate features add with multiplicity."""
+    best_c = classes[0]
+    best_s = None
+    for c in classes:
+        wc = weights.get(c, {})
+        s = biases.get(c, 0)
+        for f in features:
+            s += wc.get(f, 0)
+        if best_s is None or s > best_s:
+            best_c, best_s = c, s
+    return best_c, best_s
+
+
 def save_model(path: str, weights: dict[str, float], bias: float) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
     with open(path, "w") as f:

@@ -223,3 +223,60 @@ def sense_feature_rows(ann: DataFrame,
                                     "sent_id int, conn_start int, "
                                     "conn_end int, fidx int, "
                                     "feature string"))
+
+
+def sense_predictions(ann: DataFrame, model: dict,
+                      conn2cat: dict[str, str] | None = None) -> DataFrame:
+    """Per-connective PREDICTED sense: the runtime of the trained sense
+    classifier (``ml/PDTBNewConnectiveSenseTrainer.java:96-150`` trains a
+    Mallet MaxEnt over the sense pipe; ``integration/SenseExtractor``
+    applies it).  Features are the exact ``sense_feature_rows`` stream;
+    scoring is the integer-quantized softmax argmax
+    (kernels/scoring.score_softmax_int) so the emitted ``score`` is an
+    exact integer in every engine.  ``model`` is the parsed
+    ``models/sense_me.json``; it rides the task closure (a few KB —
+    broadcast-dim scale).  One stateless Arrow pass."""
+    from nlp_lib_spark.kernels.connfeatures import sense_features
+    from nlp_lib_spark.kernels.constit import build_tree
+    from nlp_lib_spark.kernels.discourse import arg2_head
+    from nlp_lib_spark.kernels.scoring import score_softmax_int
+    from nlp_lib_spark.kernels.tree import parse_penn
+
+    classes = sorted(model["classes"])
+    weights = model["weights"]
+    biases = model["biases"]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex = ConnectiveLexicon(conn2cat)
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                toks = list(r.blinded)
+                pos = list(r.pos)
+                if not toks or len(pos) != len(toks):
+                    continue
+                spans = lex.find(toks)
+                if not spans:
+                    continue
+                tree = parse_penn(build_tree(toks, pos))
+                for span in spans:
+                    a2h = arg2_head(toks, pos, span)
+                    if a2h < 0:
+                        continue
+                    feats = sense_features(toks, pos, tree, span[0],
+                                           span[1], a2h,
+                                           lex.sense(toks, span))
+                    pred, sc = score_softmax_int(feats, weights, biases,
+                                                 classes)
+                    rows.append((r.conv_id, int(r.turn_idx),
+                                 int(r.sent_id), span[0], span[1],
+                                 pred, sc))
+            yield pd.DataFrame(rows, columns=[
+                "conv_id", "turn_idx", "sent_id", "conn_start", "conn_end",
+                "pred_sense", "score"])
+
+    return (ann.select("conv_id", "turn_idx", "sent_id", "blinded", "pos")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, conn_start int, "
+                                    "conn_end int, pred_sense string, "
+                                    "score long"))

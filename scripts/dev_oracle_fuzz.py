@@ -51,6 +51,9 @@ ADVERSARIAL = [
     "join", "group",               # second words of multiword entities
     "tab",                         # prefix of an entity, not an entity
     "sorted", "filtering",         # stem-fallback domain hits
+    # round-3 additions: ambiguous discourse connectives (the sense
+    # classifier's context-flip path) + a multiword-connective second word
+    "since", "but", "when", "then", "also", "meanwhile",
     "PROTEIN0", "PROTEIN99x",      # raw tokens colliding with the blinded
     "protein",                     # placeholder namespace (is_protein is a
                                    # substring test; resolution must agree)

@@ -23,7 +23,8 @@ import nlp_lib_spark
 assert ".zip" in nlp_lib_spark.__file__, (
     "package resolved from %s, not the zip" % nlp_lib_spark.__file__)
 from nlp_lib_spark.resources import load_packaged_model, model_json
-for name in ("ppi_maxent.json", "lll_me.json", "discourse_crf.json"):
+for name in ("ppi_maxent.json", "lll_me.json", "discourse_crf.json",
+             "aimed_me.json", "sense_me.json"):
     m = model_json(name)
     assert m["weights"], name
 weights, bias = load_packaged_model("ppi_maxent.json")
