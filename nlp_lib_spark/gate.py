@@ -2874,6 +2874,36 @@ def q_kg_stream_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(in_dir, ignore_errors=True)
 
 
+@gate("kg_stream_triples")  # oracle attached below (= the flagship oracle)
+def q_kg_stream_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming triple extraction driver-certified end-to-end: the
+    transcripts are written out as 4 parquet files and drained ONE FILE
+    PER MICRO-BATCH (``maxFilesPerTrigger=1`` under ``availableNow``)
+    through the same Arrow extraction kernels as the batch flagship
+    (streaming/ingest.py). The oracle is kg_triples' own full value-hash
+    SQL — a match certifies that the appended union across micro-batches
+    equals the batch plan's output exactly (incremental ingest loses no
+    rows and invents none), not just that the stream runs."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nlp_lib_spark.streaming.ingest import run_stream_once
+    t = transcripts(spark, sf_dir, with_ts=True)
+    in_dir = tempfile.mkdtemp(prefix="kgx_stream_triples_")
+    try:
+        t.repartition(4).write.mode("overwrite").parquet(in_dir)
+        out = run_stream_once(
+            spark, in_dir, TESTDATA_CONFIG,
+            query_name=f"triples_stream_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=1)
+        # pin the drained memory-sink rows so the temp input files can be
+        # deleted NOW instead of leaking one dir per invocation
+        return out.localCheckpoint()
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
 _CC_EDGES_SPARK = """
 SELECT 'o' || CAST(l_orderkey AS STRING) AS u,
        'p' || CAST(l_partkey AS STRING) AS v
@@ -2967,6 +2997,9 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_rule2_pairs"] = O.rule2_pairs_oracle_sql()
     ORACLES["kg_rule3_pairs"] = O.rule3_pairs_oracle_sql()
     ORACLES["kg_triples"] = O.triples_oracle_sql()
+    # streaming drain must equal the batch flagship bit-for-bit, so the
+    # stream gate shares the flagship's full value-hash oracle verbatim
+    ORACLES["kg_stream_triples"] = O.triples_oracle_sql()
     ORACLES["kg_triple_counts"] = (
         "SELECT pred, count(*) AS n_triples FROM ("
         + O.triples_oracle_sql() + ") t GROUP BY pred")
@@ -3036,9 +3069,10 @@ _GATE_ORDER = [
     # -- new in round 3 ----------------------------------------------------
     "kg_trees", "kg_tree_scores", "kg_sense_features", "kg_sense_pred",
     "kg_tree_deps", "kg_conn_features_v2", "kg_aimed_features",
-    "kg_stream_conv_state", "media_features_png", "media_frames_avi",
+    "kg_stream_conv_state", "kg_stream_triples",
+    "media_features_png", "media_frames_avi",
     # -- KG pipeline -------------------------------------------------------
-    "kg_triples", "kg_edges", "kg_nodes", "kg_transcripts", "kg_sentences",
+    "kg_triples", "kg_edges", "kg_nodes",
     "kg_token_stats", "kg_conversations", "kg_mentions",
     "kg_blinded", "kg_domain_tags", "kg_pos_tags", "kg_dep_edges",
     "kg_clauses", "kg_entity_spans", "kg_chunks", "kg_connectives",
@@ -3063,6 +3097,11 @@ _GATE_ORDER = [
     # exercises the same Arrow plumbing plus an actual codec) joined the
     # overflow as the round-3 gates (kg_tree_deps, kg_conn_features_v2,
     # kg_aimed_features, media_features_real, kg_nodes) landed --------------
+    # kg_transcripts / kg_sentences joined the overflow when
+    # kg_stream_triples landed in-cap (round 3): both were driver-green in
+    # r01 AND r02, and their derivation is the shared prefix of every other
+    # kg gate — a break there fails the whole in-cap kg section loudly
+    "kg_transcripts", "kg_sentences",
     "kg_tool_stats", "media_features", "minhash_signatures", "doc_quality",
     "doc_lang_id", "token_counts", "ann_topk_lsh", "ann_topk_ivf",
     "ngram_jaccard_pairs",

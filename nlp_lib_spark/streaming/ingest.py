@@ -26,17 +26,24 @@ TRANSCRIPTS_SCHEMA = T.StructType([
 ])
 
 
-def stream_triples(spark: SparkSession, input_dir: str,
-                   config: KGConfig) -> DataFrame:
-    src = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
-           .parquet(input_dir))
-    return extract_triples(src, config)
+def stream_triples(spark: SparkSession, input_dir: str, config: KGConfig,
+                   max_files_per_trigger: int | None = None) -> DataFrame:
+    src = spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    return extract_triples(src.parquet(input_dir), config)
 
 
 def run_stream_once(spark: SparkSession, input_dir: str, config: KGConfig,
-                    query_name: str = "triples_stream") -> DataFrame:
-    """Drain all available files into a memory sink; return the result."""
-    q = (stream_triples(spark, input_dir, config)
+                    query_name: str = "triples_stream",
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """Drain all available files into a memory sink; return the result.
+
+    ``max_files_per_trigger=1`` drains one file per micro-batch (the
+    ``availableNow`` trigger honors the option), so the appended union
+    across several micro-batches — not one big batch — is what parity
+    checks compare against the batch plan."""
+    q = (stream_triples(spark, input_dir, config, max_files_per_trigger)
          .writeStream.outputMode("append")
          .format("memory").queryName(query_name)
          .trigger(availableNow=True)

@@ -81,15 +81,21 @@ def test_streaming_matches_batch(spark, tmp_path):
            .withColumn("ts", F.timestamp_seconds("ts_epoch"))
            .drop("ts_epoch"))
     in_dir = str(tmp_path / "stream_in")
-    src.write.mode("overwrite").parquet(in_dir)
+    src.repartition(4).write.mode("overwrite").parquet(in_dir)
 
-    streamed = run_stream_once(spark, in_dir, FIXTURE_CONFIG).toPandas()
     batch = extract_triples(spark.read.parquet(in_dir),
                             FIXTURE_CONFIG).toPandas()
     key = ["conv_id", "turn_idx", "sent_id", "e1", "e2"]
-    pd.testing.assert_frame_equal(
-        streamed.sort_values(key).reset_index(drop=True),
-        batch.sort_values(key).reset_index(drop=True))
+    # one drain of everything AND a one-file-per-micro-batch drain (the
+    # kg_stream_triples gate's shape): the appended union across several
+    # micro-batches must equal the batch plan, not just a single batch
+    for mfpt, qname in [(None, "t_all"), (1, "t_onefile")]:
+        streamed = run_stream_once(spark, in_dir, FIXTURE_CONFIG,
+                                   query_name=qname,
+                                   max_files_per_trigger=mfpt).toPandas()
+        pd.testing.assert_frame_equal(
+            streamed.sort_values(key).reset_index(drop=True),
+            batch.sort_values(key).reset_index(drop=True))
 
 
 def test_windowed_watermark_matches_batch(spark, tmp_path):
