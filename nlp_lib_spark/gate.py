@@ -2723,6 +2723,31 @@ def q_kg_link_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions_tfidf(mentions, dictionary)
 
 
+@gate("kg_link_tfidf_dist", oracle=_link_tfidf_oracle_sql())
+def q_kg_link_tfidf_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The beyond-broadcast-size TF-IDF tier
+    (operators/linking.link_mentions_tfidf_distributed): gram IDF computed
+    by distributed aggregation and joined as a frame — zero driver-side
+    dictionary collect. Shares kg_link_tfidf's oracle verbatim, so a hash
+    match certifies the scale path emits the broadcast tier's verdicts
+    bit-for-bit (same JVM ln + half-even bround = the oracle's injected
+    Python-rounded integer weights)."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.lexicons import TESTDATA_ENTITIES
+    from nlp_lib_spark.operators.linking import (
+        _NORM, link_mentions_tfidf_distributed)
+    register_views(spark, sf_dir)
+    mentions = (spark.table("documents")
+                .select(F.explode(F.split("text", " "))
+                        .alias("mention_text"))
+                .filter(F.expr(_NORM % "mention_text") != "")
+                .distinct())
+    dictionary = spark.createDataFrame(
+        [(e,) for e in sorted(set(TESTDATA_ENTITIES))], "entity string")
+    return link_mentions_tfidf_distributed(mentions, dictionary)
+
+
 @functools.lru_cache(maxsize=None)
 def _vocab_canon_oracle_sql() -> str:
     """Canonicalization over the TF-IDF-linked token vocabulary: the
@@ -3080,14 +3105,15 @@ _GATE_ORDER = [
     "kg_ml_triples", "kg_kernel_triples", "kg_wgp_triples",
     "kg_lll_triples", "kg_relx_triples", "kg_lll_ml_triples",
     "kg_triple_counts", "kg_link_scores", "kg_link_tfidf",
-    "kg_vocab_canon", "kg_entity_links",
-    # -- LLM-data pipeline (least-critical last: with 70 registered gates
+    "kg_link_tfidf_dist", "kg_vocab_canon", "kg_entity_links",
+    # -- LLM-data pipeline (least-critical last: with 72 registered gates
     # the driver's 50-cap now cuts into this section; dedup_exact /
     # minhash_lsh_pairs / doc_fingerprint / simhash / ann_topk are simple
     # SQL certified in BOTH prior rounds and ann_topk_ivf_kmeans was
     # driver-certified in r02, so they take the overflow instead of the
-    # never-certified round-3 gates (media + sense-pred); the real-decode
-    # media gate keeps the last in-cap slot) ---------------------------
+    # never-certified round-3 gates (streaming / media / sense-pred /
+    # distributed-IDF); the real-decode media gate keeps the last in-cap
+    # slot) -----------------------------------------------------------
     "media_features_real", "ann_topk_ivf_kmeans",
     "dedup_exact", "minhash_lsh_pairs", "doc_fingerprint", "simhash",
     "ann_topk",

@@ -210,7 +210,63 @@ def test_tfidf_dictionary_contract_enforced(spark, monkeypatch):
     monkeypatch.setattr(linking, "MAX_DICT_ENTITIES", 3)
     with pytest.raises(ValueError, match="broadcast-size contract"):
         linking.link_mentions_tfidf(mentions, dictionary)
+    # the named alternative handles the same over-contract dictionary
+    # without any driver collect or MAX_DICT_ENTITIES dependence
+    out = linking.link_mentions_tfidf_distributed(
+        mentions, dictionary).collect()
+    assert {r.method for r in out} <= {"exact", "tfidf3", "unlinked"}
     # within the contract the same call succeeds
     monkeypatch.setattr(linking, "MAX_DICT_ENTITIES", 1000)
     out = linking.link_mentions_tfidf(mentions, dictionary).collect()
     assert {r.method for r in out} <= {"exact", "tfidf3", "unlinked"}
+
+
+def test_tfidf_distributed_matches_broadcast(spark):
+    """The beyond-broadcast-scale variant must reproduce the broadcast
+    tier's verdicts BIT-FOR-BIT at its default (exact) setting — same
+    entities, same methods, same integer micro-scores — across every
+    verdict class (exact hit, fuzzy hit, norm-collision dedup, short
+    <3-char mention, unlinked)."""
+    from nlp_lib_spark.operators.linking import (
+        link_mentions_tfidf, link_mentions_tfidf_distributed)
+    ents = ["hash join", "table scan", "spark", "shuffle spill",
+            "broadcast exchange", "US", "us", "row group"]
+    mentions = spark.createDataFrame(pd.DataFrame({"mention_text": [
+        "spark", "Spark", "join", "tble scan", "shuffle  spill",
+        "broadcast exchang", "zzz qqq", "a", "US", "row gruop"]}))
+    dictionary = spark.createDataFrame(pd.DataFrame({"entity": ents}))
+    key = ["norm", "entity", "method", "score_micro"]
+    bc = (link_mentions_tfidf(mentions, dictionary,
+                              threshold_micro=200_000)
+          .toPandas().sort_values(key).reset_index(drop=True))
+    dist = (link_mentions_tfidf_distributed(mentions, dictionary,
+                                            threshold_micro=200_000)
+            .toPandas().sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc[key], dist[key])
+    assert set(bc.method) == {"exact", "tfidf3", "unlinked"}
+
+
+def test_tfidf_distributed_stop_gram_cap(spark):
+    """max_gram_df_frac drops ubiquitous grams from BOTH sides: verdicts
+    stay one-per-norm with exact hits untouched, and a mention whose only
+    shared grams are the capped-out ubiquitous ones goes unlinked."""
+    from nlp_lib_spark.operators.linking import (
+        link_mentions_tfidf_distributed)
+    # "common" appears in every entity -> its grams df == N get capped;
+    # each entity's distinctive head word survives
+    ents = [f"{w} common" for w in
+            ("alpha", "beta", "gamma", "delta", "zebraq")]
+    mentions = spark.createDataFrame(pd.DataFrame({"mention_text": [
+        "zebraq common",   # exact
+        "zebrak common",   # fuzzy via the rare "zeb"/"ebr" grams
+        "wommon",          # shares only capped "common" grams
+    ]}))
+    dictionary = spark.createDataFrame(pd.DataFrame({"entity": ents}))
+    out = {r.norm: (r.entity, r.method)
+           for r in link_mentions_tfidf_distributed(
+               mentions, dictionary, threshold_micro=100_000,
+               max_gram_df_frac=0.5).collect()}
+    assert len(out) == 3  # one verdict per norm
+    assert out["zebraq common"] == ("zebraq common", "exact")
+    assert out["zebrak common"] == ("zebraq common", "tfidf3")
+    assert out["wommon"][1] == "unlinked"
