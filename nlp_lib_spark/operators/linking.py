@@ -272,8 +272,15 @@ def link_mentions_tfidf_distributed(mentions: DataFrame,
     df_cap = (int(max_gram_df_frac * n) if max_gram_df_frac is not None
               else n)
 
+    # dg feeds three consumers (the weight aggregation, the in-dict
+    # probe, the weighted index) and wdf two — Spark SQL re-computes a
+    # referenced subtree per consumer (no common-subplan sharing), which
+    # for a data-sized dictionary means re-exploding and re-aggregating
+    # it up to three times. localCheckpoint materializes each ONCE to
+    # executor-local storage (the same pattern as the mention frame).
     dg = (d.withColumn("grams", F.expr(_grams_expr("entity_norm")))
-          .select("entity", F.explode("grams").alias("gram")))
+          .select("entity", F.explode("grams").alias("gram"))
+          .localCheckpoint())
     wdf = (dg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
            .filter(F.col("df") <= F.lit(df_cap))
            .withColumn("w", F.greatest(
@@ -281,7 +288,8 @@ def link_mentions_tfidf_distributed(mentions: DataFrame,
                F.bround(F.lit(float(scale)) *
                         F.log((F.lit(n) + F.lit(1.0)) / F.col("df")))
                .cast("long")))
-           .select("gram", "w"))
+           .select("gram", "w")
+           .localCheckpoint())
 
     m = normalize_mentions(mentions).select("norm").distinct() \
         .localCheckpoint()

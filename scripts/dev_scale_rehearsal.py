@@ -157,12 +157,62 @@ def run_stream_state(spark, reps: int) -> dict:
         shutil.rmtree(in_dir, ignore_errors=True)
 
 
+def run_link_tfidf_dist(spark, reps: int) -> dict:
+    """Round-3 addition: the beyond-broadcast-size linking tier under a
+    GROWING DICTIONARY (the axis the broadcast variant cannot scale on).
+    50k entities per rep — at 50 reps the 2.5M-entity dictionary is past
+    the 1M-norm broadcast contract, so the broadcast variant must refuse
+    while the distributed variant links a fixed 15k-norm mention set;
+    rows_out stays 15k (one verdict per norm) at every dictionary size."""
+    from nlp_lib_spark.operators.linking import (
+        MAX_DICT_ENTITIES, link_mentions_tfidf, link_mentions_tfidf_distributed)
+    n_ents = 50_000 * reps
+    # a realistic dictionary gram profile: a small shared type vocabulary
+    # (every real dictionary has its "protein"/"receptor" words — these
+    # grams go ubiquitous, df ~ n/10) plus a diverse per-entity id part
+    # (base-36, rare discriminative grams). The ubiquitous grams make the
+    # EXACT blocking join quadratic-hot by construction — which is the
+    # point: at dictionary scale the rehearsal runs the documented scale
+    # posture, max_gram_df_frac, which prunes them from the gram universe
+    # while the rare id grams still link every fuzzy probe.
+    words = ("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "theta", "kappa", "sigma", "omega")
+    word_elt = "elt(1 + CAST(id % 10 AS INT), " + ", ".join(
+        f"'{w}'" for w in words) + ")"
+    ent_expr = f"concat({word_elt}, ' ', conv(id, 10, 36))"
+    dictionary = (spark.range(n_ents)
+                  .select(F.expr(ent_expr).alias("entity")))
+    # fixed mention side: 5k exact hits, 5k one-char-appended fuzzy
+    # probes, 5k vocabulary strangers
+    base = spark.range(5_000).select(F.expr(ent_expr).alias("m"))
+    mentions = (base.select(F.col("m").alias("mention_text"))
+                .unionAll(base.select(F.concat("m", F.lit("x"))
+                                      .alias("mention_text")))
+                .unionAll(spark.range(5_000).select(
+                    F.expr("concat('zz', id, 'qq', id)")
+                    .alias("mention_text")))).localCheckpoint()
+    over_contract = n_ents > MAX_DICT_ENTITIES
+    if over_contract:
+        try:
+            link_mentions_tfidf(mentions, dictionary)
+            raise AssertionError("broadcast variant accepted an "
+                                 "over-contract dictionary")
+        except ValueError:
+            pass  # the contract refusal working as shipped
+    t0 = time.time()
+    out = link_mentions_tfidf_distributed(
+        mentions, dictionary, max_gram_df_frac=0.01).count()
+    return {"op": "link_tfidf_dist", "reps": reps, "rows_in": n_ents,
+            "rows_out": out, "sec": round(time.time() - t0, 2),
+            "broadcast_refused": over_contract}
+
+
 def main() -> None:
     reps_list = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
     spark = get_spark(cpus=32)
     for reps in reps_list:
         for fn in (run_lsh, run_cc, run_kg_edges, run_media_real,
-                   run_stream_state):
+                   run_stream_state, run_link_tfidf_dist):
             gc.collect()
             print("REHEARSAL", fn(spark, reps), flush=True)
     spark.stop()
