@@ -78,6 +78,17 @@ def _warmup(spark, cpus: int) -> None:
      .mapInPandas(ident, schema="id long").count())
 
 
+def _warm_page_cache(spark, sf_dir: str) -> None:
+    """Full untimed read of every input parquet so first-touch page-cache
+    warm-up (measured 13-20 s at sf0.1 on this box) is not billed to
+    whichever query happens to run first (VERDICT r3 'Next round' 6)."""
+    from nlp_lib_spark.gate import TABLES
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            _materialize(spark.read.parquet(path))
+
+
 def run_suite(sf_dir: str, cpus: int, repeats: int | None = None) -> dict:
     """Each query is timed ``repeats`` times back-to-back and the MINIMUM
     kept (least-interference steady-state estimator — this shared host
@@ -89,16 +100,23 @@ def run_suite(sf_dir: str, cpus: int, repeats: int | None = None) -> dict:
         repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
     spark = get_spark(app="nlp_lib_spark-bench", cpus=cpus)
     timings: dict[str, float] = {}
+    all_passes: dict[str, list[float]] = {}
     _warmup(spark, cpus)
+    _warm_page_cache(spark, sf_dir)
     import gc
     for name in HEADLINE:
         fn = QUERIES[name]
-        best = float("inf")
+        passes: list[float] = []
         for _ in range(max(1, repeats)):
             t0 = time.time()
             _materialize(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            passes.append(round(time.time() - t0, 3))
+        # the MIN is the headline (least-interference steady-state), but
+        # every pass is recorded so an anomalous driver number is
+        # decomposable from the artifact alone (VERDICT r3 item 4: the
+        # 22.3 s kg_link_scores could not be audited post hoc)
+        timings[name] = min(passes)
+        all_passes[name] = passes
         # drop the query's DataFrame refs so the ContextCleaner can free
         # its localCheckpoint blocks — otherwise the tail queries run
         # under the accumulated executor-memory pressure of all prior
@@ -128,8 +146,8 @@ def run_suite(sf_dir: str, cpus: int, repeats: int | None = None) -> dict:
         _materialize(extract_triples(t, TESTDATA_CONFIG))
         flagship_sec = min(flagship_sec, time.time() - t0)
     spark.stop()
-    return {"timings": timings, "n_turns": n_turns,
-            "flagship_sec": flagship_sec,
+    return {"timings": timings, "all_passes": all_passes,
+            "n_turns": n_turns, "flagship_sec": flagship_sec,
             "turns_per_sec": round(n_turns / max(1e-9, flagship_sec), 1)}
 
 
@@ -199,12 +217,20 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
 
+    load_start = os.getloadavg()
     res = run_suite(sf_dir, cpus)
     payload = {
         "metric": "headline_suite_total",
         "value": round(sum(res["timings"].values()), 3),
         "unit": "sec",
         "queries": res["timings"],
+        # full per-pass arrays + host load: an anomalous per-query number
+        # must be decomposable from this artifact alone (VERDICT r3 items
+        # "What's missing" 4 / "Next round" 5) — min-of-k hides which pass
+        # was contaminated, and loadavg shows whether the box was idle
+        "queries_all_passes": res["all_passes"],
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
         "n_turns": res["n_turns"],
         "turns_per_sec": res["turns_per_sec"],

@@ -131,6 +131,53 @@ def subtree_kernel(t1: Node, t2: Node) -> int:
     return sum(n * c2[sig] for sig, n in c1.items() if sig in c2)
 
 
+def tree_kernel_dyadic(t1: Node, t2: Node,
+                       lam_num: int = 1, lam_den: int = 2):
+    """Collins-Duffy SST kernel, EXACT rational arithmetic (same recursion
+    as :func:`tree_kernel`, ``Fraction`` instead of float).
+
+    The reference computes the kernel in Java doubles; so does
+    :func:`tree_kernel`. But ``floor(scale * k)`` of a float is not
+    certifiable against a SQL oracle once intermediate products exceed
+    the 53-bit mantissa (a sentence identical to a prototype produces
+    exactly such products). With lambda = 1/2 every C value is a dyadic
+    rational, so this variant is bit-reproducible on both sides; the
+    float runtime path is pytest-bounded against it
+    (tests/test_kernelscore.py::test_sst_float_matches_dyadic)."""
+    from fractions import Fraction
+    lam = Fraction(lam_num, lam_den)
+    nodes1 = _flatten(t1)
+    nodes2 = _flatten(t2)
+    mem: dict[tuple[int, int], object] = {}
+    zero = Fraction(0)
+
+    def same_production(i: int, j: int) -> bool:
+        (va, ca), (vb, cb) = nodes1[i], nodes2[j]
+        if va != vb or len(ca) != len(cb):
+            return False
+        return all(nodes1[x][0] == nodes2[y][0] for x, y in zip(ca, cb))
+
+    def compute(i: int, j: int):
+        key = (i, j)
+        v = mem.get(key)
+        if v is not None:
+            return v
+        if same_production(i, j):
+            v = lam * lam
+            ca, cb = nodes1[i][1], nodes2[j][1]
+            if ca and cb:
+                for x, y in zip(ca, cb):
+                    v *= 1 + compute(x, y)
+        else:
+            v = zero
+        mem[key] = v
+        return v
+
+    return sum((compute(i, j)
+                for i in range(len(nodes1)) for j in range(len(nodes2))),
+               zero)
+
+
 def _position(e1: int, e2: int, lcs: int) -> str:
     # DependencyKernel.getPosition (java:157-165)
     if e1 <= lcs <= e2:

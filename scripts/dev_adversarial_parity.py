@@ -7,7 +7,7 @@ derivation SQL (operators/transcripts.transcripts_select_sql), the
 pure-Spark-SQL gates, and the Arrow batching seams are only exercised
 end-to-end by the driver corpus. This script closes that gap: it swaps the
 fixed documents table for a fuzz-vocabulary one (same schema) and runs the
-full 56-gate paritycheck, so every gate's Spark plan and DuckDB oracle are
+full all-gate paritycheck, so every gate's Spark plan and DuckDB oracle are
 value-hash-compared on text that stresses sentence boundaries, parens,
 citations, fused '/'-tokens, case folding, hyphen/apostrophe tokens, and
 raw tokens colliding with the PROTEIN placeholder namespace.

@@ -73,3 +73,52 @@ def test_kmeans_ivf_releases_checkpoint_blocks(spark):
     assert out.count() > 0
     leaked = _persistent_ids(sc) - before
     assert len(leaked) <= 1, leaked  # only the small materialized result
+
+
+def test_float_int_dtype_divergence_fails_replica():
+    """VERDICT r3 item 2: the replica must be at least as dtype-strict as
+    the driver. A DuckDB HUGEINT sum renders through pandas as float64
+    ("123.0") while Spark's BIGINT renders "123" — round 3's %.6g
+    normalization collapsed both to "123" and masked two driver FAILs.
+    int64 123 and float64 123.0 must now hash differently."""
+    import pandas as pd
+
+    from nlp_lib_spark.paritycheck import frame_hash
+    int_frame = pd.DataFrame({"x": pd.Series([123, 7], dtype="int64")})
+    float_frame = pd.DataFrame({"x": pd.Series([123.0, 7.0],
+                                               dtype="float64")})
+    assert frame_hash(int_frame) != frame_hash(float_frame)
+    # equal-typed frames still match (the marker is deterministic)
+    assert frame_hash(float_frame) == frame_hash(float_frame.copy())
+
+
+def test_duckdb_hugeint_sum_vs_spark_bigint_fails_replica(spark, tmp_path):
+    """End-to-end form of the same regression: an uncast ``sum(int)``
+    oracle (HUGEINT -> float64) against a Spark BIGINT sum must FAIL
+    compare_query, and the dtype_drift audit must name the column."""
+    import pandas as pd
+
+    from nlp_lib_spark.gate import ORACLES, QUERIES, TABLES
+    from nlp_lib_spark.paritycheck import compare_query
+
+    for t in TABLES:  # duck_connection builds a view per table name
+        pd.DataFrame({"v": [1, 2, 3]}).to_parquet(tmp_path / f"{t}.parquet")
+    name = "__dtype_guard__"
+
+    def q(spark, sf_dir):
+        df = spark.read.parquet(f"{sf_dir}/region.parquet")
+        df.createOrReplaceTempView("dtype_guard_t")
+        return spark.sql("SELECT sum(v) AS s FROM dtype_guard_t")
+
+    QUERIES[name] = q
+    ORACLES[name] = "SELECT sum(v) AS s FROM region"
+    try:
+        res = compare_query(spark, str(tmp_path), name)
+        assert res["status"] == "MISMATCH", res
+        assert res["dtype_drift"] == ["s"], res
+        # ...and the BIGINT cast that fixed pr_eval/kg_tree_scores heals it
+        ORACLES[name] = "SELECT CAST(sum(v) AS BIGINT) AS s FROM region"
+        res2 = compare_query(spark, str(tmp_path), name)
+        assert res2["status"] == "ok", res2
+    finally:
+        del QUERIES[name], ORACLES[name]

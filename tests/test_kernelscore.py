@@ -466,3 +466,48 @@ def test_connective_tk_di_skipped():
     lines = gen.instances(["if", "x", "then", "y"],
                           ["DB-CONN", "O", "DI-CONN", "O"], tree)
     assert len(lines) == 1 and lines[0].startswith("+1")
+
+
+def test_sst_dyadic_equals_float_small_trees():
+    """On small trees every intermediate fits the 53-bit mantissa, so the
+    float kernel and the exact dyadic kernel agree bit-for-bit."""
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import (tree_kernel,
+                                                  tree_kernel_dyadic)
+    a = parse_penn("(S (NP (DT the) (NN cat)) (VP (VBZ sat)) (. .))")
+    b = parse_penn("(S (NP (DT the) (NN dog)) (VP (VBZ sat)) (. .))")
+    for t1, t2 in ((a, a), (a, b), (b, b)):
+        exact = tree_kernel_dyadic(t1, t2)
+        assert float(exact) == tree_kernel(t1, t2)
+
+
+def test_sst_float_matches_dyadic_on_gate_corpus_protos():
+    """The float runtime path (sst_tree_scores) is bounded against the
+    exact dyadic path on the prototype self/cross kernels — the largest
+    values the gate corpus can produce (a sentence identical to a
+    prototype)."""
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import (tree_kernel,
+                                                  tree_kernel_dyadic)
+    from nlp_lib_spark.lexicons import TESTDATA_CONFIG
+    from nlp_lib_spark.operators.trees import prototype_trees
+    protos = [parse_penn(p) for p in prototype_trees(TESTDATA_CONFIG)]
+    for t1 in protos:
+        for t2 in protos:
+            exact = tree_kernel_dyadic(t1, t2)
+            approx = tree_kernel(t1, t2)
+            assert abs(approx - float(exact)) <= 1e-9 * max(1.0,
+                                                            float(exact))
+
+
+def test_sst_exact_scores_floor_semantics():
+    """floor(scale*K) in integer arithmetic: spot-check against Fraction."""
+    from fractions import Fraction
+
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import tree_kernel_dyadic
+    t = parse_penn("(S (NP (DT the) (NN cat)) (VP (VBZ sat)) (. .))")
+    k = tree_kernel_dyadic(t, t)
+    assert isinstance(k, Fraction)
+    scaled = (10_000 * k.numerator) // k.denominator
+    assert scaled == int(10_000 * k)  # k >= 0 so floor == int-div

@@ -210,3 +210,107 @@ def test_extract_media_features_real_spark(spark):
         assert out[i]["kind"] == kind
         assert out[i]["n_bytes"] == len(blob)
         assert [round(x, 4) for x in out[i]["features"]] == expect
+
+
+# ------------------------------------------------------------ JPEG (round 4)
+
+def _flat_raster(dcs):
+    from nlp_lib_spark.operators.mediacodec import _flat_block_raster
+    return _flat_block_raster(dcs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=4, max_size=4))
+def test_jpeg_flat_block_roundtrip_exact(dcs):
+    """Flat 8x8 blocks with DC quant step 8 decode bit-exactly — the
+    property the media_features_jpeg gate's closed-form oracle relies on."""
+    from nlp_lib_spark.operators.mediacodec import decode_jpeg, encode_jpeg
+    raster = _flat_raster(dcs)
+    w, h, out = decode_jpeg(encode_jpeg(raster, 16, 16))
+    assert (w, h) == (16, 16)
+    assert out == raster
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.data())
+def test_jpeg_general_roundtrip_near_lossless_at_q1(data):
+    """Arbitrary images at quant step 1: the full AC path (run lengths,
+    size categories, negative amplitudes) must reconstruct within the
+    float-rounding budget (|diff| <= 1)."""
+    from nlp_lib_spark.operators.mediacodec import decode_jpeg, encode_jpeg
+    bw = data.draw(st.integers(1, 3))
+    bh = data.draw(st.integers(1, 3))
+    w, h = 8 * bw, 8 * bh
+    img = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                             max_size=w * h))
+    w2, h2, out = decode_jpeg(encode_jpeg(img, w, h, q_dc=1, q_ac=1))
+    assert (w2, h2) == (w, h)
+    assert max(abs(a - b) for a, b in zip(img, out)) <= 1
+
+
+def test_jpeg_zrl_and_eob_paths():
+    """A nearly-constant image forces >=16-zero AC runs (ZRL) and early
+    EOBs; a checkerboard forces dense high-frequency ACs."""
+    from nlp_lib_spark.operators.mediacodec import decode_jpeg, encode_jpeg
+    img = [100] * (24 * 16)
+    img[5], img[100], img[383] = 240, 3, 17
+    _, _, out = decode_jpeg(encode_jpeg(img, 24, 16, q_dc=1, q_ac=1))
+    assert max(abs(a - b) for a, b in zip(img, out)) <= 1
+    checker = [(255 if (x + y) % 2 else 0) for y in range(16)
+               for x in range(16)]
+    _, _, out2 = decode_jpeg(encode_jpeg(checker, 16, 16, q_dc=1, q_ac=1))
+    assert max(abs(a - b) for a, b in zip(checker, out2)) <= 1
+
+
+def test_jpeg_rejects_garbage_and_unsupported():
+    from nlp_lib_spark.operators.mediacodec import decode_jpeg, encode_jpeg
+    with pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")
+    good = encode_jpeg(_flat_raster([1, 2, 3, 4]), 16, 16)
+    # flip SOF0 -> SOF2 (progressive) — must raise, not mis-decode
+    bad = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        decode_jpeg(bad)
+    with pytest.raises(ValueError):
+        encode_jpeg([0] * 12, 4, 3)  # non-multiple-of-8 dims
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """DC values chosen so the entropy stream contains 0xFF bytes (the
+    encoder must stuff 0x00, the decoder must unstuff)."""
+    from nlp_lib_spark.operators.mediacodec import decode_jpeg, encode_jpeg
+    for dcs in ([255, 255, 255, 255], [0, 255, 0, 255], [128, 127, 129, 126]):
+        raster = _flat_raster(dcs)
+        blob = encode_jpeg(raster, 16, 16)
+        assert decode_jpeg(blob)[2] == raster
+
+
+def test_mjpeg_avi_roundtrip_and_sampling():
+    from nlp_lib_spark.operators.mediacodec import (decode_avi,
+                                                    encode_mjpeg_avi,
+                                                    frame_features)
+    frames = [_flat_raster([10 * k, 20, 30, 40]) for k in range(1, 5)]
+    blob = encode_mjpeg_avi(frames, 16, 16)
+    w, h, out = decode_avi(blob)
+    assert (w, h) == (16, 16) and out == frames
+    sampled = frame_features(blob, every_n=2)
+    assert [k for k, _ in sampled] == [0, 2]
+    assert sampled[0][1][:5] == [16.0, 16.0, 10.0, 40.0,
+                                 float(64 * (10 + 20 + 30 + 40))]
+
+
+def test_synth_jpeg_matches_oracle_model():
+    """synth_jpeg_payload/synth_mjpeg_payload decode to exactly the
+    md5-expansion model the DuckDB oracles recompute closed-form."""
+    from nlp_lib_spark.operators.mediacodec import (decode_avi, decode_jpeg,
+                                                    md5_expand,
+                                                    synth_jpeg_payload,
+                                                    synth_mjpeg_payload)
+    text = "the cat sat on the mat"
+    w, h, gray = decode_jpeg(synth_jpeg_payload(text))
+    dcs = list(md5_expand(text, 4))
+    assert (w, h) == (16, 16) and gray == _flat_raster(dcs)
+    w, h, frames = decode_avi(synth_mjpeg_payload(text))
+    assert (w, h) == (16, 16)
+    for k, f in enumerate(frames):
+        assert f == _flat_raster(list(md5_expand(f"{text}#j{k}", 4)))
