@@ -41,6 +41,7 @@ HEADLINE = (
     "kg_token_stats",      # JVM-side regex token/sentence stats
     "kg_trees",            # frozen constituency builder (round 3)
     "kg_tree_scores",      # ST-kernel vs broadcast prototypes (round 3)
+    "kg_sst_scores",       # exact dyadic Collins-Duffy SST kernel (round 4)
     "kg_sense_features",   # sense-classifier features over trees (round 3)
     "kg_sense_pred",       # trained sense classifier argmax (round 3)
     "kg_tree_deps",        # tree->typed-dependency converter (round 3)
@@ -50,7 +51,9 @@ HEADLINE = (
     "dedup_exact",         # exact dedup by content hash
     "ann_topk",            # brute-force cosine top-k
     "media_features_real", # real BMP/WAV decode + pixel/sample stats (r3)
+    "media_features_jpeg", # baseline JPEG decode (Huffman+dequant+IDCT, r4)
     "media_frames_avi",    # real AVI demux + frame sampling (r3)
+    "media_frames_mjpeg",  # Motion-JPEG demux + per-frame JPEG decode (r4)
     "doc_quality",         # text quality scoring
     "tpch_q1",             # relational aggregate baseline
     "kg_link_scores",      # broadcast-dict linking (exact + Jaccard)

@@ -498,8 +498,17 @@ _AC_VALS = [0x00, 0xF0] + [(r << 4) | s for r in range(16)
                            for s in range(1, 11)]
 
 
+_HUFF_CODES_CACHE: dict[tuple[bytes, bytes], dict] = {}
+
+
 def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
-    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length).
+    Memoized — the encoder uses the same two module-constant tables for
+    every payload."""
+    key = (bytes(bits), bytes(vals))
+    cached = _HUFF_CODES_CACHE.get(key)
+    if cached is not None:
+        return cached
     out: dict[int, tuple[int, int]] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -508,19 +517,29 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_CODES_CACHE) < 64:
+        _HUFF_CODES_CACHE[key] = out
     return out
 
 
-def _dct_basis():
-    import math
+_DCT_BASIS = None
 
-    import numpy as np
-    b = np.zeros((8, 8))
-    for u in range(8):
-        cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
-        for x in range(8):
-            b[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
-    return b
+
+def _dct_basis():
+    """8x8 DCT-II basis (row u = C(u) cos((2x+1)u pi/16)), built once per
+    process — every block decode reuses it."""
+    global _DCT_BASIS
+    if _DCT_BASIS is None:
+        import math
+
+        import numpy as np
+        b = np.zeros((8, 8))
+        for u in range(8):
+            cu = (1.0 / math.sqrt(2.0)) if u == 0 else 1.0
+            for x in range(8):
+                b[u, x] = cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+        _DCT_BASIS = b
+    return _DCT_BASIS
 
 
 class _BitWriter:
@@ -577,10 +596,16 @@ def encode_jpeg(gray: list[int], width: int, height: int,
     ac_huff = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     pred = 0
+    # one batched FDCT over all blocks (einsum on the (bh, bw, 8, 8)
+    # block view) — identical float ops per block, ~4x less numpy
+    # dispatch overhead than a per-block matmul loop
+    blocks = (img.reshape(height // 8, 8, width // 8, 8)
+              .transpose(0, 2, 1, 3))
+    coefs = 0.25 * np.einsum("ux,bcxy,vy->bcuv", basis, blocks, basis,
+                             optimize=True)
     for by in range(0, height, 8):
         for bx in range(0, width, 8):
-            blk = img[by:by + 8, bx:bx + 8]
-            coef = 0.25 * (basis @ blk @ basis.T)
+            coef = coefs[by // 8, bx // 8]
             zz = [int(round(coef.flat[ZIGZAG[k]] / qtab[k]))
                   for k in range(64)]
             diff = zz[0] - pred
@@ -664,8 +689,17 @@ class _BitReader:
         self._n = 0
 
 
+_HUFF_DECODER_CACHE: dict[tuple[bytes, bytes], dict] = {}
+
+
 def _build_huff_decoder(bits: list[int], vals: list[int]):
-    """DHT BITS/HUFFVAL -> {(length, code): symbol} canonical decode map."""
+    """DHT BITS/HUFFVAL -> {(length, code): symbol} canonical decode map.
+    Memoized on the table bytes: a corpus of same-encoder files (the gate
+    path, MJPEG frames) rebuilds identical tables per payload otherwise."""
+    key = (bytes(bits), bytes(vals))
+    cached = _HUFF_DECODER_CACHE.get(key)
+    if cached is not None:
+        return cached
     table: dict[tuple[int, int], int] = {}
     code, k = 0, 0
     for ln in range(1, 17):
@@ -674,6 +708,8 @@ def _build_huff_decoder(bits: list[int], vals: list[int]):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_DECODER_CACHE) < 64:  # bound worker-resident cache
+        _HUFF_DECODER_CACHE[key] = table
     return table
 
 

@@ -279,3 +279,42 @@ def test_relex_features_total_and_deterministic(raw_edges, e1, e2):
     assert all("=" in f for f in f1)
     assert any(f.startswith("LCS=") for f in f1)
     assert any(f.startswith("PP=") for f in f1)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.data())
+def test_sst_dyadic_vs_float_random_depth3_trees(data):
+    """Random depth-3 constit-shaped trees: the exact dyadic SST kernel
+    and the float runtime agree to relative 1e-9 (and bit-exactly while
+    the float stays inside the 53-bit mantissa) — the invariant that
+    lets kg_sst_scores certify the Collins-Duffy kernel the float path
+    computes."""
+    from nlp_lib_spark.kernels.tree import parse_penn
+    from nlp_lib_spark.kernels.treekernel import (tree_kernel,
+                                                  tree_kernel_dyadic)
+
+    labels = ["NP", "VP"]
+    poss = ["NN", "VBZ", "DT", "JJ"]
+    words = ["aa", "bb", "cc", "dd", "ee"]
+
+    def rand_tree():
+        n = data.draw(st.integers(1, 5))
+        parts = []
+        for _ in range(n):
+            if data.draw(st.booleans()):
+                k = data.draw(st.integers(1, 3))
+                kids = " ".join(
+                    f"({data.draw(st.sampled_from(poss))} "
+                    f"{data.draw(st.sampled_from(words))})"
+                    for _ in range(k))
+                parts.append(
+                    f"({data.draw(st.sampled_from(labels))} {kids})")
+            else:
+                parts.append(f"({data.draw(st.sampled_from(poss))} "
+                             f"{data.draw(st.sampled_from(words))})")
+        return parse_penn("(S " + " ".join(parts) + ")")
+
+    t1, t2 = rand_tree(), rand_tree()
+    exact = tree_kernel_dyadic(t1, t2)
+    approx = tree_kernel(t1, t2)
+    assert abs(approx - float(exact)) <= 1e-9 * max(1.0, float(exact))
