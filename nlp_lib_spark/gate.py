@@ -3432,6 +3432,86 @@ def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline additions (round 4): PII scrub + sentence-level dedup
+# --------------------------------------------------------------------------
+
+# Deterministic PII injection, dialect-shared SQL: the synthetic corpus
+# carries no natural PII, so the gate plants one email + one phone per
+# document and an IP / SSN / credit card on residue classes — the same
+# pattern the media gates use (synthesize the payload from row identity,
+# then prove the extractor inverts it).
+_PII_SYNTH = """text || ' contact doc' || CAST(doc_id AS STRING)
+ || '@example.com or +1 555-'
+ || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'
+ || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+ || CASE WHEN doc_id % 3 = 0
+         THEN ' from 10.' || CAST(doc_id % 256 AS STRING) || '.0.1'
+         ELSE '' END
+ || CASE WHEN doc_id % 5 = 0
+         THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+         ELSE '' END
+ || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111'
+         ELSE '' END""".replace("\n", " ")
+
+
+def _doc_pii_oracle_sql() -> str:
+    from nlp_lib_spark.operators.textstats import PII_PATTERNS
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    scrub = "text"
+    for name, pat, tag in PII_PATTERNS:
+        scrub = f"regexp_replace({scrub}, '{pat}', '{tag}', 'g')"
+    return f"""
+WITH p AS (SELECT doc_id, {_PII_SYNTH} AS text FROM documents)
+SELECT doc_id,
+       {counts},
+       md5({scrub}) AS scrubbed_md5
+FROM p
+"""
+
+
+@gate("doc_pii", oracle=_doc_pii_oracle_sql())
+def q_doc_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing (operators/textstats.pii_scrub): counts
+    per pattern class taken before scrubbing, then the md5 of the
+    most-specific-first scrubbed text. The regex subset is restricted to
+    constructs with identical Java/RE2 semantics so the DuckDB oracle
+    replays the exact same patterns; a hash match proves both the counts
+    AND the full replacement output."""
+    from nlp_lib_spark.operators.textstats import pii_scrub
+    register_views(spark, sf_dir)
+    docs = spark.sql(f"SELECT doc_id, {_PII_SYNTH} AS text FROM documents")
+    return pii_scrub(docs)
+
+
+@gate("sentence_dedup")  # oracle attached below (wraps the sentences SQL)
+def q_sentence_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level exact dedup across the whole corpus (the
+    training-data pipeline's sub-document granularity: boilerplate
+    sentences repeat across documents even when documents are unique):
+    per distinct sentence, occurrence count, distinct-conversation count
+    and a deterministic keeper."""
+    from pyspark.sql import functions as F
+    s = QUERIES["kg_sentences"](spark, sf_dir)
+    return (s.groupBy("sentence")
+            .agg(F.count(F.lit(1)).alias("n_occ"),
+                 F.countDistinct("conv_id").alias("n_convs"),
+                 F.min("conv_id").alias("keeper_conv"))
+            .select(F.md5(F.col("sentence").cast("binary"))
+                     .alias("sent_hash"),
+                    "n_occ", "n_convs", "keeper_conv"))
+
+
+ORACLES["sentence_dedup"] = f"""
+SELECT md5(sentence) AS sent_hash, count(*) AS n_occ,
+       count(DISTINCT conv_id) AS n_convs, min(conv_id) AS keeper_conv
+FROM ({ORACLES["kg_sentences"]}
+) s GROUP BY sentence
+"""
+
+
+# --------------------------------------------------------------------------
 # Composite gates (round 4, VERDICT r3 "What's missing" 1 / "Next round" 4)
 # --------------------------------------------------------------------------
 # The correctness driver certifies at most the FIRST 50 registry entries;
@@ -3570,11 +3650,13 @@ _rel_suite()
 
 def _doc_stats_composite() -> None:
     """Per-document LLM-pipeline stats: quality, language-ID, token
-    counts, bag fingerprint, MinHash signature, SimHash — all keyed by
-    doc_id, so ONE inner 1:1 join chain certifies all six members in a
-    single wide row per document (no NULL-padding, no dtype promotion)."""
+    counts, bag fingerprint, MinHash signature, SimHash, PII scrub — all
+    keyed by doc_id, so ONE inner 1:1 join chain certifies all seven
+    members in a single wide row per document (no NULL-padding, no dtype
+    promotion)."""
     members = ("doc_quality", "doc_lang_id", "token_counts",
-               "doc_fingerprint", "minhash_signatures", "simhash")
+               "doc_fingerprint", "minhash_signatures", "simhash",
+               "doc_pii")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
@@ -3725,7 +3807,7 @@ _GATE_ORDER = [
     "kg_link_scores", "kg_vocab_canon", "kg_entity_links",
     # -- LLM-data pipeline (returned to the cap in round 4) ----------------
     "kg_tool_stats", "dedup_exact", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "embedding_neardup_pairs", "kg_triple_counts",
+    "ngram_jaccard_pairs", "embedding_neardup_pairs", "sentence_dedup",
     # ======================== 50-gate cap ends here =======================
     # -- composite members (certified via their composite's hash above;
     # individually checked by paritycheck.run_all + the pytest suite) ------
@@ -3737,7 +3819,7 @@ _GATE_ORDER = [
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
-    "minhash_signatures", "simhash",
+    "minhash_signatures", "simhash", "doc_pii", "kg_triple_counts",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

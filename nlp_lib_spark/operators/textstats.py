@@ -72,3 +72,46 @@ SELECT {id_col},
        aggregate(split({text_col}, ' '), 0L, (s, t) -> s + CAST(ceil(length(t) / 4.0) AS BIGINT)) AS n_subword_est
 FROM {{t}}
 """)
+
+
+# ---------------------------------------------------------------- PII scrub
+# Training-data pipelines scrub personally-identifying strings before any
+# further processing. Patterns are deliberately restricted to the regex
+# subset whose semantics are IDENTICAL in Java (Spark, codegen'd) and RE2
+# (DuckDB oracle): character classes, bounded repetition, \b, \+? — no
+# backreferences, no lookaround. Detection counts are taken BEFORE
+# scrubbing; replacement runs most-specific-first (card -> SSN -> phone ->
+# email -> IP) so overlapping digit runs cannot double-scrub.
+
+PII_PATTERNS = (
+    # (name, raw regex, replacement tag)
+    ("ccn", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CCN>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\+?\d{1,2} \d{3}-\d{3}-\d{4}", "<PHONE>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def pii_scrub(df: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document PII detection counts + the md5 of the scrubbed text.
+
+    Pure JVM-side SQL (regexp_extract_all / chained regexp_replace inside
+    whole-stage codegen — no Python in the path), so at 100 TB this runs
+    at scan speed with zero shuffles; the gate's DuckDB oracle replays
+    the same patterns through RE2."""
+    counts = ",\n       ".join(
+        f"size(regexp_extract_all({text_col}, "
+        f"'{pat.replace(chr(92), chr(92) * 2)}', 0)) AS n_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    scrub = text_col
+    for name, pat, tag in PII_PATTERNS:
+        scrub = (f"regexp_replace({scrub}, "
+                 f"'{pat.replace(chr(92), chr(92) * 2)}', '{tag}')")
+    return _sql(df, f"""
+SELECT {id_col},
+       {counts},
+       md5({scrub}) AS scrubbed_md5
+FROM {{t}}
+""")
