@@ -3511,6 +3511,77 @@ FROM ({ORACLES["kg_sentences"]}
 """
 
 
+@gate("doc_repetition", oracle="""
+WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+w AS (SELECT doc_id, unnest(arr) AS word FROM a),
+wc AS (SELECT doc_id, word, count(*) AS n FROM w GROUP BY doc_id, word),
+wt AS (SELECT doc_id, max(n) AS rep_top_word_n,
+              CAST(sum(n) AS BIGINT) AS rep_n_words
+       FROM wc GROUP BY doc_id),
+b AS (SELECT doc_id, arr[i] || ' ' || arr[i + 1] AS bg FROM (
+        SELECT doc_id, arr,
+               unnest(generate_series(1, len(arr) - 1)) AS i
+        FROM a)),
+bc AS (SELECT doc_id, bg, count(*) AS n FROM b GROUP BY doc_id, bg),
+bt AS (SELECT doc_id, max(n) AS rep_top_bigram_n,
+              CAST(sum(n) AS BIGINT) AS rep_n_bigrams,
+              CAST(sum(n) - count(*) AS BIGINT) AS rep_dup_bigrams
+       FROM bc GROUP BY doc_id)
+SELECT w.doc_id, rep_n_words, rep_top_word_n,
+       CAST(coalesce(rep_n_bigrams, 0) AS BIGINT) AS rep_n_bigrams,
+       CAST(coalesce(rep_top_bigram_n, 0) AS BIGINT) AS rep_top_bigram_n,
+       CAST(coalesce(rep_dup_bigrams, 0) AS BIGINT) AS rep_dup_bigrams
+FROM wt w LEFT JOIN bt b ON w.doc_id = b.doc_id
+""")
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition / boilerplate counters
+    (operators/textstats.repetition_stats): total and most-frequent word
+    count, total / most-frequent / duplicated bigram counts — exact
+    integers so consumers derive the quality-filter fractions without
+    float noise in the driver hash."""
+    from nlp_lib_spark.operators.textstats import repetition_stats
+    register_views(spark, sf_dir)
+    return repetition_stats(spark.table("documents"))
+
+
+@gate("doc_contamination", oracle="""
+WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i + 4], ' ') AS gram
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 4)) AS i
+            FROM a)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+h AS (SELECT g.doc_id, count(*) AS cont_hits
+      FROM g JOIN bench USING (gram) GROUP BY g.doc_id),
+n AS (SELECT doc_id, count(*) AS cont_n_grams FROM g GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(coalesce(n.cont_n_grams, 0) AS BIGINT) AS cont_n_grams,
+       CAST(coalesce(h.cont_hits, 0) AS BIGINT) AS cont_hits
+FROM a LEFT JOIN n ON a.doc_id = n.doc_id
+       LEFT JOIN h ON a.doc_id = h.doc_id
+""")
+def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen
+    (operators/textstats.contamination_hits): the benchmark set is the
+    distinct word 5-grams of every 10th document (a deterministic stand-in
+    for an eval suite), broadcast against the full corpus's distinct
+    5-grams; per document the gate certifies both its distinct-gram count
+    and how many of those grams are contaminated."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.textstats import contamination_hits
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = (docs.filter(F.col("doc_id") % 10 == 0)
+             .select(F.explode(F.expr("""
+                 CASE WHEN size(split(text, ' ')) >= 5
+                      THEN transform(sequence(1, size(split(text, ' ')) - 4),
+                                     i -> concat_ws(' ',
+                                          slice(split(text, ' '), i, 5)))
+                      ELSE array() END""")).alias("gram")))
+    return contamination_hits(docs, bench)
+
+
 # --------------------------------------------------------------------------
 # Composite gates (round 4, VERDICT r3 "What's missing" 1 / "Next round" 4)
 # --------------------------------------------------------------------------
@@ -3650,13 +3721,13 @@ _rel_suite()
 
 def _doc_stats_composite() -> None:
     """Per-document LLM-pipeline stats: quality, language-ID, token
-    counts, bag fingerprint, MinHash signature, SimHash, PII scrub — all
-    keyed by doc_id, so ONE inner 1:1 join chain certifies all seven
-    members in a single wide row per document (no NULL-padding, no dtype
-    promotion)."""
+    counts, bag fingerprint, MinHash signature, SimHash, PII scrub,
+    repetition counters, contamination screen — all keyed by doc_id, so
+    ONE inner 1:1 join chain certifies all nine members in a single wide
+    row per document (no NULL-padding, no dtype promotion)."""
     members = ("doc_quality", "doc_lang_id", "token_counts",
                "doc_fingerprint", "minhash_signatures", "simhash",
-               "doc_pii")
+               "doc_pii", "doc_repetition", "doc_contamination")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
@@ -3819,7 +3890,8 @@ _GATE_ORDER = [
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
-    "minhash_signatures", "simhash", "doc_pii", "kg_triple_counts",
+    "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
+    "doc_contamination", "kg_triple_counts",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

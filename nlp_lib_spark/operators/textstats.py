@@ -115,3 +115,75 @@ SELECT {id_col},
        md5({scrub}) AS scrubbed_md5
 FROM {{t}}
 """)
+
+
+# -------------------------------------------------- repetition / boilerplate
+# Gopher-style repetition quality filters: heavily repetitive documents
+# (top-word share, duplicated bigrams) are low-quality training data. All
+# outputs are exact integers (numerator/denominator pairs rather than
+# fractions) so the driver hash is immune to float rendering.
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Per-document repetition counters: total / most-frequent word count
+    and total / most-frequent / duplicated bigram counts.
+
+    Two (doc_id, token)-keyed aggregations with map-side partial combine
+    and a 1:1 doc-keyed join — the per-key cardinality is bounded by
+    document length, so there is no skew amplification at 100 TB; consumers
+    derive the Gopher-style fractions (top_word_n / n_words etc.)."""
+    return _sql(df, f"""
+WITH a AS (SELECT {id_col}, split({text_col}, ' ') AS arr FROM {{t}}),
+w AS (SELECT {id_col}, word FROM a LATERAL VIEW explode(arr) AS word),
+wc AS (SELECT {id_col}, word, count(*) AS n FROM w GROUP BY {id_col}, word),
+wt AS (SELECT {id_col}, max(n) AS rep_top_word_n, sum(n) AS rep_n_words
+       FROM wc GROUP BY {id_col}),
+b AS (SELECT {id_col}, bg FROM (
+        SELECT {id_col},
+               zip_with(slice(arr, 1, size(arr) - 1),
+                        slice(arr, 2, size(arr) - 1),
+                        (x, y) -> concat(x, ' ', y)) AS bgs
+        FROM a) LATERAL VIEW explode(bgs) AS bg),
+bc AS (SELECT {id_col}, bg, count(*) AS n FROM b GROUP BY {id_col}, bg),
+bt AS (SELECT {id_col}, max(n) AS rep_top_bigram_n, sum(n) AS rep_n_bigrams,
+              sum(n) - count(*) AS rep_dup_bigrams FROM bc GROUP BY {id_col})
+SELECT w.{id_col},
+       rep_n_words, rep_top_word_n,
+       CAST(coalesce(rep_n_bigrams, 0) AS BIGINT) AS rep_n_bigrams,
+       CAST(coalesce(rep_top_bigram_n, 0) AS BIGINT) AS rep_top_bigram_n,
+       CAST(coalesce(rep_dup_bigrams, 0) AS BIGINT) AS rep_dup_bigrams
+FROM wt w LEFT JOIN bt b ON w.{id_col} = b.{id_col}
+""")
+
+
+def contamination_hits(docs: DataFrame, bench_grams: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n: int = 5) -> DataFrame:
+    """Benchmark-contamination screen: per document, how many of its
+    distinct word ``n``-grams appear in a benchmark n-gram set.
+
+    The benchmark side is broadcast (eval sets are tiny next to a 100 TB
+    corpus); the document side streams through one explode + distinct +
+    per-doc count, so the only shuffles are keyed by (doc, gram) and doc.
+    Returns every input document with hit counts defaulted to 0."""
+    from pyspark.sql import functions as F
+    grams = (docs
+             .select(id_col, F.expr(f"split({text_col}, ' ')").alias("arr"))
+             .select(id_col, F.explode(F.expr(f"""
+                 CASE WHEN size(arr) >= {n}
+                      THEN transform(sequence(1, size(arr) - {n} + 1),
+                                     i -> concat_ws(' ', slice(arr, i, {n})))
+                      ELSE array() END""")).alias("gram"))
+             .distinct())
+    bench = bench_grams.select("gram").distinct()
+    hits = (grams.join(F.broadcast(bench), "gram")
+            .groupBy(id_col).agg(F.count(F.lit(1)).alias("cont_hits")))
+    ngrams = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("cont_n_grams"))
+    return (docs.select(id_col)
+            .join(ngrams, id_col, "left").join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("cont_n_grams", F.lit(0)).cast("long")
+                     .alias("cont_n_grams"),
+                    F.coalesce("cont_hits", F.lit(0)).cast("long")
+                     .alias("cont_hits")))
