@@ -59,6 +59,12 @@ HEADLINE = (
     "kg_link_scores",      # broadcast-dict linking (exact + Jaccard)
     "kg_edges",            # linking + CC + graph materialization
     "cc_components",       # contracted large-star/small-star CC
+    "doc_pii",             # PII scrub: zero-shuffle codegen regex (r4)
+    "sentence_dedup",      # corpus-wide sentence-keyed dedup agg (r4)
+    "doc_repetition",      # Gopher repetition counters, 2 agg chains (r4)
+    "doc_contamination",   # 5-gram broadcast contamination screen (r4)
+    "kg_boilerplate",      # cross-conv boilerplate scrub + ordered md5 (r4)
+    "kg_stream_dedup",     # stateful streaming dedup drain (r4)
 )
 
 

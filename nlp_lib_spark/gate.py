@@ -1030,6 +1030,62 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(spark.table("documents"))
 
 
+@gate("kg_stream_dedup", oracle="""
+SELECT DISTINCT md5(lower(text)) AS text_hash FROM documents
+""")
+def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup certified against the batch distinct set
+    (streaming/ingest.stream_dedup): every document is fed TWICE under
+    different doc_ids (the re-crawl scenario), split over 4 parquet files
+    drained one per micro-batch, and the stateful dropDuplicates must
+    emit each content hash exactly once across all micro-batches — a
+    value match proves the state store deduplicates both within- and
+    cross-batch copies, with zero misses and zero double-emits."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.streaming.ingest import run_stream_dedup_once
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    dup = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 100000))
+    in_dir = tempfile.mkdtemp(prefix="kgx_stream_dedup_")
+    query_name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        dup.repartition(4).write.mode("overwrite").parquet(in_dir)
+        out = run_stream_dedup_once(spark, in_dir, query_name=query_name)
+        return out.localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(query_name)
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
+def _dedup_all_composite() -> None:
+    """Batch exact dedup + streaming stateful dedup joined 1:1 on the
+    content hash — one in-cap slot certifies both the batch keeper
+    semantics and the cross-micro-batch state semantics."""
+    members = ("dedup_exact", "kg_stream_dedup")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for m in members:
+            df = QUERIES[m](spark, sf_dir)
+            out = df if out is None else out.join(df, "text_hash")
+        return out
+
+    joins = "".join(f"\nJOIN ({ORACLES[m]}\n) d{i} USING (text_hash)"
+                    for i, m in enumerate(members[1:], start=1))
+    QUERIES["dedup_all"] = fn
+    ORACLES["dedup_all"] = (
+        f"SELECT * FROM ({ORACLES[members[0]]}\n) d0{joins}")
+
+
+_dedup_all_composite()
+
+
 @gate("doc_fingerprint", oracle="""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
@@ -3511,6 +3567,60 @@ FROM ({ORACLES["kg_sentences"]}
 """
 
 
+@gate("kg_boilerplate")  # oracle attached below (wraps the sentences SQL)
+def q_kg_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-conversation boilerplate removal
+    (operators/conversations.boilerplate_scrub): sentences appearing in
+    more than one distinct conversation are dropped; per conversation
+    the gate certifies total/removed counts AND the md5 of the retained
+    text in original (turn_idx, sent_id) order — a value match proves
+    the scrubbed corpus byte-for-byte, not just the bookkeeping."""
+    from nlp_lib_spark.operators.conversations import boilerplate_scrub
+    return boilerplate_scrub(QUERIES["kg_sentences"](spark, sf_dir),
+                             max_convs=1)
+
+
+ORACLES["kg_boilerplate"] = f"""
+WITH s AS ({ORACLES["kg_sentences"]}
+), c AS (
+  SELECT sentence, count(DISTINCT conv_id) AS nc FROM s GROUP BY sentence
+), j AS (
+  SELECT s.conv_id, s.turn_idx, s.sent_id, s.sentence, c.nc
+  FROM s JOIN c USING (sentence)
+)
+SELECT conv_id, count(*) AS n_sents,
+       count(CASE WHEN nc > 1 THEN 1 END) AS n_removed,
+       md5(coalesce(string_agg(CASE WHEN nc <= 1 THEN sentence END,
+                               chr(10) ORDER BY turn_idx, sent_id),
+                    '')) AS kept_md5
+FROM j GROUP BY conv_id
+"""
+
+
+def _conv_quality_composite() -> None:
+    """Conversation assembly + boilerplate scrub in one conv_id-keyed
+    1:1 join, certifying both members inside a single in-cap slot (the
+    round-4 composite pattern; members stay individually checked by
+    paritycheck.run_all and pytest)."""
+    members = ("kg_conversations", "kg_boilerplate")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = None
+        for m in members:
+            df = QUERIES[m](spark, sf_dir)
+            out = df if out is None else out.join(df, "conv_id")
+        return out
+
+    joins = "".join(f"\nJOIN ({ORACLES[m]}\n) m{i} USING (conv_id)"
+                    for i, m in enumerate(members[1:], start=1))
+    QUERIES["kg_conv_quality"] = fn
+    ORACLES["kg_conv_quality"] = (
+        f"SELECT * FROM ({ORACLES[members[0]]}\n) m0{joins}")
+
+
+_conv_quality_composite()
+
+
 @gate("doc_repetition", oracle="""
 WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 w AS (SELECT doc_id, unnest(arr) AS word FROM a),
@@ -3869,7 +3979,7 @@ _GATE_ORDER = [
     "kg_stream_conv_state",
     # -- KG pipeline -------------------------------------------------------
     "kg_edges", "kg_nodes",
-    "kg_token_stats", "kg_conversations", "kg_mentions",
+    "kg_token_stats", "kg_conv_quality", "kg_mentions",
     "kg_blinded", "kg_domain_tags", "kg_pos_tags", "kg_dep_edges",
     "kg_clauses", "kg_entity_spans", "kg_chunks", "kg_connectives",
     "kg_crf_tags", "kg_discourse", "kg_hor_edges", "kg_rel_candidates",
@@ -3877,7 +3987,7 @@ _GATE_ORDER = [
     "kg_lll_triples", "kg_relx_triples", "kg_lll_ml_triples",
     "kg_link_scores", "kg_vocab_canon", "kg_entity_links",
     # -- LLM-data pipeline (returned to the cap in round 4) ----------------
-    "kg_tool_stats", "dedup_exact", "minhash_lsh_pairs",
+    "kg_tool_stats", "dedup_all", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "embedding_neardup_pairs", "sentence_dedup",
     # ======================== 50-gate cap ends here =======================
     # -- composite members (certified via their composite's hash above;
@@ -3885,6 +3995,8 @@ _GATE_ORDER = [
     "kg_triples", "kg_stream_triples",
     "kg_tree_scores", "kg_sst_scores",
     "kg_transcripts", "kg_sentences",
+    "kg_conversations", "kg_boilerplate",
+    "dedup_exact", "kg_stream_dedup",
     "kg_link_tfidf", "kg_link_tfidf_dist",
     "media_features_real", "media_features_png", "media_features_jpeg",
     "media_features", "media_frames_avi", "media_frames_mjpeg",

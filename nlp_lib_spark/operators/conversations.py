@@ -63,3 +63,36 @@ def with_turn_order(turns: DataFrame) -> DataFrame:
                         F.col("ts").cast("long")
                         - F.col("prev_ts").cast("long"))
             .drop("prev_ts"))
+
+
+def boilerplate_scrub(sentences: DataFrame,
+                      max_convs: int = 2) -> DataFrame:
+    """Cross-conversation boilerplate removal: sentences appearing in
+    more than ``max_convs`` distinct conversations are template noise
+    (greeting lines, legal footers) and are dropped; the rest of each
+    conversation survives in original (turn_idx, sent_id) order.
+
+    -> (conv_id, n_sents, n_removed, kept_md5) where kept_md5 hashes the
+    newline-joined retained sentences, so a value match certifies the
+    exact retained text and ordering, not just counts.
+
+    Shuffle shape: one (sentence)-keyed count with map-side partial
+    combine, a sort-merge join back on sentence (per-key fan-out bounded
+    by that sentence's occurrence count), and one conv_id aggregation.
+    The collect_list buffer is bounded by conversation length — the same
+    bound assemble_conversations already accepts."""
+    counts = (sentences.groupBy("sentence")
+              .agg(F.countDistinct("conv_id").alias("__nc")))
+    j = sentences.join(counts, "sentence")
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.when(
+            F.col("__nc") <= max_convs,
+            F.struct("turn_idx", "sent_id", "sentence")))),
+        lambda s: s["sentence"])
+    return (j.groupBy("conv_id")
+            .agg(F.count(F.lit(1)).alias("n_sents"),
+                 F.count(F.when(F.col("__nc") > max_convs, 1))
+                  .alias("n_removed"),
+                 F.md5(F.concat_ws("\n", ordered).cast("binary"))
+                  .alias("kept_md5"))
+            .select("conv_id", "n_sents", "n_removed", "kept_md5"))

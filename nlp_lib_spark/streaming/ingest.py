@@ -51,3 +51,44 @@ def run_stream_once(spark: SparkSession, input_dir: str, config: KGConfig,
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+])
+
+
+def stream_dedup(spark: SparkSession, input_dir: str,
+                 max_files_per_trigger: int | None = 1) -> DataFrame:
+    """Streaming exact dedup at ingest: documents arrive incrementally
+    (re-crawls of identical content under new doc_ids); the stateful
+    ``dropDuplicates`` on the content hash emits each distinct text
+    exactly once across ALL micro-batches — the state store carries the
+    seen-hash set between triggers.
+
+    State is O(distinct documents), the same asymptotics as the batch
+    groupBy — for bounded-retention production streams switch to
+    ``dropDuplicatesWithinWatermark``; the gate's availableNow drain is
+    finite so the unbounded variant is the honest equivalent of the
+    batch semantics."""
+    src = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (src.parquet(input_dir)
+            .selectExpr("md5(lower(text)) AS text_hash")
+            .dropDuplicates(["text_hash"]))
+
+
+def run_stream_dedup_once(spark: SparkSession, input_dir: str,
+                          query_name: str = "dedup_stream",
+                          max_files_per_trigger: int | None = 1) -> DataFrame:
+    """Drain all available files through stream_dedup into a memory sink."""
+    q = (stream_dedup(spark, input_dir, max_files_per_trigger)
+         .writeStream.outputMode("append")
+         .format("memory").queryName(query_name)
+         .trigger(availableNow=True)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")

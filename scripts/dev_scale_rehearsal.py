@@ -207,12 +207,99 @@ def run_link_tfidf_dist(spark, reps: int) -> dict:
             "broadcast_refused": over_contract}
 
 
+def run_pii_scrub(spark, reps: int) -> dict:
+    """Round-4 addition: the zero-shuffle codegen regex path — wall time
+    must be linear in rows with no Exchange in the plan."""
+    from nlp_lib_spark.operators.textstats import pii_scrub
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    n = pii_scrub(docs).count()
+    return {"op": "pii_scrub", "reps": reps, "rows_in": n_docs,
+            "rows_out": n, "sec": round(time.time() - t0, 2)}
+
+
+def run_repetition(spark, reps: int) -> dict:
+    """Round-4 addition: two explode+agg chains — per-key cardinality is
+    bounded by document length, so wall time must stay linear in rows."""
+    from nlp_lib_spark.operators.textstats import repetition_stats
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    n = repetition_stats(docs).count()
+    return {"op": "repetition_stats", "reps": reps, "rows_in": n_docs,
+            "rows_out": n, "sec": round(time.time() - t0, 2)}
+
+
+def run_contamination(spark, reps: int) -> dict:
+    """Round-4 addition: gram explode + distinct vs a FIXED broadcast
+    benchmark (the benchmark is the unreplicated corpus slice — eval
+    suites don't grow with the crawl). Wall time ~linear in corpus size;
+    the broadcast side is constant."""
+    from nlp_lib_spark.operators.textstats import contamination_hits
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = (base.filter("doc_id % 10 = 0")
+             .select(F.explode(F.expr("""
+                 CASE WHEN size(split(text, ' ')) >= 5
+                      THEN transform(sequence(1, size(split(text, ' ')) - 4),
+                                     i -> concat_ws(' ',
+                                          slice(split(text, ' '), i, 5)))
+                      ELSE array() END""")).alias("gram"))
+             .localCheckpoint())
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    n = contamination_hits(docs, bench).count()
+    return {"op": "contamination_hits", "reps": reps, "rows_in": n_docs,
+            "rows_out": n, "sec": round(time.time() - t0, 2)}
+
+
+def run_stream_dedup_state(spark, reps: int) -> dict:
+    """Round-4 addition: streaming stateful dedup where replication adds
+    DUPLICATE copies (same text, new doc_ids — the re-crawl axis). The
+    state store is O(distinct texts), so rows_out must stay constant at
+    every rep level while input grows reps-fold."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from nlp_lib_spark.streaming.ingest import run_stream_dedup_once
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(reps).withColumnRenamed("id", "copy")
+    docs = (base.select("doc_id", "text").crossJoin(copies)
+            .select((F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+                    "text"))  # text unchanged: true duplicates
+    in_dir = tempfile.mkdtemp(prefix="kgx_rehearsal_sdedup_")
+    try:
+        docs.repartition(8).write.mode("overwrite").parquet(in_dir)
+        n_in = spark.read.parquet(in_dir).count()
+        t0 = time.time()
+        out = run_stream_dedup_once(
+            spark, in_dir,
+            query_name=f"rehearsal_sd_{uuid.uuid4().hex[:8]}",
+            max_files_per_trigger=2)
+        n_out = out.count()
+        return {"op": "stream_dedup", "reps": reps, "rows_in": n_in,
+                "rows_out": n_out, "sec": round(time.time() - t0, 2)}
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
+ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
+              run_stream_dedup_state)
+
+
 def main() -> None:
-    reps_list = [int(a) for a in sys.argv[1:]] or [1, 10, 50]
+    args = sys.argv[1:]
+    only_r4 = "--r4" in args
+    reps_list = [int(a) for a in args if a != "--r4"] or [1, 10, 50]
+    ops = ROUND4_OPS if only_r4 else (
+        run_lsh, run_cc, run_kg_edges, run_media_real,
+        run_stream_state, run_link_tfidf_dist) + ROUND4_OPS
     spark = get_spark(cpus=32)
     for reps in reps_list:
-        for fn in (run_lsh, run_cc, run_kg_edges, run_media_real,
-                   run_stream_state, run_link_tfidf_dist):
+        for fn in ops:
             gc.collect()
             print("REHEARSAL", fn(spark, reps), flush=True)
     spark.stop()
