@@ -187,3 +187,60 @@ def contamination_hits(docs: DataFrame, bench_grams: DataFrame,
                      .alias("cont_n_grams"),
                     F.coalesce("cont_hits", F.lit(0)).cast("long")
                      .alias("cont_hits")))
+
+
+# ------------------------------------------------------------ full pipeline
+# The operators above compose into the standard training-data filter chain
+# (C4/Gopher-style): language-agnostic quality gates -> repetition filter
+# -> contamination screen -> exact-dedup keeper election. Every threshold
+# is an INTEGER comparison (cross-multiplied fractions), so the kept/
+# dropped verdict is bit-exact across engines.
+
+def pipeline_kept(docs: DataFrame, bench_grams: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  min_tokens: int = 20, min_stop: int = 1,
+                  top_word_mult: int = 8) -> DataFrame:
+    """Per-document verdict of the composed filter pipeline.
+
+    -> (doc_id, pass_quality, pass_repetition, pass_contamination,
+    is_keeper, kept) — each flag an INT 0/1; ``kept`` is their AND.
+    pass_quality: >= ``min_tokens`` whitespace tokens AND >= ``min_stop``
+    stopwords. pass_repetition: most frequent word strictly under
+    1/``top_word_mult`` of all words (integer cross-multiply).
+    pass_contamination: zero benchmark n-gram hits. is_keeper: the
+    minimum doc_id of this exact text (duplicates lose).
+
+    Scale shape: the quality flags ride the scan; repetition adds its two
+    bounded-key aggregations; contamination broadcasts the benchmark;
+    keeper election is one (text-hash)-keyed min. All joins are 1:1 on
+    doc_id, so the pipeline's cost is the sum of its stages — no stage
+    multiplies another's cardinality."""
+    from pyspark.sql import functions as F
+    q = docs.selectExpr(
+        id_col,
+        f"size(split({text_col}, ' ')) AS __n_tokens",
+        f"size(filter(split({text_col}, ' '), x -> x IN ('the', 'a')))"
+        " AS __n_stop",
+        f"md5(lower({text_col})) AS __text_hash")
+    keeper = (q.groupBy("__text_hash")
+              .agg(F.min(id_col).alias("__keeper_id")))
+    rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "rep_top_word_n", "rep_n_words")
+    cont = contamination_hits(docs, bench_grams, id_col=id_col,
+                              text_col=text_col).select(id_col, "cont_hits")
+    j = (q.join(keeper, "__text_hash")
+         .join(rep, id_col).join(cont, id_col))
+    flags = {
+        "pass_quality": (F.col("__n_tokens") >= min_tokens)
+                        & (F.col("__n_stop") >= min_stop),
+        "pass_repetition": F.col("rep_top_word_n") * top_word_mult
+                           <= F.col("rep_n_words"),
+        "pass_contamination": F.col("cont_hits") == 0,
+        "is_keeper": F.col(id_col) == F.col("__keeper_id"),
+    }
+    out = j.select(id_col, *[v.cast("int").alias(k)
+                             for k, v in flags.items()])
+    return out.withColumn(
+        "kept", ((F.col("pass_quality") == 1) & (F.col("pass_repetition") == 1)
+                 & (F.col("pass_contamination") == 1)
+                 & (F.col("is_keeper") == 1)).cast("int"))

@@ -214,9 +214,12 @@ def run_pii_scrub(spark, reps: int) -> dict:
     docs = replicate_docs(spark, reps).localCheckpoint()
     n_docs = docs.count()
     t0 = time.time()
-    n = pii_scrub(docs).count()
+    # noop sink: a bare count() would let Spark prune the regex columns
+    # and measure an empty scan
+    out = pii_scrub(docs)
+    out.write.format("noop").mode("overwrite").save()
     return {"op": "pii_scrub", "reps": reps, "rows_in": n_docs,
-            "rows_out": n, "sec": round(time.time() - t0, 2)}
+            "rows_out": out.count(), "sec": round(time.time() - t0, 2)}
 
 
 def run_repetition(spark, reps: int) -> dict:
@@ -226,7 +229,9 @@ def run_repetition(spark, reps: int) -> dict:
     docs = replicate_docs(spark, reps).localCheckpoint()
     n_docs = docs.count()
     t0 = time.time()
-    n = repetition_stats(docs).count()
+    rep_df = repetition_stats(docs)
+    rep_df.write.format("noop").mode("overwrite").save()
+    n = rep_df.count()
     return {"op": "repetition_stats", "reps": reps, "rows_in": n_docs,
             "rows_out": n, "sec": round(time.time() - t0, 2)}
 
@@ -249,7 +254,9 @@ def run_contamination(spark, reps: int) -> dict:
     docs = replicate_docs(spark, reps).localCheckpoint()
     n_docs = docs.count()
     t0 = time.time()
-    n = contamination_hits(docs, bench).count()
+    cont_df = contamination_hits(docs, bench)
+    cont_df.write.format("noop").mode("overwrite").save()
+    n = cont_df.count()
     return {"op": "contamination_hits", "reps": reps, "rows_in": n_docs,
             "rows_out": n, "sec": round(time.time() - t0, 2)}
 
