@@ -65,6 +65,8 @@ HEADLINE = (
     "doc_contamination",   # 5-gram broadcast contamination screen (r4)
     "kg_boilerplate",      # cross-conv boilerplate scrub + ordered md5 (r4)
     "kg_stream_dedup",     # stateful streaming dedup drain (r4)
+    "neardup_clusters",    # LSH pairs -> CC -> keeper election (r4)
+    "doc_pipeline",        # composed quality->rep->contam->dedup chain (r4)
 )
 
 

@@ -1063,6 +1063,58 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(in_dir, ignore_errors=True)
 
 
+@gate("doc_pipeline", oracle="""
+WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr,
+                  md5(lower(text)) AS th FROM documents),
+q AS (SELECT doc_id, len(arr) AS n_tokens,
+             len(list_filter(arr, x -> x IN ('the', 'a'))) AS n_stop, th
+      FROM a),
+k AS (SELECT th, min(doc_id) AS keeper FROM q GROUP BY th),
+wc AS (SELECT doc_id, unnest(arr) AS w FROM a),
+wcc AS (SELECT doc_id, w, count(*) AS n FROM wc GROUP BY doc_id, w),
+r AS (SELECT doc_id, max(n) AS top_n, CAST(sum(n) AS BIGINT) AS n_words
+      FROM wcc GROUP BY doc_id),
+g AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i + 4], ' ') AS gram
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 4)) AS i FROM a)),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+h AS (SELECT g.doc_id, count(*) AS hits
+      FROM g JOIN bench USING (gram) GROUP BY g.doc_id)
+SELECT q.doc_id,
+  CAST(q.n_tokens >= 20 AND q.n_stop >= 1 AS INTEGER) AS pass_quality,
+  CAST(r.top_n * 8 <= r.n_words AS INTEGER) AS pass_repetition,
+  CAST(coalesce(h.hits, 0) = 0 AS INTEGER) AS pass_contamination,
+  CAST(q.doc_id = k.keeper AS INTEGER) AS is_keeper,
+  CAST(q.n_tokens >= 20 AND q.n_stop >= 1 AND r.top_n * 8 <= r.n_words
+       AND coalesce(h.hits, 0) = 0 AND q.doc_id = k.keeper
+       AS INTEGER) AS kept
+FROM q JOIN k ON q.th = k.th JOIN r ON q.doc_id = r.doc_id
+LEFT JOIN h ON q.doc_id = h.doc_id
+""")
+def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data filter chain
+    (operators/textstats.pipeline_kept): quality gates -> repetition
+    filter -> contamination screen -> exact-dedup keeper election, one
+    integer verdict column per stage plus the final kept flag. Every
+    threshold is an integer comparison (cross-multiplied fractions), so
+    the verdicts are bit-exact across engines; the hash certifies that a
+    user running the whole pipeline — not just its stages — gets
+    identical document selections."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.textstats import pipeline_kept
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = (docs.filter(F.col("doc_id") % 10 == 0)
+             .select(F.explode(F.expr("""
+                 CASE WHEN size(split(text, ' ')) >= 5
+                      THEN transform(sequence(1, size(split(text, ' ')) - 4),
+                                     i -> concat_ws(' ',
+                                          slice(split(text, ' '), i, 5)))
+                      ELSE array() END""")).alias("gram")))
+    return pipeline_kept(docs, bench)
+
+
 def _dedup_all_composite() -> None:
     """Batch exact dedup + streaming stateful dedup joined 1:1 on the
     content hash — one in-cap slot certifies both the batch keeper
@@ -1154,6 +1206,59 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.operators.dedup import minhash_lsh_pairs
     register_views(spark, sf_dir)
     return minhash_lsh_pairs(spark.table("documents"))
+
+
+@gate("neardup_clusters", oracle=f"""
+WITH RECURSIVE sig AS (
+  SELECT doc_id, {_minhash_cols('duckdb')} FROM documents
+), bands0 AS ({_band_sql('sig', 'duckdb')}),
+bands AS (
+  SELECT doc_id, band_idx, band_val FROM (
+    SELECT doc_id, band_idx, band_val,
+           row_number() OVER (PARTITION BY band_idx, band_val
+                              ORDER BY doc_id) AS rn
+    FROM bands0) z
+  WHERE rn <= 1000
+), p AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+), e AS (SELECT doc_a AS u, doc_b AS v FROM p
+         UNION SELECT doc_b, doc_a FROM p),
+reach(src, dst) AS (
+  SELECT id, id FROM (SELECT DISTINCT u AS id FROM e) t
+  UNION
+  SELECT r.src, e.v FROM reach r JOIN e ON r.dst = e.u
+), comp AS (
+  SELECT src AS doc_id, min(dst) AS cid FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       coalesce(c.cid, d.doc_id) AS nd_cluster_id,
+       count(*) OVER (PARTITION BY coalesce(c.cid, d.doc_id))
+           AS nd_cluster_size,
+       CAST(d.doc_id = min(d.doc_id)
+                OVER (PARTITION BY coalesce(c.cid, d.doc_id))
+            AS INTEGER) AS nd_is_keeper
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+""")
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering (the actionable dedup output): the
+    SAME LSH pair derivation as minhash_lsh_pairs feeds the
+    large-star/small-star CC from operators/canonicalize, and a
+    per-cluster window elects the min-id keeper — one row per document,
+    verified against a transitive-closure recursive-CTE oracle (so the
+    hash certifies the component labels themselves, not just the pair
+    list)."""
+    from nlp_lib_spark.operators.dedup import neardup_clusters
+    register_views(spark, sf_dir)
+    out = neardup_clusters(spark.table("documents"))
+    # nd_ prefix: the doc_stats composite 1:1-joins per-doc members and
+    # doc_pipeline already owns the bare is_keeper column name
+    return out.select("doc_id",
+                      out.cluster_id.alias("nd_cluster_id"),
+                      out.cluster_size.alias("nd_cluster_size"),
+                      out.is_keeper.alias("nd_is_keeper"))
 
 
 # ---- SimHash (60-bit, md5-derived bit votes — engine-portable) ----
@@ -3837,7 +3942,8 @@ def _doc_stats_composite() -> None:
     row per document (no NULL-padding, no dtype promotion)."""
     members = ("doc_quality", "doc_lang_id", "token_counts",
                "doc_fingerprint", "minhash_signatures", "simhash",
-               "doc_pii", "doc_repetition", "doc_contamination")
+               "doc_pii", "doc_repetition", "doc_contamination",
+               "doc_pipeline", "neardup_clusters")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
@@ -4003,7 +4109,8 @@ _GATE_ORDER = [
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
-    "doc_contamination", "kg_triple_counts",
+    "doc_contamination", "doc_pipeline", "neardup_clusters",
+    "kg_triple_counts",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

@@ -13,6 +13,9 @@ codegen; zero Python UDFs):
 * bag fingerprint — md5 of the sorted distinct token bag;
 * MinHash — one md5 per 3-token shingle sliced into 8 16-bit slots;
   LSH banding with bucket-local pair generation (no self-join);
+* near-dup clustering — LSH pairs -> connected components -> keeper
+  election (``neardup_clusters``, the only non-pure-SQL member: CC is
+  the canonicalize contraction/star loop);
 * SimHash — 60-bit md5-derived bit votes;
 * n-gram Jaccard — distinct 3-gram sets + intersection ratio;
 * embedding cosine near-dup, brute-force top-k, random-hyperplane LSH
@@ -124,6 +127,55 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         "transform(slice(ids, i + 2, size(ids)), y -> "
         "struct(x AS doc_a, y AS doc_b))))")).alias("p"))
     return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+def neardup_clusters(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     bucket_cap: int = 1000) -> DataFrame:
+    """End-to-end near-duplicate clustering: LSH candidate pairs ->
+    connected components -> per-cluster keeper election.
+
+    This is the composition a real training-data dedup actually runs
+    (candidate pairs alone are not actionable — near-dup groups are
+    transitive, so doc A~B and B~C must collapse to ONE keeper even when
+    A and C never share a bucket). Returns exactly one row per input
+    document: ``(id_col, cluster_id, cluster_size, is_keeper)`` with
+    ``cluster_id`` = the smallest member id (singletons are their own
+    cluster) and ``is_keeper`` = 1 on the elected representative.
+
+    Scale shape: the edge set is the LSH pair list (bounded per bucket by
+    ``bucket_cap``), CC runs the contraction + star rounds from
+    operators/canonicalize (1-3 rounds in practice, checkpoint blocks
+    released per round), and the join back to the corpus is a plain
+    equi-join on the id — AQE broadcasts the component map when it is
+    small, and it degrades to a shuffle join (not a failure) when the
+    duplicate fraction is large."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.canonicalize import connected_components
+    pairs = minhash_lsh_pairs(df, id_col, text_col, bucket_cap)
+    # CC's union-find contraction is string-keyed; its label is only a
+    # cluster HANDLE here (string min != numeric min), so the canonical
+    # cluster_id is re-derived below as the numeric min member id
+    edges = pairs.select(F.col("doc_a").cast("string").alias("u"),
+                         F.col("doc_b").cast("string").alias("v"))
+    comp = connected_components(edges)  # (id, component) — string labels
+    labeled = (df.select(id_col)
+               .join(comp.withColumnRenamed("id", "__id_s"),
+                     F.col(id_col).cast("string") == F.col("__id_s"),
+                     "left")
+               .select(F.col(id_col),
+                       F.coalesce("component",
+                                  F.col(id_col).cast("string"))
+                        .alias("__ckey")))
+    w = Window.partitionBy("__ckey")
+    return labeled.select(
+        F.col(id_col),
+        F.min(id_col).over(w).alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col(id_col) == F.min(id_col).over(w))
+        .cast("int").alias("is_keeper"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",

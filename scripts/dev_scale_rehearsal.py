@@ -293,8 +293,36 @@ def run_stream_dedup_state(spark, reps: int) -> dict:
         shutil.rmtree(in_dir, ignore_errors=True)
 
 
+def run_neardup_clusters(spark, reps: int) -> dict:
+    """Round-4 addition: LSH pairs -> CC -> keeper election, with HALF the
+    copies as true duplicates (same text => same LSH buckets => growing
+    clusters) and half distinct ("repN" suffix). rows_out must equal
+    rows_in exactly (one verdict per document) at every rep level, and
+    the keeper count tracks distinct texts — CC and the keeper window
+    must absorb cluster growth without a quadratic edge blow-up (the
+    bucket cap bounds per-bucket pairs at cap^2)."""
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(reps).withColumnRenamed("id", "copy")
+    docs = (base.select("doc_id", "text").crossJoin(copies)
+            .select((F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+                    F.when(F.col("copy") % 2 == 0, F.col("text"))
+                     .otherwise(F.concat(F.col("text"), F.lit(" rep"),
+                                         F.col("copy"))).alias("text"))
+            ).localCheckpoint()
+    n_docs = docs.count()
+    from nlp_lib_spark.operators.dedup import neardup_clusters
+    t0 = time.time()
+    out = neardup_clusters(docs)
+    n_out = out.count()
+    n_keepers = out.filter("is_keeper = 1").count()
+    return {"op": "neardup_clusters", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "keepers": n_keepers,
+            "sec": round(time.time() - t0, 2)}
+
+
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
-              run_stream_dedup_state)
+              run_stream_dedup_state, run_neardup_clusters)
 
 
 def main() -> None:

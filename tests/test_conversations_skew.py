@@ -157,3 +157,29 @@ def test_assemble_conversations_max_turns_cap(spark):
         assert len(kept) == min(2, full[cid].n_turns)
         # the cap keeps the LOWEST turn_idx rows -> prefix of the full text
         assert full[cid].conversation_text.startswith(r.conversation_text)
+
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B and B~C must land in ONE cluster with the min id as keeper even
+    when A and C never share an LSH bucket — the property candidate PAIRS
+    alone cannot deliver (the reason neardup_clusters exists)."""
+    from nlp_lib_spark.operators.dedup import minhash_lsh_pairs, neardup_clusters
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon").split()
+    mid = list(base)
+    mid[0], mid[-1] = "XPREFIX", "XSUFFIX"          # shares shingles with both ends
+    far = ["XPREFIX"] + base[1:-1] + ["XSUFFIX", "YMORE", "ZWORDS"]
+    docs = [(1, " ".join(base)), (2, " ".join(mid)), (3, " ".join(far)),
+            (10, "a totally unrelated single document about query engines")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df).collect()}
+    out = {r.doc_id: r for r in neardup_clusters(df).collect()}
+    # every pair endpoint shares doc 2; clustering must fuse the chain iff
+    # the pair graph connects it (it does: 2 bridges 1 and 3)
+    assert (1, 2) in pairs and (2, 3) in pairs
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert [out[i].is_keeper for i in (1, 2, 3)] == [1, 0, 0]
+    assert out[1].cluster_size == 3
+    # singleton: own cluster, own keeper
+    assert out[10].cluster_id == 10 and out[10].is_keeper == 1
+    assert out[10].cluster_size == 1
