@@ -183,3 +183,20 @@ def test_neardup_clusters_transitive_chain(spark):
     # singleton: own cluster, own keeper
     assert out[10].cluster_id == 10 and out[10].is_keeper == 1
     assert out[10].cluster_size == 1
+
+
+def test_neardup_clusters_all_singletons(spark):
+    """A corpus with ZERO candidate pairs (every doc its own cluster) must
+    not crash the CC fixpoint on an empty edge set — every doc comes back
+    keeper of its own size-1 cluster."""
+    from nlp_lib_spark.operators.dedup import neardup_clusters
+    # fully token-disjoint texts: NO 3-token shingle can repeat across
+    # docs, so the LSH pair set is provably empty
+    docs = [(i, " ".join(f"w{i}x{j}" for j in range(12)))
+            for i in range(1, 6)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in neardup_clusters(df).collect()}
+    assert len(out) == 5
+    for i in range(1, 6):
+        assert (out[i].cluster_id, out[i].cluster_size,
+                out[i].is_keeper) == (i, 1, 1)
