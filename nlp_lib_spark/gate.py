@@ -1351,6 +1351,19 @@ FROM documents""")
                     .alias("feature_sig")))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism*2 ahead of a Python
+    codec stage. A single-file parquet scan yields ONE split in this
+    sandbox, which silently serializes the whole synth->decode Arrow chain
+    onto one core (measured: media_frames_mjpeg 7-11 s as a single task at
+    sf0.1/local[32] vs ~1 s spread). On a real bucketed table the scan has
+    enough splits and this exchange is negligible next to the codec work
+    it parallelizes — the same occupancy rationale as transcripts()'
+    repartition (PLANS.md flagship caveat)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * 2)
+
+
 @gate("media_features_real", oracle="""
 WITH hx AS (
   SELECT doc_id, md5(text) || md5(text || ':1') AS h FROM documents
@@ -1403,7 +1416,7 @@ def q_media_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
 
-    media = docs.mapInPandas(
+    media = _spread(docs).mapInPandas(
         synth, schema="media_id long, kind string, payload binary")
     return (extract_media_features(media, mode="real")
             .select("media_id", "kind", "n_bytes",
@@ -1460,7 +1473,7 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
 
-    media = docs.mapInPandas(
+    media = _spread(docs).mapInPandas(
         synth, schema="media_id long, kind string, payload binary")
     return (extract_media_features(media, mode="real")
             .select("media_id", "kind",
@@ -1517,7 +1530,7 @@ def q_media_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
 
-    media = docs.mapInPandas(
+    media = _spread(docs).mapInPandas(
         synth, schema="media_id long, kind string, payload binary")
     return (frame_sample(media, every_n=2, mode="real")
             .select("media_id", "frame_idx",
@@ -1574,7 +1587,7 @@ def q_media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
 
-    media = docs.mapInPandas(
+    media = _spread(docs).mapInPandas(
         synth, schema="media_id long, kind string, payload binary")
     return (extract_media_features(media, mode="real")
             .select("media_id", "kind",
@@ -1628,7 +1641,7 @@ def q_media_frames_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
 
-    media = docs.mapInPandas(
+    media = _spread(docs).mapInPandas(
         synth, schema="media_id long, kind string, payload binary")
     return (frame_sample(media, every_n=2, mode="real")
             .select("media_id", "frame_idx",
