@@ -1019,6 +1019,44 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_lang_id(spark.table("documents"))
 
 
+_SAMPLE_THR = {"short": int(0.25 * (1 << 60)), "long": int(0.75 * (1 << 60))}
+
+
+@gate("doc_sample", oracle=f"""
+WITH b AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) < 40
+              THEN 'short' ELSE 'long' END AS len_band,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s0'), 1, 15))::BIGINT
+             AS sample_key
+  FROM documents)
+SELECT doc_id, len_band, sample_key,
+       CAST(CASE WHEN len_band = 'short'
+                 THEN sample_key < {_SAMPLE_THR['short']}
+                 ELSE sample_key < {_SAMPLE_THR['long']} END
+            AS INTEGER) AS sampled
+FROM b
+""")
+def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (operators/sampling.sample_flags):
+    the training-mix step after filtering — downsample short documents to
+    25% and long ones to 75%, decided per row by md5(doc_id||salt) alone
+    so task retries, re-partitions and re-runs select the SAME rows
+    (rand()-based sampling re-draws under retry and can't be oracled).
+    The gate hashes every decision integer and flag, so the oracle match
+    proves the two engines would assemble the identical training mix."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.sampling import sample_flags
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select(
+        "doc_id",
+        F.expr("CASE WHEN size(split(text, ' ')) < 40 "
+               "THEN 'short' ELSE 'long' END").alias("len_band"))
+    return sample_flags(docs, {"short": 0.25, "long": 0.75},
+                        strata_col="len_band", salt="s0")
+
+
 @gate("dedup_exact", oracle="""
 SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
@@ -3960,7 +3998,7 @@ def _doc_stats_composite() -> None:
     members = ("doc_quality", "doc_lang_id", "token_counts",
                "doc_fingerprint", "minhash_signatures", "simhash",
                "doc_pii", "doc_repetition", "doc_contamination",
-               "doc_pipeline", "neardup_clusters")
+               "doc_pipeline", "neardup_clusters", "doc_sample")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
@@ -4126,7 +4164,7 @@ _GATE_ORDER = [
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
-    "doc_contamination", "doc_pipeline", "neardup_clusters",
+    "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
     "kg_triple_counts",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
