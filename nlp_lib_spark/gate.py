@@ -1057,6 +1057,38 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                         strata_col="len_band", salt="s0")
 
 
+@gate("doc_pack", oracle="""
+WITH b AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+  FROM b)
+SELECT doc_id, shard AS pack_shard, n_tokens AS pk_n_tokens,
+       cum_tokens AS pk_cum_tokens,
+       (cum_tokens - n_tokens) // 512 AS pack_id
+FROM c
+""")
+def q_doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.pack_sequences): contiguous
+    greedy fill of documents into 512-token training bins within 8
+    explicit shards — one Exchange + one Window, with every assignment a
+    pure function of (doc_id, n_shards, budget) so the layout is
+    retry-stable and the oracle replays it integer-exactly."""
+    from nlp_lib_spark.operators.packing import pack_sequences
+    register_views(spark, sf_dir)
+    out = pack_sequences(spark.table("documents"), budget_tokens=512,
+                         n_shards=8)
+    # pk_ prefix: doc_quality already owns n_tokens in the doc_stats
+    # composite's 1:1 join chain
+    return out.select("doc_id", out.shard.alias("pack_shard"),
+                      out.n_tokens.alias("pk_n_tokens"),
+                      out.cum_tokens.alias("pk_cum_tokens"), "pack_id")
+
+
 @gate("dedup_exact", oracle="""
 SELECT md5(lower(text)) AS text_hash, min(doc_id) AS keeper_doc_id,
        count(*) AS n_copies
@@ -3998,7 +4030,8 @@ def _doc_stats_composite() -> None:
     members = ("doc_quality", "doc_lang_id", "token_counts",
                "doc_fingerprint", "minhash_signatures", "simhash",
                "doc_pii", "doc_repetition", "doc_contamination",
-               "doc_pipeline", "neardup_clusters", "doc_sample")
+               "doc_pipeline", "neardup_clusters", "doc_sample",
+               "doc_pack")
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = None
@@ -4165,7 +4198,7 @@ _GATE_ORDER = [
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
-    "kg_triple_counts",
+    "doc_pack", "kg_triple_counts",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",
