@@ -321,8 +321,44 @@ def run_neardup_clusters(spark, reps: int) -> dict:
             "sec": round(time.time() - t0, 2)}
 
 
+def run_doc_sample(spark, reps: int) -> dict:
+    """Stratified hash-threshold sampling: pure codegen predicate on the
+    scan — wall must track row count and the kept fraction must stay at
+    the configured mix at every rep level (determinism + uniformity)."""
+    from nlp_lib_spark.operators.sampling import sample_flags
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    flagged = sample_flags(
+        docs.selectExpr("doc_id", "CASE WHEN size(split(text, ' ')) < 40 "
+                        "THEN 'short' ELSE 'long' END AS len_band"),
+        {"short": 0.25, "long": 0.75}, strata_col="len_band")
+    kept = flagged.filter("sampled = 1").count()
+    return {"op": "doc_sample", "reps": reps, "rows_in": n_docs,
+            "rows_out": kept,
+            "kept_frac": round(kept / max(1, n_docs), 4),
+            "sec": round(time.time() - t0, 2)}
+
+
+def run_doc_pack(spark, reps: int) -> dict:
+    """Sequence packing: one shard Exchange + one window cumsum. Bins
+    must grow linearly with input (fixed budget) and wall ~linearly;
+    n_shards scales with input so window partitions stay bounded."""
+    from nlp_lib_spark.operators.packing import pack_sequences
+    docs = replicate_docs(spark, reps).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    out = pack_sequences(docs, budget_tokens=512, n_shards=8 * reps)
+    n_out = out.count()
+    n_bins = out.selectExpr("shard", "pack_id").distinct().count()
+    return {"op": "doc_pack", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "bins": n_bins,
+            "sec": round(time.time() - t0, 2)}
+
+
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
-              run_stream_dedup_state, run_neardup_clusters)
+              run_stream_dedup_state, run_neardup_clusters,
+              run_doc_sample, run_doc_pack)
 
 
 def main() -> None:
