@@ -51,6 +51,33 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# composite gate -> its member gates; _apply_gate_order uses this to PROVE
+# that every gate past the driver's 50-entry cap is certified through an
+# in-cap composite (the round-3 rotation loss, made structurally impossible)
+COMPOSITE_MEMBERS: dict[str, tuple[str, ...]] = {}
+
+
+def join_composite(name: str, key_col: str,
+                   members: tuple[str, ...]) -> None:
+    """Register ``name`` as the 1:1 equi-join of same-keyed member gates
+    (one wide row per key certifies every member's columns in a single
+    driver slot). Spark side: chained inner joins on ``key_col``; oracle
+    side: the member oracle texts joined USING the same key."""
+
+    def fn(spark: SparkSession, sf_dir: str,
+           _members=tuple(members)) -> DataFrame:
+        out = None
+        for m in _members:
+            df = QUERIES[m](spark, sf_dir)
+            out = df if out is None else out.join(df, key_col)
+        return out
+
+    joins = "".join(f"\nJOIN ({ORACLES[m]}\n) m{i} USING ({key_col})"
+                    for i, m in enumerate(members[1:], start=1))
+    QUERIES[name] = fn
+    ORACLES[name] = (
+        f"SELECT * FROM ({ORACLES[members[0]]}\n) m0{joins}")
+    COMPOSITE_MEMBERS[name] = tuple(members)
 
 
 def gate(name: str, oracle: str | None = None):
@@ -294,7 +321,7 @@ def q_kg_conversations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate("kg_tool_stats", oracle=f"""
 WITH t AS ({_DUCK_TRANSCRIPTS})
-SELECT conv_id, count(*) AS n_turns,
+SELECT conv_id, count(*) AS ts_n_turns,
        CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
        count(DISTINCT tool) AS n_distinct_tools,
        CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant_turns
@@ -302,11 +329,13 @@ FROM t GROUP BY conv_id
 """)
 def q_kg_tool_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-conversation tool-use statistics over the full transcript
-    schema (role/tool columns of the input_hint)."""
+    schema (role/tool columns of the input_hint). ts_ prefix on the turn
+    count: kg_conversations owns the bare n_turns name inside the
+    kg_conv_quality composite's 1:1 join."""
     from pyspark.sql import functions as F
     t = transcripts(spark, sf_dir, with_ts=False)
     return (t.groupBy("conv_id")
-            .agg(F.count(F.lit(1)).alias("n_turns"),
+            .agg(F.count(F.lit(1)).alias("ts_n_turns"),
                  F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0))
                  .cast("long").alias("n_tool_calls"),
                  F.countDistinct("tool").alias("n_distinct_tools"),
@@ -1170,42 +1199,16 @@ def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verdicts are bit-exact across engines; the hash certifies that a
     user running the whole pipeline — not just its stages — gets
     identical document selections."""
-    from pyspark.sql import functions as F
-
-    from nlp_lib_spark.operators.textstats import pipeline_kept
+    from nlp_lib_spark.operators.textstats import bench_grams, pipeline_kept
     register_views(spark, sf_dir)
     docs = spark.table("documents")
-    bench = (docs.filter(F.col("doc_id") % 10 == 0)
-             .select(F.explode(F.expr("""
-                 CASE WHEN size(split(text, ' ')) >= 5
-                      THEN transform(sequence(1, size(split(text, ' ')) - 4),
-                                     i -> concat_ws(' ',
-                                          slice(split(text, ' '), i, 5)))
-                      ELSE array() END""")).alias("gram")))
-    return pipeline_kept(docs, bench)
+    return pipeline_kept(docs, bench_grams(docs))
 
 
-def _dedup_all_composite() -> None:
-    """Batch exact dedup + streaming stateful dedup joined 1:1 on the
-    content hash — one in-cap slot certifies both the batch keeper
-    semantics and the cross-micro-batch state semantics."""
-    members = ("dedup_exact", "kg_stream_dedup")
-
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for m in members:
-            df = QUERIES[m](spark, sf_dir)
-            out = df if out is None else out.join(df, "text_hash")
-        return out
-
-    joins = "".join(f"\nJOIN ({ORACLES[m]}\n) d{i} USING (text_hash)"
-                    for i, m in enumerate(members[1:], start=1))
-    QUERIES["dedup_all"] = fn
-    ORACLES["dedup_all"] = (
-        f"SELECT * FROM ({ORACLES[members[0]]}\n) d0{joins}")
-
-
-_dedup_all_composite()
+# Batch exact dedup + streaming stateful dedup joined 1:1 on the content
+# hash — one in-cap slot certifies both the batch keeper semantics and
+# the cross-micro-batch state semantics.
+join_composite("dedup_all", "text_hash", ("dedup_exact", "kg_stream_dedup"))
 
 
 @gate("doc_fingerprint", oracle="""
@@ -2315,7 +2318,13 @@ def _sst_scores_oracle_sql() -> str:
         proot_rows.append((pid, " ".join(labels), len(root.children)))
         max_root_p = max(max_root_p, p_bound)
     P = max(max_root_p + 2, 4 * max_m + 2, 4)
-    assert P < 120, "prototype too large for HUGEINT-exact SST oracle"
+    # HUGEINT headroom: the final numerator is 10000 * (a*2^(P-2) + ...)
+    # — the 10^4 scale costs ~2^13.3 on top of 2^(P-2), and the summed
+    # match counts (a, 5b, g, r) need another ~2^10 of headroom — so the
+    # safe bound is P <= ~100, NOT the bare 2^127 exponent (review
+    # finding: `P < 120` passed the assert yet could overflow INT128 for
+    # P in (110, 120)). Measured P today: 50.
+    assert P <= 100, "prototype too large for HUGEINT-exact SST oracle"
     den = 1 << P
 
     pw_vals = ", ".join(f"({p}, {q(w)}, {c})"
@@ -3789,28 +3798,11 @@ FROM j GROUP BY conv_id
 """
 
 
-def _conv_quality_composite() -> None:
-    """Conversation assembly + boilerplate scrub in one conv_id-keyed
-    1:1 join, certifying both members inside a single in-cap slot (the
-    round-4 composite pattern; members stay individually checked by
-    paritycheck.run_all and pytest)."""
-    members = ("kg_conversations", "kg_boilerplate")
-
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for m in members:
-            df = QUERIES[m](spark, sf_dir)
-            out = df if out is None else out.join(df, "conv_id")
-        return out
-
-    joins = "".join(f"\nJOIN ({ORACLES[m]}\n) m{i} USING (conv_id)"
-                    for i, m in enumerate(members[1:], start=1))
-    QUERIES["kg_conv_quality"] = fn
-    ORACLES["kg_conv_quality"] = (
-        f"SELECT * FROM ({ORACLES[members[0]]}\n) m0{joins}")
-
-
-_conv_quality_composite()
+# Conversation assembly + boilerplate scrub + per-conversation tool-use
+# stats in one conv_id-keyed 1:1 join — three members, one in-cap slot
+# (members stay individually checked by paritycheck.run_all and pytest).
+join_composite("kg_conv_quality", "conv_id",
+               ("kg_conversations", "kg_boilerplate", "kg_tool_stats"))
 
 
 @gate("doc_repetition", oracle="""
@@ -3869,19 +3861,11 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for an eval suite), broadcast against the full corpus's distinct
     5-grams; per document the gate certifies both its distinct-gram count
     and how many of those grams are contaminated."""
-    from pyspark.sql import functions as F
-
-    from nlp_lib_spark.operators.textstats import contamination_hits
+    from nlp_lib_spark.operators.textstats import (bench_grams,
+                                                    contamination_hits)
     register_views(spark, sf_dir)
     docs = spark.table("documents")
-    bench = (docs.filter(F.col("doc_id") % 10 == 0)
-             .select(F.explode(F.expr("""
-                 CASE WHEN size(split(text, ' ')) >= 5
-                      THEN transform(sequence(1, size(split(text, ' ')) - 4),
-                                     i -> concat_ws(' ',
-                                          slice(split(text, ' '), i, 5)))
-                      ELSE array() END""")).alias("gram")))
-    return contamination_hits(docs, bench)
+    return contamination_hits(docs, bench_grams(docs))
 
 
 # --------------------------------------------------------------------------
@@ -3920,6 +3904,7 @@ def union_composite(name: str, tag_col: str, members: dict[str, str]) -> None:
     ORACLES[name] = "\nUNION ALL\n".join(
         f"SELECT '{tag}' AS {tag_col}, m.* FROM ({ORACLES[member]}\n) m"
         for tag, member in members.items())
+    COMPOSITE_MEMBERS[name] = tuple(members.values())
 
 
 # Per-rule pair gates (RelexRule1/2/2b/3) -> one gate tagged by rule.
@@ -4016,6 +4001,7 @@ def _rel_suite() -> None:
 
     QUERIES["rel_suite"] = fn
     ORACLES["rel_suite"] = duck_sql
+    COMPOSITE_MEMBERS["rel_suite"] = tuple(specs)
 
 
 _rel_suite()
@@ -4048,6 +4034,7 @@ def _doc_stats_composite() -> None:
     QUERIES["doc_stats"] = fn
     ORACLES["doc_stats"] = (
         f"SELECT * FROM ({ORACLES[first]}\n) {aliases[first]}{joins}")
+    COMPOSITE_MEMBERS["doc_stats"] = tuple(members)
 
 
 _doc_stats_composite()
@@ -4071,6 +4058,7 @@ def _kg_base_composite() -> None:
                          .alias("sentence")))
 
     QUERIES["kg_base"] = fn
+    COMPOSITE_MEMBERS["kg_base"] = ("kg_transcripts", "kg_sentences")
     ORACLES["kg_base"] = f"""
 SELECT t.conv_id, t.turn_idx, t.role, t.text, t.tool,
        coalesce(CAST(s.sent_id AS STRING), '-') AS sent_id_s,
@@ -4110,6 +4098,9 @@ def _media_suite_composite() -> None:
         return out
 
     QUERIES["media_suite"] = fn
+    COMPOSITE_MEMBERS["media_suite"] = (
+        "media_features", "media_features_real", "media_features_png",
+        "media_features_jpeg")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
 ) m
@@ -4181,7 +4172,7 @@ _GATE_ORDER = [
     "kg_lll_triples", "kg_relx_triples", "kg_lll_ml_triples",
     "kg_link_scores", "kg_vocab_canon", "kg_entity_links",
     # -- LLM-data pipeline (returned to the cap in round 4) ----------------
-    "kg_tool_stats", "dedup_all", "minhash_lsh_pairs",
+    "kg_triple_counts", "dedup_all", "minhash_lsh_pairs",
     "ngram_jaccard_pairs", "embedding_neardup_pairs", "sentence_dedup",
     # ======================== 50-gate cap ends here =======================
     # -- composite members (certified via their composite's hash above;
@@ -4198,26 +4189,36 @@ _GATE_ORDER = [
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
-    "doc_pack", "kg_triple_counts",
+    "doc_pack", "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",
 ]
 
-# the composites must certify every family within the driver's cap — break
-# the build loudly if an edit ever pushes a non-member past position 50
+# the composites must certify every family within the driver's cap — the
+# assertion in _apply_gate_order breaks the build loudly if an edit ever
+# pushes a gate past position 50 without composite coverage
 _DRIVER_CAP = 50
 
 
-def _apply_gate_order() -> None:
+def _apply_gate_order() -> list[str]:
     ordered = [n for n in _GATE_ORDER if n in QUERIES]
     # Any gate registered but absent from the list slots in right after the
     # composite head so a forgotten entry is certified, not silently
-    # demoted.
+    # demoted (the membership assertion below then flags whichever in-cap
+    # gate it displaced).
     extras = [n for n in QUERIES if n not in _GATE_ORDER]
-    order = ordered[:9] + extras + ordered[9:]
+    head_end = ordered.index("kg_triples_all") + 1
+    order = ordered[:head_end] + extras + ordered[head_end:]
     in_cap = order[:_DRIVER_CAP]
     assert len(set(order)) == len(order), "duplicate gate registration"
+    # LOUD cap enforcement (round-3 lesson: 22 gates silently rotated out):
+    # every beyond-cap gate must be certified through an in-cap composite.
+    covered = {m for c in in_cap for m in COMPOSITE_MEMBERS.get(c, ())}
+    uncovered = [n for n in order[_DRIVER_CAP:] if n not in covered]
+    assert not uncovered, (
+        f"gates past the {_DRIVER_CAP}-entry driver cap lack composite "
+        f"coverage: {uncovered} — add them to a composite or to the cap")
     q = {n: QUERIES[n] for n in order}
     o = {n: ORACLES[n] for n in order if n in ORACLES}
     QUERIES.clear(); QUERIES.update(q)

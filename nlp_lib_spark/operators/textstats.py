@@ -156,6 +156,26 @@ FROM wt w LEFT JOIN bt b ON w.{id_col} = b.{id_col}
 """)
 
 
+def bench_grams(docs: DataFrame, n: int = 5, every_n: int = 10,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Deterministic benchmark gram set: the word ``n``-grams of every
+    ``every_n``-th document (an eval-suite stand-in) as one ``gram``
+    column. Shared by the doc_contamination and doc_pipeline gates and
+    the scale rehearsal — ONE derivation, so the contamination screen
+    and the composed pipeline can never certify different benchmark
+    sets."""
+    from pyspark.sql import functions as F
+    return (docs.filter(F.col(id_col) % every_n == 0)
+            .select(F.explode(F.expr(f"""
+                CASE WHEN size(split({text_col}, ' ')) >= {n}
+                     THEN transform(
+                            sequence(1, size(split({text_col}, ' ')) - {n - 1}),
+                            i -> concat_ws(' ',
+                                 slice(split({text_col}, ' '), i, {n})))
+                     ELSE array() END""")).alias("gram")))
+
+
 def contamination_hits(docs: DataFrame, bench_grams: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 5) -> DataFrame:

@@ -218,8 +218,9 @@ def run_pii_scrub(spark, reps: int) -> dict:
     # and measure an empty scan
     out = pii_scrub(docs)
     out.write.format("noop").mode("overwrite").save()
-    return {"op": "pii_scrub", "reps": reps, "rows_in": n_docs,
-            "rows_out": out.count(), "sec": round(time.time() - t0, 2)}
+    sec = round(time.time() - t0, 2)  # count() below re-runs the plan —
+    return {"op": "pii_scrub", "reps": reps, "rows_in": n_docs,  # untimed
+            "rows_out": out.count(), "sec": sec}
 
 
 def run_repetition(spark, reps: int) -> dict:
@@ -231,9 +232,10 @@ def run_repetition(spark, reps: int) -> dict:
     t0 = time.time()
     rep_df = repetition_stats(docs)
     rep_df.write.format("noop").mode("overwrite").save()
-    n = rep_df.count()
+    sec = round(time.time() - t0, 2)
+    n = rep_df.count()  # untimed: a second full execution
     return {"op": "repetition_stats", "reps": reps, "rows_in": n_docs,
-            "rows_out": n, "sec": round(time.time() - t0, 2)}
+            "rows_out": n, "sec": sec}
 
 
 def run_contamination(spark, reps: int) -> dict:
@@ -241,24 +243,19 @@ def run_contamination(spark, reps: int) -> dict:
     benchmark (the benchmark is the unreplicated corpus slice — eval
     suites don't grow with the crawl). Wall time ~linear in corpus size;
     the broadcast side is constant."""
-    from nlp_lib_spark.operators.textstats import contamination_hits
+    from nlp_lib_spark.operators.textstats import (bench_grams,
+                                                    contamination_hits)
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    bench = (base.filter("doc_id % 10 = 0")
-             .select(F.explode(F.expr("""
-                 CASE WHEN size(split(text, ' ')) >= 5
-                      THEN transform(sequence(1, size(split(text, ' ')) - 4),
-                                     i -> concat_ws(' ',
-                                          slice(split(text, ' '), i, 5)))
-                      ELSE array() END""")).alias("gram"))
-             .localCheckpoint())
+    bench = bench_grams(base).localCheckpoint()
     docs = replicate_docs(spark, reps).localCheckpoint()
     n_docs = docs.count()
     t0 = time.time()
     cont_df = contamination_hits(docs, bench)
     cont_df.write.format("noop").mode("overwrite").save()
-    n = cont_df.count()
+    sec = round(time.time() - t0, 2)
+    n = cont_df.count()  # untimed: a second full execution
     return {"op": "contamination_hits", "reps": reps, "rows_in": n_docs,
-            "rows_out": n, "sec": round(time.time() - t0, 2)}
+            "rows_out": n, "sec": sec}
 
 
 def run_stream_dedup_state(spark, reps: int) -> dict:
@@ -315,10 +312,10 @@ def run_neardup_clusters(spark, reps: int) -> dict:
     t0 = time.time()
     out = neardup_clusters(docs)
     n_out = out.count()
-    n_keepers = out.filter("is_keeper = 1").count()
+    sec = round(time.time() - t0, 2)
+    n_keepers = out.filter("is_keeper = 1").count()  # untimed re-run
     return {"op": "neardup_clusters", "reps": reps, "rows_in": n_docs,
-            "rows_out": n_out, "keepers": n_keepers,
-            "sec": round(time.time() - t0, 2)}
+            "rows_out": n_out, "keepers": n_keepers, "sec": sec}
 
 
 def run_doc_sample(spark, reps: int) -> dict:
@@ -334,10 +331,10 @@ def run_doc_sample(spark, reps: int) -> dict:
                         "THEN 'short' ELSE 'long' END AS len_band"),
         {"short": 0.25, "long": 0.75}, strata_col="len_band")
     kept = flagged.filter("sampled = 1").count()
+    sec = round(time.time() - t0, 2)
     return {"op": "doc_sample", "reps": reps, "rows_in": n_docs,
             "rows_out": kept,
-            "kept_frac": round(kept / max(1, n_docs), 4),
-            "sec": round(time.time() - t0, 2)}
+            "kept_frac": round(kept / max(1, n_docs), 4), "sec": sec}
 
 
 def run_doc_pack(spark, reps: int) -> dict:
@@ -350,10 +347,10 @@ def run_doc_pack(spark, reps: int) -> dict:
     t0 = time.time()
     out = pack_sequences(docs, budget_tokens=512, n_shards=8 * reps)
     n_out = out.count()
-    n_bins = out.selectExpr("shard", "pack_id").distinct().count()
+    sec = round(time.time() - t0, 2)
+    n_bins = out.selectExpr("shard", "pack_id").distinct().count()  # untimed
     return {"op": "doc_pack", "reps": reps, "rows_in": n_docs,
-            "rows_out": n_out, "bins": n_bins,
-            "sec": round(time.time() - t0, 2)}
+            "rows_out": n_out, "bins": n_bins, "sec": sec}
 
 
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
