@@ -4201,6 +4201,22 @@ _GATE_ORDER = [
 _DRIVER_CAP = 50
 
 
+def check_cap_coverage(order: list[str],
+                       members: dict[str, tuple[str, ...]],
+                       cap: int = _DRIVER_CAP) -> None:
+    """LOUD cap enforcement (round-3 lesson: 22 gates silently rotated
+    out of driver certification): every gate past ``cap`` must be a
+    member of an in-cap composite. Pure so the failure path is unit-
+    testable (tests/test_gate_parity.py) — the import-time call below
+    proves the real registry, the test proves the check itself fires."""
+    assert len(set(order)) == len(order), "duplicate gate registration"
+    covered = {m for c in order[:cap] for m in members.get(c, ())}
+    uncovered = [n for n in order[cap:] if n not in covered]
+    assert not uncovered, (
+        f"gates past the {cap}-entry driver cap lack composite "
+        f"coverage: {uncovered} — add them to a composite or to the cap")
+
+
 def _apply_gate_order() -> list[str]:
     ordered = [n for n in _GATE_ORDER if n in QUERIES]
     # Any gate registered but absent from the list slots in right after the
@@ -4210,20 +4226,12 @@ def _apply_gate_order() -> list[str]:
     extras = [n for n in QUERIES if n not in _GATE_ORDER]
     head_end = ordered.index("kg_triples_all") + 1
     order = ordered[:head_end] + extras + ordered[head_end:]
-    in_cap = order[:_DRIVER_CAP]
-    assert len(set(order)) == len(order), "duplicate gate registration"
-    # LOUD cap enforcement (round-3 lesson: 22 gates silently rotated out):
-    # every beyond-cap gate must be certified through an in-cap composite.
-    covered = {m for c in in_cap for m in COMPOSITE_MEMBERS.get(c, ())}
-    uncovered = [n for n in order[_DRIVER_CAP:] if n not in covered]
-    assert not uncovered, (
-        f"gates past the {_DRIVER_CAP}-entry driver cap lack composite "
-        f"coverage: {uncovered} — add them to a composite or to the cap")
+    check_cap_coverage(order, COMPOSITE_MEMBERS)
     q = {n: QUERIES[n] for n in order}
     o = {n: ORACLES[n] for n in order if n in ORACLES}
     QUERIES.clear(); QUERIES.update(q)
     ORACLES.clear(); ORACLES.update(o)
-    return in_cap
+    return order[:_DRIVER_CAP]
 
 
 DRIVER_CERTIFIED = _apply_gate_order()

@@ -122,3 +122,28 @@ def test_duckdb_hugeint_sum_vs_spark_bigint_fails_replica(spark, tmp_path):
         assert res2["status"] == "ok", res2
     finally:
         del QUERIES[name], ORACLES[name]
+
+
+def test_cap_coverage_check_fires_on_uncovered_gate():
+    """The driver certifies only the first 50 registry entries; the
+    round-3 verdict found 22 gates silently rotated past that cap. The
+    check must FAIL loudly for a beyond-cap gate with no composite
+    coverage and pass once a composite covers it."""
+    import pytest
+
+    from nlp_lib_spark.gate import (COMPOSITE_MEMBERS, DRIVER_CERTIFIED,
+                                    QUERIES, check_cap_coverage)
+    order = [f"g{i}" for i in range(6)]
+    members = {"g0": ("g3", "g4")}
+    with pytest.raises(AssertionError, match="g5"):
+        check_cap_coverage(order, members, cap=3)       # g5 uncovered
+    check_cap_coverage(order, {"g0": ("g3", "g4", "g5")}, cap=3)
+    with pytest.raises(AssertionError, match="duplicate"):
+        check_cap_coverage(["a", "a"], {}, cap=1)
+    # coverage of a member through a composite that is ITSELF beyond the
+    # cap must not count
+    with pytest.raises(AssertionError, match="g5"):
+        check_cap_coverage(order, {"g4": ("g5",)}, cap=3)
+    # and the real registry passes at the real cap, with the real members
+    check_cap_coverage(list(QUERIES), COMPOSITE_MEMBERS)
+    assert len(DRIVER_CERTIFIED) == 50
