@@ -2273,7 +2273,7 @@ def _sst_scores_oracle_sql() -> str:
       (numerator, pow2) pairs -> num / 2^(p+2)
 
     All terms are rescaled to a common driver-computed denominator 2^P
-    (P bounded by the prototype sizes, asserted < 120 so HUGEINT cannot
+    (P bounded by the prototype sizes, enforced <= 80 so HUGEINT cannot
     overflow) and floor(scale*K) is one integer division at the end —
     matching operators/trees.sst_tree_scores_exact bit-for-bit.
     Prototype structure is injected as VALUES (same pattern as the ST
@@ -2318,13 +2318,17 @@ def _sst_scores_oracle_sql() -> str:
         proot_rows.append((pid, " ".join(labels), len(root.children)))
         max_root_p = max(max_root_p, p_bound)
     P = max(max_root_p + 2, 4 * max_m + 2, 4)
-    # HUGEINT headroom: the final numerator is 10000 * (a*2^(P-2) + ...)
-    # — the 10^4 scale costs ~2^13.3 on top of 2^(P-2), and the summed
-    # match counts (a, 5b, g, r) need another ~2^10 of headroom — so the
-    # safe bound is P <= ~100, NOT the bare 2^127 exponent (review
-    # finding: `P < 120` passed the assert yet could overflow INT128 for
-    # P in (110, 120)). Measured P today: 50.
-    assert P <= 100, "prototype too large for HUGEINT-exact SST oracle"
+    # HUGEINT headroom, worst case: a matched-gram term contributes
+    # 21^m * 2^(P-4m-2) which at m = (P-2)/4 is 2^(1.098*P) of the
+    # denominator 2^P — i.e. the gram term can EXCEED 2^(P-2) by
+    # (21/16)^m — and the 10^4 scale adds ~2^13.3 on top. At P = 80:
+    # max gram term ~ 2^85.5, x 10^4 -> 2^98.8, leaving 2^28 (~270M
+    # summed matches) of INT128 headroom. P <= 100 was NOT safe for
+    # P in (96, 100] (second review pass); measured P today: 50.
+    if P > 80:
+        raise ValueError(
+            f"prototype set needs P={P} > 80 — past the HUGEINT-exact "
+            "headroom of the SST oracle (see bound derivation above)")
     den = 1 << P
 
     pw_vals = ", ".join(f"({p}, {q(w)}, {c})"
@@ -4007,37 +4011,18 @@ def _rel_suite() -> None:
 _rel_suite()
 
 
-def _doc_stats_composite() -> None:
-    """Per-document LLM-pipeline stats: quality, language-ID, token
-    counts, bag fingerprint, MinHash signature, SimHash, PII scrub,
-    repetition counters, contamination screen — all keyed by doc_id, so
-    ONE inner 1:1 join chain certifies all nine members in a single wide
-    row per document (no NULL-padding, no dtype promotion)."""
-    members = ("doc_quality", "doc_lang_id", "token_counts",
-               "doc_fingerprint", "minhash_signatures", "simhash",
-               "doc_pii", "doc_repetition", "doc_contamination",
-               "doc_pipeline", "neardup_clusters", "doc_sample",
-               "doc_pack")
-
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        out = None
-        for m in members:
-            df = QUERIES[m](spark, sf_dir)
-            out = df if out is None else out.join(df, "doc_id")
-        return out
-
-    aliases = {m: f"m{i}" for i, m in enumerate(members)}
-    first = members[0]
-    joins = "".join(
-        f"\nJOIN ({ORACLES[m]}\n) {aliases[m]} USING (doc_id)"
-        for m in members[1:])
-    QUERIES["doc_stats"] = fn
-    ORACLES["doc_stats"] = (
-        f"SELECT * FROM ({ORACLES[first]}\n) {aliases[first]}{joins}")
-    COMPOSITE_MEMBERS["doc_stats"] = tuple(members)
-
-
-_doc_stats_composite()
+# Per-document LLM-pipeline stats: quality, language-ID, token counts,
+# bag fingerprint, MinHash signature, SimHash, PII scrub, repetition
+# counters, contamination screen, the composed filter chain, near-dup
+# clustering, stratified sampling and sequence packing — all keyed by
+# doc_id, so ONE inner 1:1 join chain certifies all thirteen members in
+# a single wide row per document (no NULL-padding, no dtype promotion).
+join_composite("doc_stats", "doc_id",
+               ("doc_quality", "doc_lang_id", "token_counts",
+                "doc_fingerprint", "minhash_signatures", "simhash",
+                "doc_pii", "doc_repetition", "doc_contamination",
+                "doc_pipeline", "neardup_clusters", "doc_sample",
+                "doc_pack"))
 
 
 def _kg_base_composite() -> None:
@@ -4137,12 +4122,13 @@ union_composite("media_frames", "codec", {
 # (CORRECTNESS_r02 ran exactly the first 50 of 58 in dict order), so
 # registration order is a certification decision, not a cosmetic one.
 # Round-4 layout: the first 50 entries cover EVERY operator family with
-# zero rotation losses (VERDICT r3 "Next round" 4) — the composites fold
-# 30 member gates into 9 in-cap slots, freeing the cap for the dedup/ANN
-# family and the small gates that rotated out in round 3. Everything past
-# position 50 is a composite MEMBER (certified inside its composite's
-# value hash, and still individually compared by paritycheck.run_all and
-# the pytest parity suite).
+# zero rotation losses (VERDICT r3 "Next round" 4) — 12 composites fold
+# their 47 member gates into 12 in-cap slots, freeing the cap for the
+# dedup/ANN family and the small gates that rotated out in round 3.
+# Everything past position 50 is a composite MEMBER (certified inside its
+# composite's value hash, and still individually compared by
+# paritycheck.run_all and the pytest parity suite) — enforced by
+# check_cap_coverage at import.
 _GATE_ORDER = [
     # -- composites (each certifies several member operators by tag/join) --
     "rel_suite",          # tpch_q1 + top_event_types + cust_nation_rev +
@@ -4209,12 +4195,16 @@ def check_cap_coverage(order: list[str],
     member of an in-cap composite. Pure so the failure path is unit-
     testable (tests/test_gate_parity.py) — the import-time call below
     proves the real registry, the test proves the check itself fires."""
-    assert len(set(order)) == len(order), "duplicate gate registration"
+    # real raises, not asserts: python -O / PYTHONOPTIMIZE strips asserts,
+    # and this guarantee must hold in every launch mode (spark-submit, cron)
+    if len(set(order)) != len(order):
+        raise ValueError("duplicate gate registration")
     covered = {m for c in order[:cap] for m in members.get(c, ())}
     uncovered = [n for n in order[cap:] if n not in covered]
-    assert not uncovered, (
-        f"gates past the {cap}-entry driver cap lack composite "
-        f"coverage: {uncovered} — add them to a composite or to the cap")
+    if uncovered:
+        raise ValueError(
+            f"gates past the {cap}-entry driver cap lack composite "
+            f"coverage: {uncovered} — add them to a composite or to the cap")
 
 
 def _apply_gate_order() -> list[str]:
@@ -4224,6 +4214,11 @@ def _apply_gate_order() -> list[str]:
     # demoted (the membership assertion below then flags whichever in-cap
     # gate it displaced).
     extras = [n for n in QUERIES if n not in _GATE_ORDER]
+    if "kg_triples_all" not in ordered:
+        raise ValueError(
+            "extras-insertion anchor 'kg_triples_all' missing from "
+            "_GATE_ORDER — update the anchor in _apply_gate_order if that "
+            "composite was renamed or removed")
     head_end = ordered.index("kg_triples_all") + 1
     order = ordered[:head_end] + extras + ordered[head_end:]
     check_cap_coverage(order, COMPOSITE_MEMBERS)

@@ -176,7 +176,7 @@ def bench_grams(docs: DataFrame, n: int = 5, every_n: int = 10,
                      ELSE array() END""")).alias("gram")))
 
 
-def contamination_hits(docs: DataFrame, bench_grams: DataFrame,
+def contamination_hits(docs: DataFrame, bench_gram_df: DataFrame,
                        id_col: str = "doc_id", text_col: str = "text",
                        n: int = 5) -> DataFrame:
     """Benchmark-contamination screen: per document, how many of its
@@ -195,7 +195,7 @@ def contamination_hits(docs: DataFrame, bench_grams: DataFrame,
                                      i -> concat_ws(' ', slice(arr, i, {n})))
                       ELSE array() END""")).alias("gram"))
              .distinct())
-    bench = bench_grams.select("gram").distinct()
+    bench = bench_gram_df.select("gram").distinct()
     hits = (grams.join(F.broadcast(bench), "gram")
             .groupBy(id_col).agg(F.count(F.lit(1)).alias("cont_hits")))
     ngrams = grams.groupBy(id_col).agg(
@@ -216,7 +216,7 @@ def contamination_hits(docs: DataFrame, bench_grams: DataFrame,
 # is an INTEGER comparison (cross-multiplied fractions), so the kept/
 # dropped verdict is bit-exact across engines.
 
-def pipeline_kept(docs: DataFrame, bench_grams: DataFrame,
+def pipeline_kept(docs: DataFrame, bench_gram_df: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   min_tokens: int = 20, min_stop: int = 1,
                   top_word_mult: int = 8) -> DataFrame:
@@ -246,7 +246,7 @@ def pipeline_kept(docs: DataFrame, bench_grams: DataFrame,
               .agg(F.min(id_col).alias("__keeper_id")))
     rep = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
         id_col, "rep_top_word_n", "rep_n_words")
-    cont = contamination_hits(docs, bench_grams, id_col=id_col,
+    cont = contamination_hits(docs, bench_gram_df, id_col=id_col,
                               text_col=text_col).select(id_col, "cont_hits")
     j = (q.join(keeper, "__text_hash")
          .join(rep, id_col).join(cont, id_col))

@@ -135,14 +135,15 @@ def test_cap_coverage_check_fires_on_uncovered_gate():
                                     QUERIES, check_cap_coverage)
     order = [f"g{i}" for i in range(6)]
     members = {"g0": ("g3", "g4")}
-    with pytest.raises(AssertionError, match="g5"):
+    # ValueError, not AssertionError: the check must survive python -O
+    with pytest.raises(ValueError, match="g5"):
         check_cap_coverage(order, members, cap=3)       # g5 uncovered
     check_cap_coverage(order, {"g0": ("g3", "g4", "g5")}, cap=3)
-    with pytest.raises(AssertionError, match="duplicate"):
+    with pytest.raises(ValueError, match="duplicate"):
         check_cap_coverage(["a", "a"], {}, cap=1)
     # coverage of a member through a composite that is ITSELF beyond the
     # cap must not count
-    with pytest.raises(AssertionError, match="g5"):
+    with pytest.raises(ValueError, match="g5"):
         check_cap_coverage(order, {"g4": ("g5",)}, cap=3)
     # and the real registry passes at the real cap, with the real members
     check_cap_coverage(list(QUERIES), COMPOSITE_MEMBERS)
