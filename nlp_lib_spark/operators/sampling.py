@@ -27,10 +27,13 @@ from pyspark.sql import DataFrame, functions as F
 _HASH_BITS = 60
 
 
-def _sample_key_sql(id_col: str, salt: str) -> str:
-    """Spark SQL expression for the 60-bit decision integer."""
-    return ("CAST(conv(substring(md5(concat(CAST(" + id_col +
-            f" AS STRING), ':{salt}')), 1, 15), 16, 10) AS BIGINT)")
+def _sample_key(id_col: str, salt: str):
+    """Column expression for the 60-bit decision integer. The salt rides
+    in as a bound literal (``F.lit``), never interpolated into SQL text —
+    a quote or SQL metacharacter in the salt is data, not syntax."""
+    return F.conv(F.substring(F.md5(F.concat(
+        F.col(id_col).cast("string"), F.lit(":"), F.lit(salt))),
+        1, 15), 16, 10).cast("long")
 
 
 def _threshold(frac: float) -> int:
@@ -42,7 +45,7 @@ def _threshold(frac: float) -> int:
 def sample_flags(df: DataFrame, fracs: dict[str, float],
                  strata_col: str, id_col: str = "doc_id",
                  salt: str = "s0",
-                 default_frac: float = 0.0) -> DataFrame:
+                 default_frac: float = 1.0) -> DataFrame:
     """One row per input row: ``sample_key`` (the 60-bit decision
     integer) and ``sampled`` 0/1 under per-stratum fractions.
 
@@ -50,24 +53,35 @@ def sample_flags(df: DataFrame, fracs: dict[str, float],
     selection itself auditable — the gate value-hashes every decision,
     and downstream stages can invert the sample (held-out split) from
     the same column.
-    """
-    key = _sample_key_sql(id_col, salt)
-    cases = " ".join(
-        f"WHEN {strata_col} = '{k}' THEN {key} < {_threshold(v)}"
-        for k, v in fracs.items())
-    pred = f"CASE {cases} ELSE {key} < {_threshold(default_frac)} END"
+
+    Strata absent from ``fracs`` fall through to ``default_frac``, which
+    defaults to 1.0 (KEEP unknown strata): when a new language/length
+    band appears in a growing corpus, silently dropping it is surprising
+    data loss for a training-mix operator — pass ``default_frac=0.0``
+    explicitly to make the whitelist semantics a stated decision. The
+    dispatch is built from column expressions (``F.when`` over bound
+    literals), so stratum keys containing quotes or SQL metacharacters
+    are data, never syntax."""
+    key = _sample_key(id_col, salt)
+    fallback = key < F.lit(_threshold(default_frac))
+    pred = None
+    for k, v in fracs.items():
+        cond = (F.col(strata_col) == F.lit(k), key < F.lit(_threshold(v)))
+        pred = F.when(*cond) if pred is None else pred.when(*cond)
+    pred = fallback if pred is None else pred.otherwise(fallback)
     return df.select(
-        "*", F.expr(key).alias("sample_key"),
-        F.expr(pred).cast("int").alias("sampled"))
+        "*", key.alias("sample_key"),
+        pred.cast("int").alias("sampled"))
 
 
 def stratified_sample(df: DataFrame, fracs: dict[str, float],
                       strata_col: str, id_col: str = "doc_id",
                       salt: str = "s0",
-                      default_frac: float = 0.0) -> DataFrame:
+                      default_frac: float = 1.0) -> DataFrame:
     """The filtered view of :func:`sample_flags` — the rows a training
     mix keeps, e.g. ``fracs={'en': 0.3, 'de': 1.0}`` to downsample the
-    dominant language while keeping all of a rare one."""
+    dominant language while keeping all of a rare one. Unknown strata
+    are KEPT by default (see :func:`sample_flags`)."""
     return (sample_flags(df, fracs, strata_col, id_col, salt,
                          default_frac)
             .filter(F.col("sampled") == 1)
@@ -79,5 +93,4 @@ def deterministic_sample(df: DataFrame, frac: float,
                          salt: str = "s0") -> DataFrame:
     """Unstratified hash-threshold sample: keep ``frac`` of rows,
     decided per row by (id, salt) alone."""
-    key = _sample_key_sql(id_col, salt)
-    return df.filter(F.expr(f"{key} < {_threshold(frac)}"))
+    return df.filter(_sample_key(id_col, salt) < F.lit(_threshold(frac)))
