@@ -131,9 +131,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
 def neardup_clusters(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text",
-                     bucket_cap: int = 1000) -> DataFrame:
+                     bucket_cap: int = 1000,
+                     pairs: DataFrame | None = None) -> DataFrame:
     """End-to-end near-duplicate clustering: LSH candidate pairs ->
     connected components -> per-cluster keeper election.
+
+    ``pairs`` (columns ``doc_a``, ``doc_b``) lets a caller bring their
+    own candidate edges — embedding-ANN pairs, SimHash bands, or an
+    adversarial rehearsal chain — in place of the built-in MinHash LSH;
+    clustering and keeper election are identical either way.
 
     This is the composition a real training-data dedup actually runs
     (candidate pairs alone are not actionable — near-dup groups are
@@ -149,12 +155,19 @@ def neardup_clusters(df: DataFrame, id_col: str = "doc_id",
     released per round), and the join back to the corpus is a plain
     equi-join on the id — AQE broadcasts the component map when it is
     small, and it degrades to a shuffle join (not a failure) when the
-    duplicate fraction is large."""
-    from pyspark.sql import Window
+    duplicate fraction is large. The keeper election is a
+    ``groupBy(cluster).agg(min, count)`` + join back — NOT a window —
+    because CC is transitive: a pathological mega-cluster (template spam,
+    near-empty docs) can chain far past ``bucket_cap``, and a window over
+    the cluster key funnels that cluster's whole membership through one
+    task with no map-side combine, while the groupBy collapses it
+    map-side and AQE can skew-split the join back (verdict r4 item 1;
+    value-identical output by construction)."""
     from pyspark.sql import functions as F
 
     from nlp_lib_spark.operators.canonicalize import connected_components
-    pairs = minhash_lsh_pairs(df, id_col, text_col, bucket_cap)
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, id_col, text_col, bucket_cap)
     # CC's union-find contraction is string-keyed; its label is only a
     # cluster HANDLE here (string min != numeric min), so the canonical
     # cluster_id is re-derived below as the numeric min member id
@@ -169,13 +182,13 @@ def neardup_clusters(df: DataFrame, id_col: str = "doc_id",
                        F.coalesce("component",
                                   F.col(id_col).cast("string"))
                         .alias("__ckey")))
-    w = Window.partitionBy("__ckey")
-    return labeled.select(
-        F.col(id_col),
-        F.min(id_col).over(w).alias("cluster_id"),
-        F.count("*").over(w).alias("cluster_size"),
-        (F.col(id_col) == F.min(id_col).over(w))
-        .cast("int").alias("is_keeper"))
+    stats = labeled.groupBy("__ckey").agg(
+        F.min(id_col).alias("cluster_id"),
+        F.count("*").alias("cluster_size"))
+    return (labeled.join(stats, "__ckey")
+            .select(F.col(id_col), "cluster_id", "cluster_size",
+                    (F.col(id_col) == F.col("cluster_id"))
+                    .cast("int").alias("is_keeper")))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id",
