@@ -68,8 +68,8 @@ def stream_dedup(spark: SparkSession, input_dir: str,
     seen-hash set between triggers.
 
     State is O(distinct documents), the same asymptotics as the batch
-    groupBy — for bounded-retention production streams switch to
-    ``dropDuplicatesWithinWatermark``; the gate's availableNow drain is
+    groupBy — for bounded-retention production streams use
+    :func:`stream_dedup_watermarked`; the gate's availableNow drain is
     finite so the unbounded variant is the honest equivalent of the
     batch semantics."""
     src = spark.readStream.schema(DOCS_SCHEMA)
@@ -85,6 +85,62 @@ def run_stream_dedup_once(spark: SparkSession, input_dir: str,
                           max_files_per_trigger: int | None = 1) -> DataFrame:
     """Drain all available files through stream_dedup into a memory sink."""
     q = (stream_dedup(spark, input_dir, max_files_per_trigger)
+         .writeStream.outputMode("append")
+         .format("memory").queryName(query_name)
+         .trigger(availableNow=True)
+         .start())
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+DOCS_TS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("ts", T.TimestampType()),
+])
+
+
+def stream_dedup_watermarked(spark: SparkSession, input_dir: str,
+                             delay: str = "10 minutes",
+                             max_files_per_trigger: int | None = 1
+                             ) -> DataFrame:
+    """Bounded-retention streaming dedup — the production variant of
+    :func:`stream_dedup` for unbounded re-crawl streams.
+
+    ``dropDuplicatesWithinWatermark`` on the content hash with an
+    event-time watermark: a duplicate whose event time lands while the
+    first occurrence's state row is live (within ``delay`` of the first
+    sighting) is dropped; once the watermark passes ``first_ts + delay``
+    the state row is EVICTED, so a later re-crawl of the same content is
+    re-emitted as a fresh sighting. State is therefore O(distinct texts
+    within the retention window) instead of :func:`stream_dedup`'s
+    O(all distinct texts ever) — the property that makes the operator
+    deployable on a never-ending ingest stream at 100 TB, where the
+    unbounded seen-hash set would grow without limit. The drop/keep and
+    eviction/re-emit contract is pinned by
+    tests/test_multimodal_streaming.py; the in-watermark drain is
+    driver-certified against the batch distinct-set oracle
+    (gate kg_stream_dedup_wm inside dedup_all)."""
+    from pyspark.sql import functions as F
+    src = spark.readStream.schema(DOCS_TS_SCHEMA)
+    if max_files_per_trigger is not None:
+        src = src.option("maxFilesPerTrigger", max_files_per_trigger)
+    return (src.parquet(input_dir)
+            .select(F.expr("md5(lower(text))").alias("text_hash"), "ts")
+            .withWatermark("ts", delay)
+            .dropDuplicatesWithinWatermark(["text_hash"]))
+
+
+def run_stream_dedup_wm_once(spark: SparkSession, input_dir: str,
+                             query_name: str = "dedup_stream_wm",
+                             delay: str = "10 minutes",
+                             max_files_per_trigger: int | None = 1
+                             ) -> DataFrame:
+    """Drain all available files through stream_dedup_watermarked into a
+    memory sink; returns the emitted (text_hash, ts) rows."""
+    q = (stream_dedup_watermarked(spark, input_dir, delay,
+                                  max_files_per_trigger)
          .writeStream.outputMode("append")
          .format("memory").queryName(query_name)
          .trigger(availableNow=True)

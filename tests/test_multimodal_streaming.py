@@ -203,3 +203,97 @@ def test_stateful_eviction_branch():
     assert st2.updated == (2, 0, 3) and st2.timeout_set == 60_000
     assert not st2.removed
     assert out2[0].iloc[0].tolist() == ["conv_b", 2, 0, 3]
+
+
+def test_watermarked_dedup_contract(spark, tmp_path):
+    """dropDuplicatesWithinWatermark's bounded-retention contract
+    (streaming/ingest.stream_dedup_watermarked, VERDICT r4 item 3): a
+    duplicate whose event time arrives while the first occurrence's
+    state is live (inside the watermark) is DROPPED; one arriving after
+    the watermark passed first_ts + delay finds the state row evicted
+    and is RE-EMITTED. Batch boundaries are made deterministic by
+    writing one file per micro-batch and draining between writes —
+    the watermark only advances at micro-batch boundaries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.streaming.ingest import stream_dedup_watermarked
+
+    in_dir = str(tmp_path / "wm_in")
+    os.makedirs(in_dir)
+
+    def write_batch(n, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts_s"])
+        (spark.createDataFrame(pdf)
+         .select(F.col("doc_id").cast("long"),
+                 "text",
+                 F.to_timestamp(F.col("ts_s")).alias("ts"))
+         .coalesce(1)
+         .write.mode("append").parquet(in_dir))
+
+    # batch 1: first sighting of A at 10:00 -> emitted;
+    # watermark after batch 1 = 10:00 - 5 min = 09:55
+    write_batch(1, [(1, "doc A", "2026-01-01 10:00:00")])
+    q = (stream_dedup_watermarked(spark, in_dir, delay="5 minutes",
+                                  max_files_per_trigger=None)
+         .writeStream.outputMode("append")
+         .format("memory").queryName("wm_contract")
+         .trigger(processingTime="50 milliseconds")
+         .start())
+    try:
+        q.processAllAvailable()
+
+        # batch 2: duplicate A at 10:04 — later than the 09:55 watermark
+        # (not late) and inside the live state window -> DROPPED; B at
+        # 10:30 is new -> emitted, and advances the watermark to 10:25,
+        # past A's expiry (10:00 + 5 min = 10:05) -> A's state row is
+        # evicted at the end of this batch
+        write_batch(2, [(2, "doc A", "2026-01-01 10:04:00"),
+                        (3, "doc B", "2026-01-01 10:30:00")])
+        q.processAllAvailable()
+
+        # batch 3: A re-crawled at 10:40, after eviction -> RE-EMITTED
+        write_batch(3, [(4, "doc A", "2026-01-01 10:40:00")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    out = spark.sql(
+        "SELECT text_hash, ts FROM wm_contract").toPandas()
+    spark.catalog.dropTempView("wm_contract")
+    hash_a = spark.sql("SELECT md5('doc a') AS h").first().h
+    hash_b = spark.sql("SELECT md5('doc b') AS h").first().h
+    emitted = sorted((r.text_hash, r.ts.isoformat())
+                     for r in out.itertuples())
+    assert emitted == [
+        (hash_a, "2026-01-01T10:00:00"),   # first sighting
+        (hash_a, "2026-01-01T10:40:00"),   # re-emitted after eviction
+        (hash_b, "2026-01-01T10:30:00"),   # distinct content
+    ], emitted  # the 10:04 in-watermark duplicate must NOT appear
+
+
+def test_watermarked_dedup_inorder_matches_batch_distinct(spark, tmp_path):
+    """On in-order, in-watermark input (constant event time) the
+    watermarked drain emits exactly the batch distinct-hash set — the
+    same contract the kg_stream_dedup_wm gate certifies by value hash
+    at the driver."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.streaming.ingest import run_stream_dedup_wm_once
+
+    texts = [f"document number {i % 7}" for i in range(30)]
+    pdf = pd.DataFrame({"doc_id": range(30), "text": texts})
+    src = (spark.createDataFrame(pdf)
+           .select(F.col("doc_id").cast("long"), "text",
+                   F.lit("2026-01-01 00:00:00").cast("timestamp")
+                    .alias("ts")))
+    in_dir = str(tmp_path / "wm_inorder")
+    src.repartition(4).write.mode("overwrite").parquet(in_dir)
+    out = run_stream_dedup_wm_once(spark, in_dir,
+                                   query_name="wm_inorder_t").toPandas()
+    spark.catalog.dropTempView("wm_inorder_t")
+    batch = {r.h for r in spark.createDataFrame(pdf)
+             .select(F.expr("md5(lower(text))").alias("h"))
+             .distinct().collect()}
+    assert sorted(out.text_hash) == sorted(batch)  # once each, no misses
