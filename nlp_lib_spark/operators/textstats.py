@@ -78,40 +78,131 @@ FROM {{t}}
 # Training-data pipelines scrub personally-identifying strings before any
 # further processing. Patterns are deliberately restricted to the regex
 # subset whose semantics are IDENTICAL in Java (Spark, codegen'd) and RE2
-# (DuckDB oracle): character classes, bounded repetition, \b, \+? — no
-# backreferences, no lookaround. Detection counts are taken BEFORE
-# scrubbing; replacement runs most-specific-first (card -> SSN -> phone ->
-# email -> IP) so overlapping digit runs cannot double-scrub.
+# (DuckDB oracle): character classes, bounded repetition, non-capturing
+# groups, \b, \+? — no backreferences, no lookaround. Detection counts are
+# taken BEFORE scrubbing; replacement runs most-specific-first (card ->
+# SSN -> phone -> email -> IP) so overlapping digit runs cannot
+# double-scrub.
+#
+# Separator-less 16-digit card numbers can't be told from invoice/serial
+# numbers by shape alone, so the ``ccn16`` entry carries a ``luhn``
+# validator: candidates come from the regex, but only Luhn-valid ones are
+# counted/scrubbed — the checksum is a SQL fold over the 16 digits
+# (``aggregate`` in Spark, ``list_transform``+``list_sum`` in the DuckDB
+# oracle), still zero Python and zero lookaround. \b\d{16}\b also makes
+# a 17+-digit run unmatched in BOTH engines (no boundary between digits),
+# which the adversarial fixtures pin.
 
 PII_PATTERNS = (
-    # (name, raw regex, replacement tag)
-    ("ccn", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CCN>"),
-    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
-    ("phone", r"\+?\d{1,2} \d{3}-\d{3}-\d{4}", "<PHONE>"),
-    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # (name, raw regex, replacement tag, validator)
+    ("ccn", r"\b\d{4}-\d{4}-\d{4}-\d{4}\b", "<CCN>", None),
+    ("ccn16", r"\b\d{16}\b", "<CCN>", "luhn"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>", None),
+    ("phone", r"\+?\d{1,2} \d{3}-\d{3}-\d{4}", "<PHONE>", None),
+    # E.164 without spaces: + then 8-15 digits (ITU max), boundary-closed
+    # so a longer digit run does not half-match
+    ("e164", r"\+\d{8,15}\b", "<PHONE>", None),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+     , None),
+    # full-form (8-group) IPv6; ::-compressed forms are documented out of
+    # scope — RE2 has no lookaround to anchor the variable-group forms
+    # without overmatching bare hex words
+    ("ipv6", r"\b(?:[0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}\b", "<IP>", None),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>", None),
 )
+
+
+def luhn_valid_sql(var: str, dialect: str) -> str:
+    """Boolean SQL: the 16-digit string ``var`` passes the Luhn checksum.
+
+    A fold over digit positions 1..16 from the right — doubled on even
+    positions, folded down past 9 — expressed in each engine's native
+    list/array comprehension so the gate can replay the identical
+    arithmetic: Spark ``aggregate(sequence(...))``, DuckDB
+    ``list_sum(list_transform(range(...)))``. Integer-only, so the
+    verdict is bit-exact across engines."""
+    d = f"CAST(substring({var}, 17 - j, 1) AS INT)"
+    body = (f"CASE WHEN j % 2 = 0 THEN CASE WHEN 2 * {d} > 9 "
+            f"THEN 2 * {d} - 9 ELSE 2 * {d} END ELSE {d} END")
+    if dialect == "spark":
+        return (f"aggregate(sequence(1, 16), 0, (s, j) -> s + {body})"
+                " % 10 = 0")
+    return (f"list_sum(list_transform(range(1, 17), j -> {body}))"
+            " % 10 = 0")
+
+
+def _pii_count_sql(text: str, pat: str, validator: str | None,
+                   dialect: str) -> str:
+    """Count of matches (validator-filtered if one is attached)."""
+    if dialect == "spark":
+        esc = pat.replace(chr(92), chr(92) * 2)
+        matches = f"regexp_extract_all({text}, '{esc}', 0)"
+        if validator is None:
+            return f"size({matches})"
+        return (f"size(filter({matches}, "
+                f"c -> {luhn_valid_sql('c', dialect)}))")
+    matches = f"regexp_extract_all({text}, '{pat}')"
+    if validator is None:
+        return f"len({matches})"
+    return (f"len(list_filter({matches}, "
+            f"c -> {luhn_valid_sql('c', dialect)}))")
+
+
+def _pii_scrub_step_sql(prev: str, pat: str, tag: str,
+                        validator: str | None, dialect: str) -> str:
+    """One replacement link of the scrub chain wrapped around ``prev``.
+
+    Validator-less patterns are a plain ``regexp_replace``; validated
+    ones fold ``replace`` over the filtered candidate list (Spark
+    ``aggregate`` with the text as the accumulator seed; DuckDB
+    ``list_reduce`` over ``list_prepend(text, candidates)`` — the
+    prepended text doubles as the seed, and an empty candidate list then
+    reduces to the text unchanged)."""
+    if validator is None:
+        if dialect == "spark":
+            esc = pat.replace(chr(92), chr(92) * 2)
+            return f"regexp_replace({prev}, '{esc}', '{tag}')"
+        return f"regexp_replace({prev}, '{pat}', '{tag}', 'g')"
+    if dialect == "spark":
+        esc = pat.replace(chr(92), chr(92) * 2)
+        cands = (f"filter(regexp_extract_all({prev}, '{esc}', 0), "
+                 f"c -> {luhn_valid_sql('c', dialect)})")
+        return (f"aggregate({cands}, {prev}, "
+                f"(acc, x) -> replace(acc, x, '{tag}'))")
+    cands = (f"list_filter(regexp_extract_all({prev}, '{pat}'), "
+             f"c -> {luhn_valid_sql('c', dialect)})")
+    return (f"list_reduce(list_prepend({prev}, {cands}), "
+            f"(acc, x) -> replace(acc, x, '{tag}'))")
+
+
+def pii_scrub_exprs(text_col: str, dialect: str) -> tuple[list[str], str]:
+    """(count expressions aliased ``n_<name>``, scrubbed-text expression)
+    for one dialect — shared by the operator (spark) and the gate's
+    DuckDB oracle so the two engines replay the SAME pattern set by
+    construction."""
+    counts = [
+        f"{_pii_count_sql(text_col, pat, validator, dialect)} AS n_{name}"
+        for name, pat, _, validator in PII_PATTERNS]
+    scrub = text_col
+    for _, pat, tag, validator in PII_PATTERNS:
+        scrub = _pii_scrub_step_sql(scrub, pat, tag, validator, dialect)
+    return counts, scrub
 
 
 def pii_scrub(df: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """Per-document PII detection counts + the md5 of the scrubbed text.
 
-    Pure JVM-side SQL (regexp_extract_all / chained regexp_replace inside
-    whole-stage codegen — no Python in the path), so at 100 TB this runs
-    at scan speed with zero shuffles; the gate's DuckDB oracle replays
-    the same patterns through RE2."""
-    counts = ",\n       ".join(
-        f"size(regexp_extract_all({text_col}, "
-        f"'{pat.replace(chr(92), chr(92) * 2)}', 0)) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS)
-    scrub = text_col
-    for name, pat, tag in PII_PATTERNS:
-        scrub = (f"regexp_replace({scrub}, "
-                 f"'{pat.replace(chr(92), chr(92) * 2)}', '{tag}')")
+    Pure JVM-side SQL (regexp_extract_all / chained regexp_replace /
+    Luhn-filtered replace folds inside whole-stage codegen — no Python
+    in the path), so at 100 TB this runs at scan speed with zero
+    shuffles; the gate's DuckDB oracle replays the same patterns through
+    RE2 and the same checksum arithmetic through list folds."""
+    counts, scrub = pii_scrub_exprs(text_col, "spark")
+    counts_sql = ",\n       ".join(counts)
     return _sql(df, f"""
 SELECT {id_col},
-       {counts},
+       {counts_sql},
        md5({scrub}) AS scrubbed_md5
 FROM {{t}}
 """)
