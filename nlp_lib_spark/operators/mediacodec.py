@@ -443,10 +443,157 @@ def decode_wav(data: bytes) -> tuple[int, list[int]]:
 
 
 def audio_features(data: bytes) -> list[float]:
-    rate, s = decode_wav(data)
+    rate, s = decode_audio(data)
     head = (s + [0] * _N_SAMPLES_FEAT)[:_N_SAMPLES_FEAT]
     return [float(x) for x in
             (rate, len(s), min(s), max(s), sum(abs(v) for v in s), *head)]
+
+
+# --------------------------------------------- IMA ADPCM WAV (format 0x0011)
+# A real compressed-audio codec (VERDICT r4 stretch item 7): IMA/DVI
+# ADPCM, the 4-bit differential format WAV carries as wFormatTag 0x0011.
+# Pure stdlib — the ``wave`` module refuses compressed formats, so the
+# decoder walks RIFF chunks itself (fmt parse, fact skip, per-block
+# header + low-nibble-first data). The encoder quantizes real samples
+# through the same step machine, so pytest round-trips it; the gate
+# corpus instead BUILDS blocks whose nibble stream is the md5 hex digits
+# of the document text, making the decoded samples a closed-form
+# function the DuckDB oracle replays with a recursive CTE over the same
+# step/index tables (the flat-block-JPEG trick, applied to audio).
+
+IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibble(n: int, pred: int, idx: int) -> tuple[int, int]:
+    """One IMA step: (nibble, state) -> (new predicted sample, new index).
+    The canonical bit-exact integer form (IMA ADPCM reference algorithm;
+    diff = (step >> 3) + conditional step>>2 / step>>1 / step terms)."""
+    step = IMA_STEPS[idx]
+    diff = step >> 3
+    if n & 1:
+        diff += step >> 2
+    if n & 2:
+        diff += step >> 1
+    if n & 4:
+        diff += step
+    pred = pred - diff if n & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + IMA_INDEX_ADJ[n & 7]))
+    return pred, idx
+
+
+def _ima_encode_sample(s: int, pred: int, idx: int) -> int:
+    """Choose the nibble whose decode lands nearest ``s`` (the standard
+    IMA quantizer: sign bit + greedy magnitude bits against the step)."""
+    step = IMA_STEPS[idx]
+    delta = s - pred
+    n = 0
+    if delta < 0:
+        n = 8
+        delta = -delta
+    if delta >= step:
+        n |= 4
+        delta -= step
+    if delta >= step >> 1:
+        n |= 2
+        delta -= step >> 1
+    if delta >= step >> 2:
+        n |= 1
+    return n
+
+
+def encode_wav_ima(samples: list[int], rate: int = 8000) -> bytes:
+    """PCM16 samples -> single-block IMA-ADPCM WAV (mono). Sample 0 seeds
+    the block header predictor verbatim; the rest quantize to 4-bit
+    nibbles (padded to an even count), packed low-nibble-first."""
+    if not samples:
+        raise ValueError("empty sample list")
+    pred, idx = samples[0], 0
+    nibbles = []
+    for s in samples[1:]:
+        n = _ima_encode_sample(s, pred, idx)
+        pred, idx = _ima_decode_nibble(n, pred, idx)
+        nibbles.append(n)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    return build_wav_ima_block(samples[0], 0, nibbles, rate)
+
+
+def build_wav_ima_block(pred0: int, idx0: int, nibbles: list[int],
+                        rate: int = 8000) -> bytes:
+    """Assemble a mono IMA-ADPCM WAV holding ONE block with the given
+    header state and nibble stream (the gate's synthetic payload path —
+    the nibbles come straight from md5 hex digits there)."""
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (2 per data byte)")
+    data = bytes(nibbles[2 * j] | (nibbles[2 * j + 1] << 4)
+                 for j in range(len(nibbles) // 2))
+    block = struct.pack("<hBB", pred0, idx0, 0) + data
+    samples_per_block = len(nibbles) + 1
+    block_align = 4 + len(data)
+    fmt = struct.pack("<HHIIHHHH", 0x0011, 1, rate,
+                      rate * block_align // samples_per_block,
+                      block_align, 4, 2, samples_per_block)
+    fact = struct.pack("<I", samples_per_block)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(block)) + block)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_ima(data: bytes) -> tuple[int, list[int]]:
+    """Parse + decode a mono IMA-ADPCM WAV -> (rate, samples). Sample 0
+    of each block is the header predictor; each nibble (low first) then
+    emits one sample through the reference step machine."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate = block_align = None
+    blocks = None
+    for tag, off, size in _iter_riff(data, 12, 8 + struct.unpack(
+            "<I", data[4:8])[0]):
+        if tag == b"fmt ":
+            (fmt_tag, channels, rate, _br, block_align,
+             bits) = struct.unpack("<HHIIHH", data[off:off + 16])
+            if fmt_tag != 0x0011 or channels != 1 or bits != 4:
+                raise ValueError("unsupported ADPCM WAV layout")
+        elif tag == b"data":
+            blocks = data[off:off + size]
+    if rate is None or blocks is None:
+        raise ValueError("missing fmt/data chunk")
+    samples: list[int] = []
+    for b0 in range(0, len(blocks), block_align):
+        block = blocks[b0:b0 + block_align]
+        pred, idx = struct.unpack("<hB", block[:3])[0], block[2]
+        if idx > 88:
+            raise ValueError("corrupt block header (step index > 88)")
+        samples.append(pred)
+        for byte in block[4:]:
+            for n in (byte & 0x0F, byte >> 4):
+                pred, idx = _ima_decode_nibble(n, pred, idx)
+                samples.append(pred)
+    return rate, samples
+
+
+def decode_audio(data: bytes) -> tuple[int, list[int]]:
+    """WAV dispatch on wFormatTag: 0x0001 PCM16 (stdlib wave) or 0x0011
+    IMA ADPCM (own RIFF walk)."""
+    fmt_tag = None
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        for tag, off, _size in _iter_riff(data, 12, min(len(data), 64)):
+            if tag == b"fmt ":
+                fmt_tag = struct.unpack("<H", data[off:off + 2])[0]
+                break
+    if fmt_tag == 0x0011:
+        return decode_wav_ima(data)
+    return decode_wav(data)
 
 
 def real_features(data: bytes) -> list[float]:
@@ -460,9 +607,9 @@ def real_features(data: bytes) -> list[float]:
     if data[:2] == b"\xff\xd8":
         return image_features(data)
     raise ValueError("unsupported media container (BMP, gray8 PNG, "
-                     "baseline JPEG, PCM16 WAV, uncompressed-DIB AVI and "
-                     "MJPG AVI are the decoders available without "
-                     "optional codec deps)")
+                     "baseline JPEG, PCM16 WAV, IMA-ADPCM WAV, "
+                     "uncompressed-DIB AVI and MJPG AVI are the decoders "
+                     "available without optional codec deps)")
 
 
 # ------------------------------------------------ JPEG (baseline DCT, gray)
@@ -917,6 +1064,26 @@ def synth_jpeg_payload(text: str) -> bytes:
     full marker/Huffman/dequant/IDCT machinery."""
     return encode_jpeg(_flat_block_raster(list(md5_expand(text, 4))),
                        JPEG_DIM, JPEG_DIM)
+
+
+IMA_N_NIBBLES = 32  # one md5 hex string's worth -> 33 decoded samples
+
+
+def synth_ima_payload(text: str) -> bytes:
+    """Deterministic IMA-ADPCM WAV payload (gate input builder, mirrored
+    closed-form by the media_features_ima oracle): the block's nibble
+    stream IS the 32 hex digits of md5(text), with the header predictor/
+    step-index seeded from md5(text || ':a') bytes — so the decoded
+    samples are a pure function of the md5 strings, which the DuckDB
+    oracle replays with a recursive CTE over the same step/index-adjust
+    tables. The decoder still runs the full real path (RIFF walk, fmt
+    0x0011 parse, block header, low-nibble-first unpack, step machine)."""
+    h = hashlib.md5(text.encode()).hexdigest()
+    nibbles = [int(c, 16) for c in h]
+    b = hashlib.md5((text + ":a").encode()).digest()
+    pred0 = b[0] * 256 + b[1] - 32768
+    idx0 = b[2] % 89
+    return build_wav_ima_block(pred0, idx0, nibbles, 8000)
 
 
 def synth_mjpeg_payload(text: str) -> bytes:

@@ -314,3 +314,86 @@ def test_synth_jpeg_matches_oracle_model():
     assert (w, h) == (16, 16)
     for k, f in enumerate(frames):
         assert f == _flat_raster(list(md5_expand(f"{text}#j{k}", 4)))
+
+
+# ------------------------------------------------- IMA ADPCM WAV (round 5)
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+       st.sampled_from([8000, 16000]))
+def test_ima_decode_inverts_nibble_stream(samples, rate):
+    """decode(encode) replays the encoder's own predictor track exactly:
+    the encoder commits to the decoded value after each nibble, so the
+    decoder must reproduce that track bit-for-bit (the lossy step is the
+    quantizer, never the reconstruction)."""
+    from nlp_lib_spark.operators.mediacodec import (_ima_decode_nibble,
+                                                    _ima_encode_sample,
+                                                    decode_wav_ima,
+                                                    encode_wav_ima)
+    blob = encode_wav_ima(samples, rate)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate2, dec = decode_wav_ima(blob)
+    assert rate2 == rate
+    # replay the encoder's committed predictor values
+    pred, idx = samples[0], 0
+    exp = [pred]
+    for s in samples[1:]:
+        n = _ima_encode_sample(s, pred, idx)
+        pred, idx = _ima_decode_nibble(n, pred, idx)
+        exp.append(pred)
+    # nibble padding to an even byte may append one extra decoded sample
+    assert dec[:len(exp)] == exp and len(dec) - len(exp) <= 1
+
+
+def test_ima_roundtrip_tracks_after_attack():
+    """Quantizer quality: after the step-size attack transient, a +/-12k
+    sine tracks within a small fraction of full scale (the IMA design
+    point); the transient itself may lag (step starts at 7)."""
+    import math
+
+    from nlp_lib_spark.operators.mediacodec import (decode_wav_ima,
+                                                    encode_wav_ima)
+    samples = [int(12000 * math.sin(i / 5)) for i in range(200)]
+    _, dec = decode_wav_ima(encode_wav_ima(samples, 8000))
+    err = [abs(a - b) for a, b in zip(samples, dec)]
+    assert max(err[50:]) < 1500 and sum(err[50:]) / 150 < 400
+
+
+def test_ima_rejects_garbage_and_corrupt_header():
+    from nlp_lib_spark.operators.mediacodec import (build_wav_ima_block,
+                                                    decode_wav_ima)
+    with pytest.raises(ValueError):
+        decode_wav_ima(b"RIFFxxxxAVI LIST")
+    blob = bytearray(build_wav_ima_block(0, 0, [0, 0]))
+    blob[blob.index(b"data") + 8 + 2] = 89  # step index out of range
+    with pytest.raises(ValueError):
+        decode_wav_ima(bytes(blob))
+    with pytest.raises(ValueError):
+        build_wav_ima_block(0, 0, [1, 2, 3])  # odd nibble count
+
+
+def test_ima_synth_matches_oracle_model_and_dispatch():
+    """synth_ima_payload decodes to exactly the md5-driven state-machine
+    model the DuckDB oracle replays, and real_features dispatches the
+    0x0011 fmt tag to the ADPCM path (not the stdlib wave module)."""
+    import hashlib
+
+    from nlp_lib_spark.operators.mediacodec import (_ima_decode_nibble,
+                                                    decode_audio,
+                                                    real_features,
+                                                    synth_ima_payload)
+    text = "the cat sat on the mat"
+    payload = synth_ima_payload(text)
+    assert len(payload) == 80  # the gate oracle's n_bytes constant
+    rate, dec = decode_audio(payload)
+    b = hashlib.md5((text + ":a").encode()).digest()
+    pred, idx = b[0] * 256 + b[1] - 32768, b[2] % 89
+    exp = [pred]
+    for c in hashlib.md5(text.encode()).hexdigest():
+        pred, idx = _ima_decode_nibble(int(c, 16), pred, idx)
+        exp.append(pred)
+    assert (rate, dec) == (8000, exp)
+    feats = real_features(payload)
+    assert feats[:5] == [8000.0, 33.0, float(min(exp)), float(max(exp)),
+                         float(sum(abs(v) for v in exp))]
+    assert feats[5:] == [float(v) for v in exp[:16]]
