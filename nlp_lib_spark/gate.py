@@ -1088,7 +1088,10 @@ def q_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @gate("doc_pack", oracle="""
 WITH b AS (
-  SELECT doc_id, doc_id % 8 AS shard,
+  -- ((x % n) + n) % n = Spark's pmod (DuckDB % follows the dividend's
+  -- sign; identical for the corpus's non-negative ids, engine-true for
+  -- negative ones)
+  SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard,
          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
   FROM documents),
 c AS (
@@ -1149,14 +1152,65 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from nlp_lib_spark.streaming.ingest import run_stream_dedup_once
     register_views(spark, sf_dir)
     docs = spark.table("documents").select("doc_id", "text")
+    # offset derived from the data, not a constant: at scale factors
+    # where max(doc_id) >= a fixed constant the shifted ids would collide
+    # with real ones and silently weaken the "every document fed twice
+    # under distinct doc_ids" premise (ADVICE r4)
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
     dup = docs.unionByName(
-        docs.withColumn("doc_id", F.col("doc_id") + 100000))
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset)))
     in_dir = tempfile.mkdtemp(prefix="kgx_stream_dedup_")
     query_name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
     try:
         dup.repartition(4).write.mode("overwrite").parquet(in_dir)
         out = run_stream_dedup_once(spark, in_dir, query_name=query_name)
         return out.localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(query_name)
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
+@gate("kg_stream_dedup_wm", oracle="""
+SELECT md5(lower(text)) AS text_hash, CAST(1 AS BIGINT) AS wm_emits
+FROM documents GROUP BY md5(lower(text))
+""")
+def q_kg_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-retention (watermarked) streaming dedup certified against
+    the batch distinct set (streaming/ingest.stream_dedup_watermarked):
+    the same doubled re-crawl corpus as kg_stream_dedup, every copy
+    carrying one constant event time — i.e. all duplicates arrive INSIDE
+    the watermark — drained one file per micro-batch.
+    ``dropDuplicatesWithinWatermark`` must then emit each content hash
+    exactly once (wm_emits = 1 for every hash): a double-emit means the
+    state store lost a live row between triggers, a missing hash means a
+    non-late event was wrongly dropped. The eviction/re-emit half of the
+    contract (a duplicate arriving AFTER the watermark passed first_ts +
+    delay is re-emitted) is event-time-order-dependent and therefore
+    lives in tests/test_multimodal_streaming.py rather than a value-hash
+    gate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.streaming.ingest import run_stream_dedup_wm_once
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+    offset = docs.agg(F.max("doc_id")).first()[0] + 1
+    dup = (docs.unionByName(
+               docs.withColumn("doc_id", F.col("doc_id") + F.lit(offset)))
+           .withColumn("ts", F.lit("2026-01-01 00:00:00")
+                              .cast("timestamp")))
+    in_dir = tempfile.mkdtemp(prefix="kgx_stream_dedup_wm_")
+    query_name = f"dedup_stream_wm_{uuid.uuid4().hex[:8]}"
+    try:
+        dup.repartition(4).write.mode("overwrite").parquet(in_dir)
+        out = run_stream_dedup_wm_once(spark, in_dir,
+                                       query_name=query_name)
+        return (out.groupBy("text_hash")
+                .agg(F.count(F.lit(1)).alias("wm_emits"))
+                .localCheckpoint())
     finally:
         spark.catalog.dropTempView(query_name)
         shutil.rmtree(in_dir, ignore_errors=True)
@@ -1205,10 +1259,13 @@ def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pipeline_kept(docs, bench_grams(docs))
 
 
-# Batch exact dedup + streaming stateful dedup joined 1:1 on the content
-# hash — one in-cap slot certifies both the batch keeper semantics and
-# the cross-micro-batch state semantics.
-join_composite("dedup_all", "text_hash", ("dedup_exact", "kg_stream_dedup"))
+# Batch exact dedup + streaming stateful dedup (unbounded AND
+# watermarked) joined 1:1 on the content hash — one in-cap slot
+# certifies the batch keeper semantics, the cross-micro-batch state
+# semantics, and the bounded-retention variant's exactly-once emission
+# on in-watermark input.
+join_composite("dedup_all", "text_hash",
+               ("dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm"))
 
 
 @gate("doc_fingerprint", oracle="""
@@ -1668,6 +1725,94 @@ def q_media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, schema="media_id long, kind string, payload binary")
     return (extract_media_features(media, mode="real")
             .select("media_id", "kind",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
+def _media_ima_oracle_sql() -> str:
+    """Recursive-CTE replay of the IMA-ADPCM step machine: the synthetic
+    block's nibble stream is md5(text)'s 32 hex digits and the header
+    state comes from md5(text || ':a') bytes, so the decoded samples are
+    closed-form from the same strings. The step/index tables interpolate
+    from operators/mediacodec.IMA_STEPS / IMA_INDEX_ADJ — one source for
+    decoder and oracle, so they cannot drift."""
+    from nlp_lib_spark.operators.mediacodec import IMA_INDEX_ADJ, IMA_STEPS
+    steps = "[" + ", ".join(str(v) for v in IMA_STEPS) + "]"
+    adj = "[" + ", ".join(str(v) for v in IMA_INDEX_ADJ) + "]"
+    hexpos = "strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1"
+    hb = [hexpos.format(s="md5(text || ':a')", i=i + 1) for i in range(6)]
+    return f"""
+WITH RECURSIVE hx AS (
+  SELECT doc_id, md5(text) AS h,
+         ({hb[0]}) * 16 + {hb[1]} AS b0,
+         ({hb[2]}) * 16 + {hb[3]} AS b1,
+         ({hb[4]}) * 16 + {hb[5]} AS b2
+  FROM documents
+), st(doc_id, k, pred, idx) AS (
+  SELECT doc_id, 0, b0 * 256 + b1 - 32768, b2 % 89 FROM hx
+  UNION ALL
+  SELECT doc_id, k + 1,
+         greatest(-32768, least(32767,
+             CASE WHEN (n & 8) = 8 THEN pred - diff ELSE pred + diff END)),
+         greatest(0, least(88, idx + ({adj})[(n & 7) + 1]))
+  FROM (
+    SELECT doc_id, k, pred, idx, n,
+           (stepv >> 3)
+           + CASE WHEN (n & 1) = 1 THEN (stepv >> 2) ELSE 0 END
+           + CASE WHEN (n & 2) = 2 THEN (stepv >> 1) ELSE 0 END
+           + CASE WHEN (n & 4) = 4 THEN stepv ELSE 0 END AS diff
+    FROM (
+      SELECT s.doc_id, s.k, s.pred, s.idx,
+             {hexpos.format(s="hx.h", i="s.k + 1")} AS n,
+             ({steps})[s.idx + 1] AS stepv
+      FROM st s JOIN hx ON hx.doc_id = s.doc_id
+      WHERE s.k < 32
+    )
+  )
+), px AS (
+  SELECT doc_id, list(pred ORDER BY k) AS s FROM st GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 80 AS n_bytes,
+       array_to_string([8000, 33, list_min(s), list_max(s),
+         list_sum(list_transform(s, x -> abs(x)))] || s[1:16], ',')
+       AS feature_sig
+FROM px
+"""
+
+
+@gate("media_features_ima", oracle=_media_ima_oracle_sql())
+def q_media_features_ima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-audio decode (VERDICT r4 stretch item 7):
+    documents become genuine IMA-ADPCM WAV files (wFormatTag 0x0011, one
+    block whose nibble stream is md5(text)'s hex digits), and
+    extract_media_features(mode="real") runs the full real path — RIFF
+    chunk walk, ADPCM fmt parse, block header, low-nibble-first unpack,
+    and the reference IMA step machine per nibble
+    (operators/mediacodec.decode_wav_ima). The oracle replays the step
+    machine with a recursive CTE over the same step/index tables, so a
+    hash match proves the 33 decoded samples byte-exactly; the true
+    sample ENCODER (quantizer) is certified by the pytest round-trip
+    tolerance suite."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_ima_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "audio", synth_ima_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind", "n_bytes",
                     F.expr("array_join(transform(features, x -> "
                            "CAST(x AS BIGINT)), ',')")
                     .alias("feature_sig")))
@@ -3701,6 +3846,11 @@ def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document and an IP / SSN / credit card on residue classes — the same
 # pattern the media gates use (synthesize the payload from row identity,
 # then prove the extractor inverts it).
+# Luhn-valid separator-less PANs (standard network test numbers) planted
+# on doc_id % 4 = 0, with a MUST-NOT-MATCH adversarial partner on
+# doc_id % 4 = 2: the same digits with the check digit +1 (mod 10), which
+# always breaks the checksum, plus a 17-digit run (\b\d{16}\b has no
+# boundary between digits, so it must match NOTHING in either engine).
 _PII_SYNTH = """text || ' contact doc' || CAST(doc_id AS STRING)
  || '@example.com or +1 555-'
  || lpad(CAST(doc_id % 1000 AS STRING), 3, '0') || '-'
@@ -3712,21 +3862,35 @@ _PII_SYNTH = """text || ' contact doc' || CAST(doc_id AS STRING)
          THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
          ELSE '' END
  || CASE WHEN doc_id % 7 = 0 THEN ' card 4111-1111-1111-1111'
+         ELSE '' END
+ || CASE WHEN doc_id % 4 = 0 THEN ' pan ' ||
+         CASE doc_id % 12 WHEN 0 THEN '4012888888881881'
+              WHEN 4 THEN '5555555555554444'
+              ELSE '2223003122003222' END
+         ELSE '' END
+ || CASE WHEN doc_id % 4 = 2 THEN ' inv ' ||
+         CASE doc_id % 12 WHEN 2 THEN '4012888888881882'
+              WHEN 6 THEN '5555555555554445'
+              ELSE '2223003122003223' END
+         ELSE '' END
+ || CASE WHEN doc_id % 11 = 3 THEN ' srl 41111111111111110' ELSE '' END
+ || CASE WHEN doc_id % 6 = 1
+         THEN ' ip6 2001:0db8:85a3:0000:0000:8a2e:0370:'
+              || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+         ELSE '' END
+ || CASE WHEN doc_id % 9 = 2
+         THEN ' tel +4915' || lpad(CAST(doc_id % 100000000 AS STRING), 8, '0')
          ELSE '' END""".replace("\n", " ")
 
 
 def _doc_pii_oracle_sql() -> str:
-    from nlp_lib_spark.operators.textstats import PII_PATTERNS
-    counts = ",\n       ".join(
-        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
-        for name, pat, _ in PII_PATTERNS)
-    scrub = "text"
-    for name, pat, tag in PII_PATTERNS:
-        scrub = f"regexp_replace({scrub}, '{pat}', '{tag}', 'g')"
+    from nlp_lib_spark.operators.textstats import pii_scrub_exprs
+    counts, scrub = pii_scrub_exprs("text", "duckdb")
+    counts_sql = ",\n       ".join(counts)
     return f"""
 WITH p AS (SELECT doc_id, {_PII_SYNTH} AS text FROM documents)
 SELECT doc_id,
-       {counts},
+       {counts_sql},
        md5({scrub}) AS scrubbed_md5
 FROM p
 """
@@ -4060,11 +4224,12 @@ _kg_base_composite()
 def _media_suite_composite() -> None:
     """Multimodal decode family under one driver gate: the deterministic
     fake-decode path (schema/partitioning plumbing), the real BMP/WAV
-    stdlib decoders, the real PNG decoder (zlib inflate + scanline
-    defilter), and the real baseline-JPEG decoder (Huffman + dequant +
-    IDCT), tagged by codec. media_features_png / media_features_jpeg have
-    no n_bytes column (compressed size is build-/data-dependent); both
-    pad a constant -1 on BOTH sides."""
+    stdlib decoders, the real IMA-ADPCM compressed-audio decoder (RIFF
+    walk + 4-bit step machine, round 5), the real PNG decoder (zlib
+    inflate + scanline defilter), and the real baseline-JPEG decoder
+    (Huffman + dequant + IDCT), tagged by codec. media_features_png /
+    media_features_jpeg have no n_bytes column (compressed size is
+    build-/data-dependent); both pad a constant -1 on BOTH sides."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -4072,7 +4237,9 @@ def _media_suite_composite() -> None:
             .select(F.lit("fake").alias("codec"), "*")
         real = QUERIES["media_features_real"](spark, sf_dir) \
             .select(F.lit("real").alias("codec"), "*")
-        out = fake.unionByName(real)
+        ima = QUERIES["media_features_ima"](spark, sf_dir) \
+            .select(F.lit("ima").alias("codec"), "*")
+        out = fake.unionByName(real).unionByName(ima)
         for codec, member in (("png", "media_features_png"),
                               ("jpeg", "media_features_jpeg")):
             out = out.unionByName(
@@ -4084,13 +4251,16 @@ def _media_suite_composite() -> None:
 
     QUERIES["media_suite"] = fn
     COMPOSITE_MEMBERS["media_suite"] = (
-        "media_features", "media_features_real", "media_features_png",
-        "media_features_jpeg")
+        "media_features", "media_features_real", "media_features_ima",
+        "media_features_png", "media_features_jpeg")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
 ) m
 UNION ALL
 SELECT 'real' AS codec, m.* FROM ({ORACLES["media_features_real"]}
+) m
+UNION ALL
+SELECT 'ima' AS codec, m.* FROM ({ORACLES["media_features_ima"]}
 ) m
 UNION ALL
 SELECT 'png' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
@@ -4167,9 +4337,10 @@ _GATE_ORDER = [
     "kg_tree_scores", "kg_sst_scores",
     "kg_transcripts", "kg_sentences",
     "kg_conversations", "kg_boilerplate",
-    "dedup_exact", "kg_stream_dedup",
+    "dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm",
     "kg_link_tfidf", "kg_link_tfidf_dist",
-    "media_features_real", "media_features_png", "media_features_jpeg",
+    "media_features_real", "media_features_ima", "media_features_png",
+    "media_features_jpeg",
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
