@@ -52,6 +52,7 @@ HEADLINE = (
     "ann_topk",            # brute-force cosine top-k
     "media_features_real", # real BMP/WAV decode + pixel/sample stats (r3)
     "media_features_jpeg", # baseline JPEG decode (Huffman+dequant+IDCT, r4)
+    "media_features_ima",  # IMA-ADPCM compressed-audio decode (r5)
     "media_frames_avi",    # real AVI demux + frame sampling (r3)
     "media_frames_mjpeg",  # Motion-JPEG demux + per-frame JPEG decode (r4)
     "doc_quality",         # text quality scoring
@@ -65,6 +66,7 @@ HEADLINE = (
     "doc_contamination",   # 5-gram broadcast contamination screen (r4)
     "kg_boilerplate",      # cross-conv boilerplate scrub + ordered md5 (r4)
     "kg_stream_dedup",     # stateful streaming dedup drain (r4)
+    "kg_stream_dedup_wm",  # bounded-retention watermarked dedup drain (r5)
     "neardup_clusters",    # LSH pairs -> CC -> keeper election (r4)
     "doc_pipeline",        # composed quality->rep->contam->dedup chain (r4)
 )

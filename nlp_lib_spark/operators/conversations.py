@@ -66,7 +66,8 @@ def with_turn_order(turns: DataFrame) -> DataFrame:
 
 
 def boilerplate_scrub(sentences: DataFrame,
-                      max_convs: int = 2) -> DataFrame:
+                      max_convs: int = 2,
+                      hot_threshold: int | None = 10_000) -> DataFrame:
     """Cross-conversation boilerplate removal: sentences appearing in
     more than ``max_convs`` distinct conversations are template noise
     (greeting lines, legal footers) and are dropped; the rest of each
@@ -77,13 +78,40 @@ def boilerplate_scrub(sentences: DataFrame,
     exact retained text and ordering, not just counts.
 
     Shuffle shape: one (sentence)-keyed count with map-side partial
-    combine, a sort-merge join back on sentence (per-key fan-out bounded
-    by that sentence's occurrence count), and one conv_id aggregation.
-    The collect_list buffer is bounded by conversation length — the same
-    bound assemble_conversations already accepts."""
+    combine, a join back on sentence, and one conv_id aggregation. The
+    collect_list buffer is bounded by conversation length — the same
+    bound assemble_conversations already accepts.
+
+    The join back is the skew point: by definition the sentences this
+    operator targets are the HOT keys (one legal footer in half of all
+    conversations), and AQE's byte-based skew detection is blind to
+    exactly that shape — a hot partition of near-identical rows
+    compresses away in MapOutputStatistics while the task still
+    processes every decompressed row (measured round 5: 500k-copy hot
+    key, every AQEShuffleRead merely 'coalesced' even at a 100 KB
+    threshold / factor 2). So the operator splits the key space itself:
+    sentences seen in >= ``hot_threshold`` distinct conversations (at
+    most total_convs/hot_threshold of them, so the set always
+    broadcasts) take a broadcast join at scan speed — their rows never
+    enter the sentence shuffle — and the remainder takes the shuffle
+    join with per-key fan-out bounded by ``hot_threshold``. Pass
+    ``hot_threshold=None`` for the plain single-join plan. Output is
+    value-identical either way (gate kg_boilerplate certifies both
+    counts and the retained-text md5)."""
     counts = (sentences.groupBy("sentence")
               .agg(F.countDistinct("conv_id").alias("__nc")))
-    j = sentences.join(counts, "sentence")
+    if hot_threshold is None:
+        j = sentences.join(counts, "sentence")
+    else:
+        hot = counts.filter(F.col("__nc") >= hot_threshold)
+        cold = counts.filter(F.col("__nc") < hot_threshold)
+        # hot rows resolve via broadcast at the scan (no shuffle);
+        # the broadcast anti-join keeps them out of the shuffle entirely
+        j = (sentences.join(F.broadcast(hot), "sentence")
+             .unionByName(
+                 sentences.join(F.broadcast(hot.select("sentence")),
+                                "sentence", "left_anti")
+                 .join(cold, "sentence")))
     ordered = F.transform(
         F.array_sort(F.collect_list(F.when(
             F.col("__nc") <= max_convs,

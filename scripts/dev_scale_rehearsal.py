@@ -339,18 +339,133 @@ def run_doc_sample(spark, reps: int) -> dict:
 
 def run_doc_pack(spark, reps: int) -> dict:
     """Sequence packing: one shard Exchange + one window cumsum. Bins
-    must grow linearly with input (fixed budget) and wall ~linearly;
-    n_shards scales with input so window partitions stay bounded."""
-    from nlp_lib_spark.operators.packing import pack_sequences
+    must grow linearly with input (fixed budget) and wall ~linearly.
+    Round 5 (verdict r4 item 5): ``pack_sequences_auto`` derives
+    n_shards from a CONSTANT configured rows-per-shard target across
+    every rep level — the window partition bound must hold with no
+    hand-tuning, and the derived shard count is recorded per row."""
+    from nlp_lib_spark.operators.packing import pack_sequences_auto
     docs = replicate_docs(spark, reps).localCheckpoint()
     n_docs = docs.count()
+    target = 25_000  # constant at 1/10/50x — shards derive from data
     t0 = time.time()
-    out = pack_sequences(docs, budget_tokens=512, n_shards=8 * reps)
+    out = pack_sequences_auto(docs, budget_tokens=512,
+                              target_rows_per_shard=target)
     n_out = out.count()
     sec = round(time.time() - t0, 2)
     n_bins = out.selectExpr("shard", "pack_id").distinct().count()  # untimed
+    n_shards = -(-n_docs // target)
     return {"op": "doc_pack", "reps": reps, "rows_in": n_docs,
-            "rows_out": n_out, "bins": n_bins, "sec": sec}
+            "rows_out": n_out, "bins": n_bins,
+            "n_shards_auto": max(1, n_shards), "sec": sec}
+
+
+def _executed_plan(df) -> str:
+    """Final (post-AQE) physical plan of a df whose action already ran —
+    collect()/toPandas() execute the df's OWN QueryExecution, so the
+    adaptive plan string carries the decisions that actually executed."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def run_neardup_megacluster(spark, reps: int) -> dict:
+    """Round 5 (verdict r4 item 1 done-criterion): keeper election under
+    a pathological TRANSITIVE mega-cluster — 50% of all documents in ONE
+    near-dup family, injected as a chain (doc 2i ~ doc 2i+2), i.e. the
+    shape CC produces when template spam chains far past bucket_cap.
+    The groupBy+join election must (a) collapse the cluster map-side
+    (partial aggregation before the Exchange) and (b) join the stats
+    back WITHOUT funnelling the cluster's membership through one task —
+    at rehearsal scale the one-row-per-cluster stats side broadcasts,
+    so the hot cluster's rows never co-locate at all. The plan grep
+    below records both properties from the executed plan."""
+    from pyspark.sql import Window
+
+    from nlp_lib_spark.operators.dedup import neardup_clusters
+    docs = replicate_docs(spark, reps)
+    # the chain below uses dense 0..n-1 ids; rebase the corpus ids once
+    # (a rehearsal-only global window — production ids are already dense)
+    docs_dense = (docs.select(
+        (F.row_number().over(Window.orderBy("doc_id")) - 1)
+        .alias("doc_id"), "text").localCheckpoint())
+    n_docs = docs_dense.count()
+    # chain edges over the even ids: 0-2, 2-4, ... -> one CC component
+    # holding half the corpus, far past any bucket cap
+    chain = (spark.range(n_docs // 2 - 1)
+             .select((F.col("id") * 2).alias("doc_a"),
+                     (F.col("id") * 2 + 2).alias("doc_b")))
+    t0 = time.time()
+    out = neardup_clusters(docs_dense, pairs=chain)
+    summary = out.agg(F.count(F.lit(1)).alias("n"),
+                      F.max("cluster_size").alias("max_cluster"),
+                      F.sum("is_keeper").alias("keepers"))
+    row = summary.collect()[0]
+    sec = round(time.time() - t0, 2)
+    plan = _executed_plan(summary)
+    return {"op": "neardup_megacluster", "reps": reps, "rows_in": n_docs,
+            "rows_out": int(row["n"]), "max_cluster": int(row["max_cluster"]),
+            "keepers": int(row["keepers"]), "sec": sec,
+            "partial_agg_before_exchange": "partial_min" in plan
+                                           or "partial_count" in plan,
+            "stats_join": ("broadcast"
+                           if "BroadcastHashJoin" in plan else
+                           "skew" if "skew=true" in plan else "shuffle"),
+            "window_in_plan": "Window" in plan}
+
+
+def run_boilerplate_skew(spark, reps: int) -> dict:
+    """Round 5 (verdict r4 item 6): boilerplate scrub where ONE sentence
+    appears in HALF of all conversations (hot-key join on sentence).
+
+    Measured first: AQE's byte-based skew detection NEVER fires on this
+    shape — the hot partition is 500k near-identical rows that compress
+    away in MapOutputStatistics (at 50x, thresholds 100 KB / factor 2 /
+    forceOptimizeSkewedJoin, every AQEShuffleRead was merely
+    'coalesced') while the task still decompresses and processes every
+    row. Hence the verdict's 'pre-salt if it doesn't' branch:
+    boilerplate_scrub now splits the key space itself — sentences in
+    >= hot_threshold distinct conversations broadcast (their rows never
+    enter the sentence shuffle), the tail shuffle-joins with per-key
+    fan-out bounded by hot_threshold. This rehearsal certifies the
+    split plan executes (hot path = BroadcastHashJoin in the executed
+    plan) with linear wall and exact verdicts at 1/10/50x."""
+    from nlp_lib_spark.operators.conversations import boilerplate_scrub
+    n_convs = 20_000 * reps
+    hot = "please see our terms and conditions for details"
+    sents = (spark.range(n_convs)
+             .select(F.concat(F.lit("c"), F.col("id")).alias("conv_id"),
+                     F.col("id").alias("cid"))
+             .select("conv_id", "cid",
+                     F.expr("explode(sequence(0, 6))").alias("sent_id"))
+             .select("conv_id",
+                     F.lit(0).alias("turn_idx"), "sent_id",
+                     F.when((F.col("sent_id") == 0) & (F.col("cid") % 2 == 0),
+                            F.lit(hot))
+                      .otherwise(F.concat(F.lit("unique line "),
+                                          F.col("cid"), F.lit(" nr "),
+                                          F.col("sent_id")))
+                      .alias("sentence"))).localCheckpoint()
+    n_rows = sents.count()
+    t0 = time.time()
+    # hot_threshold scaled to the rehearsal corpus so the split engages
+    # at every rep level (production default 10k trips at real scale)
+    out = boilerplate_scrub(sents, max_convs=2, hot_threshold=1000)
+    summary = out.agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("n_removed").alias("removed"))
+    row = summary.collect()[0]
+    sec = round(time.time() - t0, 2)
+    plan = _executed_plan(summary)
+    return {"op": "boilerplate_skew", "reps": reps, "rows_in": n_rows,
+            "rows_out": int(row["n"]), "removed": int(row["removed"]),
+            "sec": sec,
+            "hot_path_broadcast": "BroadcastHashJoin" in plan,
+            "aqe_skew_fired": "skew=true" in plan}
+
+
+ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
+              run_stream_dedup_state, run_neardup_clusters,
+              run_doc_sample, run_doc_pack)
+
+ROUND5_OPS = (run_neardup_megacluster, run_boilerplate_skew)
 
 
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
@@ -361,10 +476,17 @@ ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
 def main() -> None:
     args = sys.argv[1:]
     only_r4 = "--r4" in args
-    reps_list = [int(a) for a in args if a != "--r4"] or [1, 10, 50]
-    ops = ROUND4_OPS if only_r4 else (
-        run_lsh, run_cc, run_kg_edges, run_media_real,
-        run_stream_state, run_link_tfidf_dist) + ROUND4_OPS
+    only_r5 = "--r5" in args
+    reps_list = [int(a) for a in args
+                 if a not in ("--r4", "--r5")] or [1, 10, 50]
+    if only_r5:
+        ops = ROUND5_OPS
+    elif only_r4:
+        ops = ROUND4_OPS
+    else:
+        ops = (run_lsh, run_cc, run_kg_edges, run_media_real,
+               run_stream_state, run_link_tfidf_dist) \
+            + ROUND4_OPS + ROUND5_OPS
     spark = get_spark(cpus=32)
     for reps in reps_list:
         for fn in ops:

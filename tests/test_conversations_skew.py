@@ -200,3 +200,36 @@ def test_neardup_clusters_all_singletons(spark):
     for i in range(1, 6):
         assert (out[i].cluster_id, out[i].cluster_size,
                 out[i].is_keeper) == (i, 1, 1)
+
+
+def test_boilerplate_hot_split_matches_plain_plan(spark):
+    """The hot-key broadcast split (round 5 — AQE's byte-based skew
+    detection is blind to a hot key whose identical rows compress away)
+    must produce value-identical output to the plain single-join plan,
+    with the threshold landing keys on either side of the split."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.conversations import boilerplate_scrub
+    hot = "see our terms"
+    rows = []
+    for c in range(40):
+        # hot line in 30/40 convs (>= threshold 20); a warm line in 5
+        # (boilerplate by max_convs but BELOW the split threshold); one
+        # unique line everywhere
+        if c < 30:
+            rows.append((f"c{c}", 0, 0, hot))
+        if c < 5:
+            rows.append((f"c{c}", 0, 1, "warm greeting line"))
+        rows.append((f"c{c}", 0, 2, f"unique line {c}"))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, sent_id int, sentence string")
+    key = ["conv_id"]
+    split = (boilerplate_scrub(df, max_convs=2, hot_threshold=20)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    plain = (boilerplate_scrub(df, max_convs=2, hot_threshold=None)
+             .toPandas().sort_values(key).reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(split, plain)
+    # semantics spot-check: both boilerplate lines removed, unique kept
+    c0 = split[split.conv_id == "c0"].iloc[0]
+    assert (c0.n_sents, c0.n_removed) == (3, 2)
