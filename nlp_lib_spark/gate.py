@@ -1268,6 +1268,52 @@ join_composite("dedup_all", "text_hash",
                ("dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm"))
 
 
+@gate("doc_substring_dup", oracle="""
+WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+w AS (
+  SELECT doc_id,
+         CASE WHEN len(arr) >= 8
+              THEN list_transform(range(1, (len(arr) - 8) // 3 + 2),
+                   i -> md5(array_to_string(
+                        arr[(i - 1) * 3 + 1 : (i - 1) * 3 + 8], ' ')))
+              ELSE [] END AS hs
+  FROM a
+), e AS (
+  SELECT doc_id, unnest(hs) AS h FROM w
+), c AS (
+  SELECT h, count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+  FROM e GROUP BY h
+), agg AS (
+  SELECT e.doc_id,
+         count(*) AS sub_n_windows,
+         CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sub_crossdoc_windows,
+         CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sub_dup_windows
+  FROM e JOIN c ON e.h = c.h
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.sub_n_windows, 0) AS BIGINT) AS sub_n_windows,
+       CAST(coalesce(a.sub_crossdoc_windows, 0) AS BIGINT)
+         AS sub_crossdoc_windows,
+       CAST(coalesce(a.sub_dup_windows, 0) AS BIGINT) AS sub_dup_windows
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+""")
+def q_doc_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-substring detection
+    (operators/dedup.repeated_ngram_spans): every 8-token window at
+    3-token stride hashed and counted corpus-wide — the substring-level
+    dedup signal (license boilerplate and quoted passages repeat
+    verbatim across otherwise-unique documents). One row per document
+    with total / cross-document / anywhere-duplicated window counts;
+    production runs n=50, stride=10 (the gate corpus's short documents
+    use n=8, stride=3 so the counts are non-trivial)."""
+    from nlp_lib_spark.operators.dedup import repeated_ngram_spans
+    register_views(spark, sf_dir)
+    return repeated_ngram_spans(spark.table("documents"), n=8, stride=3)
+
+
 @gate("doc_fingerprint", oracle="""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS bag_fp
@@ -4186,7 +4232,7 @@ join_composite("doc_stats", "doc_id",
                 "doc_fingerprint", "minhash_signatures", "simhash",
                 "doc_pii", "doc_repetition", "doc_contamination",
                 "doc_pipeline", "neardup_clusters", "doc_sample",
-                "doc_pack"))
+                "doc_pack", "doc_substring_dup"))
 
 
 def _kg_base_composite() -> None:
@@ -4346,7 +4392,7 @@ _GATE_ORDER = [
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
-    "doc_pack", "kg_tool_stats",
+    "doc_pack", "doc_substring_dup", "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

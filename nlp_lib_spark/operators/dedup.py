@@ -191,6 +191,70 @@ def neardup_clusters(df: DataFrame, id_col: str = "doc_id",
                     .cast("int").alias("is_keeper")))
 
 
+def repeated_ngram_spans(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         n: int = 50, stride: int = 10) -> DataFrame:
+    """Cross-document repeated-substring detection (the signal behind
+    substring-level dedup a la "Deduplicating Training Data Makes
+    Language Models Better": long token windows shared verbatim across
+    documents are memorization fuel even when the documents as wholes
+    are unique — license boilerplate, quoted articles, templated specs).
+
+    Hashes every ``n``-token window at ``stride``-token steps and counts,
+    per document: total windows, windows whose hash also occurs in at
+    least one OTHER document, and windows duplicated anywhere (another
+    doc or elsewhere in the same doc). Consumers threshold the dup
+    fraction or feed the flagged (doc, window) spans to a trimmer.
+
+    Scale shape: windows explode row-locally (bounded: len/stride per
+    doc), one (hash)-keyed aggregation with map-side partial combine,
+    one join back keyed by the same hash, one doc-keyed count — the
+    exact-dedup shape with a window fan-out factor. stride > 1 is the
+    standard recall/cost dial (a verbatim copy of length >= n + stride-1
+    tokens is always caught; pay stride=1 for exact n-token recall).
+    Pure integer/hash SQL, bit-exact across engines."""
+    return _sql(df, f"""
+WITH w AS (
+  -- CASE guard, not greatest(): Spark's sequence(1, 0) is the
+  -- DESCENDING [1, 0], so an under-length doc must short-circuit to an
+  -- empty array (the bench_grams pattern)
+  SELECT {id_col},
+         CASE WHEN size(split({text_col}, ' ')) >= {n}
+              THEN transform(
+                sequence(1, (size(split({text_col}, ' ')) - {n})
+                            DIV {stride} + 1),
+                i -> md5(array_join(slice(split({text_col}, ' '),
+                                          (i - 1) * {stride} + 1, {n}),
+                                    ' ')))
+              ELSE array() END AS hs
+  FROM {{t}}
+), e AS (
+  SELECT {id_col}, h FROM w LATERAL VIEW explode(hs) AS h
+), c AS (
+  SELECT h, count(*) AS n_occ, count(DISTINCT {id_col}) AS n_docs
+  FROM e GROUP BY h
+), agg AS (
+  SELECT e.{id_col},
+         count(*) AS sub_n_windows,
+         CAST(sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sub_crossdoc_windows,
+         CAST(sum(CASE WHEN c.n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS sub_dup_windows
+  FROM e JOIN c ON e.h = c.h
+  GROUP BY e.{id_col}
+)
+-- one row per INPUT document (under-length docs carry zeros): the
+-- doc_stats composite inner-joins members 1:1 on the id
+SELECT t.{id_col},
+       CAST(coalesce(a.sub_n_windows, 0) AS BIGINT) AS sub_n_windows,
+       CAST(coalesce(a.sub_crossdoc_windows, 0) AS BIGINT)
+         AS sub_crossdoc_windows,
+       CAST(coalesce(a.sub_dup_windows, 0) AS BIGINT) AS sub_dup_windows
+FROM (SELECT {id_col} FROM {{t}}) t
+LEFT JOIN agg a ON t.{id_col} = a.{id_col}
+""")
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id",
             text_col: str = "text") -> DataFrame:
     """60-bit SimHash from md5-derived per-token bit votes."""
