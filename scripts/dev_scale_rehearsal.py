@@ -465,7 +465,36 @@ ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
               run_stream_dedup_state, run_neardup_clusters,
               run_doc_sample, run_doc_pack)
 
-ROUND5_OPS = (run_neardup_megacluster, run_boilerplate_skew)
+def run_substring_dup(spark, reps: int) -> dict:
+    """Round 5: repeated-substring detection at volume — half the copies
+    are true duplicates (same text => every window cross-doc duplicated),
+    half distinct. rows_out must equal rows_in exactly (one row per doc,
+    zeros included) and wall must stay ~linear: windows explode bounded
+    per doc (len/stride), the hash agg has map-side combine, and the
+    join back is keyed by the same hash."""
+    from nlp_lib_spark.operators.dedup import repeated_ngram_spans
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.agg(F.max("doc_id")).collect()[0][0] + 1
+    copies = spark.range(reps).withColumnRenamed("id", "copy")
+    docs = (base.select("doc_id", "text").crossJoin(copies)
+            .select((F.col("doc_id") + F.col("copy") * n).alias("doc_id"),
+                    F.when(F.col("copy") % 2 == 0, F.col("text"))
+                     .otherwise(F.concat(F.col("text"), F.lit(" rep"),
+                                         F.col("copy"))).alias("text"))
+            ).localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    out = repeated_ngram_spans(docs, n=8, stride=3)
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 2)
+    n_out = out.count()  # untimed re-run
+    n_flagged = out.filter("sub_crossdoc_windows > 0").count()
+    return {"op": "substring_dup", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "flagged_docs": n_flagged, "sec": sec}
+
+
+ROUND5_OPS = (run_neardup_megacluster, run_boilerplate_skew,
+              run_substring_dup)
 
 
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
