@@ -69,6 +69,7 @@ HEADLINE = (
     "kg_stream_dedup_wm",  # bounded-retention watermarked dedup drain (r5)
     "neardup_clusters",    # LSH pairs -> CC -> keeper election (r4)
     "doc_pipeline",        # composed quality->rep->contam->dedup chain (r4)
+    "doc_substring_dup",   # strided-window repeated-substring detector (r5)
 )
 
 
