@@ -64,6 +64,9 @@ HEADLINE = (
     "sentence_dedup",      # corpus-wide sentence-keyed dedup agg (r4)
     "doc_repetition",      # Gopher repetition counters, 2 agg chains (r4)
     "doc_contamination",   # 5-gram broadcast contamination screen (r4)
+    "doc_contamination_norm",  # normalized (case/punct) decontam screen (r5)
+    "doc_urls",            # URL/domain extraction + blocklist verdicts (r5)
+    "token_counts_bpe",    # real BPE tokenization over the vocab (r5)
     "kg_boilerplate",      # cross-conv boilerplate scrub + ordered md5 (r4)
     "kg_stream_dedup",     # stateful streaming dedup drain (r4)
     "kg_stream_dedup_wm",  # bounded-retention watermarked dedup drain (r5)

@@ -4083,6 +4083,199 @@ def q_doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# LLM-pipeline additions (round 5): URL provenance, normalized
+# decontamination, real BPE token counting
+# --------------------------------------------------------------------------
+
+# Deterministic URL injection (the _PII_SYNTH pattern: the synthetic corpus
+# carries no natural URLs, so the gate plants them from row identity and
+# proves the extractor inverts them). Residue classes cover: a second URL
+# on the SAME domain (distinct-count), a blocklisted ad domain, an
+# upper-cased host (lowercasing), a scheme-less www host (MUST NOT match),
+# and a trailing-dot host whose registered-domain anchor must reject it.
+_URL_SYNTH = """text || ' see https://site'
+ || CAST(doc_id % 50 AS STRING) || '.example.com/p/'
+ || CAST(doc_id AS STRING)
+ || CASE WHEN doc_id % 3 = 0 THEN ' also https://site'
+         || CAST(doc_id % 50 AS STRING) || '.example.com/q?x=1'
+         ELSE '' END
+ || CASE WHEN doc_id % 4 = 1 THEN ' via http://ads.spam-net.biz/track?id='
+         || CAST(doc_id AS STRING) ELSE '' END
+ || CASE WHEN doc_id % 5 = 2 THEN ' cdn https://CDN.Example.COM/x'
+         ELSE '' END
+ || CASE WHEN doc_id % 7 = 3 THEN ' at www.nourl.example.com thanks'
+         ELSE '' END
+ || CASE WHEN doc_id % 6 = 5 THEN ' tail https://end.example.org.'
+         ELSE '' END""".replace("\n", " ")
+
+_URL_BLOCKLIST = ("spam-net.biz", "tracker.example")
+
+
+def _doc_urls_oracle_sql() -> str:
+    from nlp_lib_spark.operators.textstats import url_stats_exprs
+    cols = ",\n       ".join(
+        url_stats_exprs("text", "duckdb", _URL_BLOCKLIST))
+    return f"""
+WITH p AS (SELECT doc_id, {_URL_SYNTH} AS text FROM documents)
+SELECT doc_id,
+       {cols}
+FROM p
+"""
+
+
+@gate("doc_urls", oracle=_doc_urls_oracle_sql())
+def q_doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL provenance stats + blocklist filter
+    (operators/textstats.url_stats): URL count, distinct lowercased
+    domains, blocklisted-URL count and 0/1 verdict (matched on the
+    registered domain, C4-style), and the first URL's registered domain.
+    Row-local array expressions in one codegen'd projection — zero
+    Exchanges; the DuckDB oracle replays the same shared-subset regexes
+    and the same blocklist literals by construction."""
+    from nlp_lib_spark.operators.textstats import url_stats
+    register_views(spark, sf_dir)
+    docs = spark.sql(f"SELECT doc_id, {_URL_SYNTH} AS text FROM documents")
+    return url_stats(docs, _URL_BLOCKLIST)
+
+
+# Deterministic case/punctuation noise: GPT-3/PaLM-style decontamination
+# must catch an eval passage re-typeset with different case or
+# punctuation, so the gate perturbs the corpus (upper-case on one residue
+# class, comma-joined on another), then certifies that the NORMALIZED
+# screen still counts the hits while the raw screen over the noisy text
+# diverges — all three counters in one certified row per document.
+_DECON_NOISE = """CASE WHEN doc_id % 3 = 1 THEN upper(text)
+ WHEN doc_id % 3 = 2 THEN replace(text, ' ', ', ')
+ ELSE text END""".replace("\n", " ")
+
+
+def _doc_contamination_norm_oracle_sql() -> str:
+    from nlp_lib_spark.operators.textstats import normalize_for_decontam_sql
+    norm = normalize_for_decontam_sql("text", "duckdb")
+    gram_cte = """(SELECT DISTINCT doc_id,
+        array_to_string(arr[i:i + 4], ' ') AS gram
+      FROM (SELECT doc_id, arr,
+                   unnest(generate_series(1, len(arr) - 4)) AS i
+            FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                  FROM {src})))"""
+    return f"""
+WITH noisy AS (SELECT doc_id, {_DECON_NOISE} AS text FROM documents),
+norm AS (SELECT doc_id, {norm} AS text FROM noisy),
+gn AS {gram_cte.format(src='norm')},
+gr AS {gram_cte.format(src='noisy')},
+bench AS (SELECT DISTINCT gram FROM gn WHERE doc_id % 10 = 0),
+nn AS (SELECT doc_id, count(*) AS n FROM gn GROUP BY doc_id),
+hn AS (SELECT gn.doc_id, count(*) AS n
+       FROM gn JOIN bench USING (gram) GROUP BY gn.doc_id),
+hr AS (SELECT gr.doc_id, count(*) AS n
+       FROM gr JOIN bench USING (gram) GROUP BY gr.doc_id)
+SELECT noisy.doc_id,
+       CAST(coalesce(nn.n, 0) AS BIGINT) AS cont_norm_n_grams,
+       CAST(coalesce(hn.n, 0) AS BIGINT) AS cont_norm_hits,
+       CAST(coalesce(hr.n, 0) AS BIGINT) AS cont_noisy_hits
+FROM noisy LEFT JOIN nn ON noisy.doc_id = nn.doc_id
+           LEFT JOIN hn ON noisy.doc_id = hn.doc_id
+           LEFT JOIN hr ON noisy.doc_id = hr.doc_id
+"""
+
+
+@gate("doc_contamination_norm", oracle=_doc_contamination_norm_oracle_sql())
+def q_doc_contamination_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized benchmark decontamination
+    (operators/textstats.normalize_for_decontam + contamination_hits):
+    the screen runs over lowercased, punctuation-collapsed text, so the
+    gate's noise classes (upper-cased / comma-joined documents) still
+    register their benchmark hits — while the raw screen over the noisy
+    text, certified alongside, diverges. The normalizer is one
+    regexp_replace inside the scan projection: the screen's plan shape
+    (explode -> distinct -> broadcast bench join) is unchanged."""
+    from pyspark.sql import functions as F
+    from nlp_lib_spark.operators.textstats import (
+        bench_grams, contamination_hits, normalize_for_decontam)
+    register_views(spark, sf_dir)
+    noisy = spark.sql(
+        f"SELECT doc_id, {_DECON_NOISE} AS text FROM documents")
+    norm = normalize_for_decontam(noisy)
+    bench = bench_grams(norm)
+    h_norm = (contamination_hits(norm, bench)
+              .select("doc_id",
+                      F.col("cont_n_grams").alias("cont_norm_n_grams"),
+                      F.col("cont_hits").alias("cont_norm_hits")))
+    h_raw = (contamination_hits(noisy, bench)
+             .select("doc_id",
+                     F.col("cont_hits").alias("cont_noisy_hits")))
+    return h_norm.join(h_raw, "doc_id")
+
+
+def _token_counts_bpe_oracle_sql() -> str:
+    from nlp_lib_spark.operators.bpe import bpe_merges_values_sql
+    return f"""
+WITH RECURSIVE
+m(rank, l, r) AS (VALUES {bpe_merges_values_sql()}),
+w AS (SELECT DISTINCT word FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      WHERE word <> ''),
+init AS (SELECT word,
+                ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+                || ' ' AS s,
+                0 AS n
+         FROM w),
+step(word, s, n) AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT t.word,
+         substr(t.s, 1, t.pos - 1) || ' ' || t.l || t.r || ' '
+           || substr(t.s, t.pos + length(t.pat)),
+         t.n + 1
+  FROM (
+    SELECT s.word, s.s, s.n, mm.l, mm.r,
+           ' ' || mm.l || ' ' || mm.r || ' ' AS pat,
+           instr(s.s, ' ' || mm.l || ' ' || mm.r || ' ') AS pos
+    FROM step s
+    JOIN m mm ON mm.rank = (
+        SELECT min(m2.rank) FROM m m2
+        WHERE instr(s.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)
+  ) t
+),
+fin AS (SELECT word, s, n,
+               row_number() OVER (PARTITION BY word ORDER BY n DESC) AS rn
+        FROM step),
+tok AS (SELECT word, trim(s) AS toks,
+               len(string_split(trim(s), ' ')) AS n_sym
+        FROM fin WHERE rn = 1),
+posw AS (SELECT doc_id, i, arr[i] AS word FROM (
+           SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+           FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents))
+         WHERE arr[i] <> '')
+SELECT doc_id,
+       CAST(sum(n_sym) AS BIGINT) AS bpe_n_tokens,
+       md5(string_agg(toks, ' ' ORDER BY i)) AS bpe_md5
+FROM posw JOIN tok USING (word)
+GROUP BY doc_id
+"""
+
+
+@gate("token_counts_bpe", oracle=_token_counts_bpe_oracle_sql())
+def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BPE token counting under the frozen merge table
+    (operators/bpe.bpe_token_counts): per document the true token count
+    AND the md5 of the full space-joined token sequence — a hash match
+    proves the tokenization itself, byte for byte, not just its length.
+    The Spark side runs the merge loop in Python over the DISTINCT-word
+    vocabulary only (Arrow-batched, memoized) and broadcasts the
+    tokenized vocab back onto the corpus; the DuckDB oracle replays the
+    identical min-rank/leftmost-occurrence algorithm as a recursive CTE
+    over the same VALUES merge table."""
+    from nlp_lib_spark.operators.bpe import bpe_token_counts
+    register_views(spark, sf_dir)
+    # _spread: one parquet file = one split = one Python task otherwise
+    out = bpe_token_counts(_spread(spark.table("documents")))
+    return out.select("doc_id",
+                      out.n_bpe_tokens.alias("bpe_n_tokens"), "bpe_md5")
+
+
+# --------------------------------------------------------------------------
 # Composite gates (round 4, VERDICT r3 "What's missing" 1 / "Next round" 4)
 # --------------------------------------------------------------------------
 # The correctness driver certifies at most the FIRST 50 registry entries;
@@ -4232,7 +4425,8 @@ join_composite("doc_stats", "doc_id",
                 "doc_fingerprint", "minhash_signatures", "simhash",
                 "doc_pii", "doc_repetition", "doc_contamination",
                 "doc_pipeline", "neardup_clusters", "doc_sample",
-                "doc_pack", "doc_substring_dup"))
+                "doc_pack", "doc_substring_dup", "doc_urls",
+                "doc_contamination_norm", "token_counts_bpe"))
 
 
 def _kg_base_composite() -> None:
@@ -4392,7 +4586,8 @@ _GATE_ORDER = [
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
-    "doc_pack", "doc_substring_dup", "kg_tool_stats",
+    "doc_pack", "doc_substring_dup", "doc_urls", "doc_contamination_norm",
+    "token_counts_bpe", "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

@@ -355,3 +355,126 @@ def pipeline_kept(docs: DataFrame, bench_gram_df: DataFrame,
         "kept", ((F.col("pass_quality") == 1) & (F.col("pass_repetition") == 1)
                  & (F.col("pass_contamination") == 1)
                  & (F.col("is_keeper") == 1)).cast("int"))
+
+
+# ------------------------------------------------------- URL / domain stats
+# Web-scale corpora are filtered by URL provenance before anything else
+# (C4 dropped pages whose domain hit a blocklist; every crawl pipeline
+# tracks per-domain volume). The corpus here carries text-embedded URLs,
+# so the operator extracts them with a regex restricted to the shared
+# Java/RE2 subset (char classes + one capture group, no lookaround) and
+# reduces row-locally: counts, distinct domains, and blocklist verdicts
+# are all array expressions inside one codegen'd projection — ZERO
+# Exchanges, zero Python, scan speed at 100 TB.
+
+# host = capture group 1; the full match count equals the host count, so
+# one extraction serves both. Greedy [A-Za-z0-9.-]+ absorbs a trailing
+# dot ("https://x.org." -> host "x.org.") — identically in both engines;
+# the registered-domain anchor then rejects it (no trailing alnum), which
+# the adversarial fixtures pin.
+URL_HOST_PAT = r"https?://([A-Za-z0-9.-]+)"
+# registered domain = last two labels, anchored at end of host
+REG_DOMAIN_PAT = r"([a-z0-9-]+\.[a-z0-9-]+)$"
+
+
+def _re_lit(pat: str, dialect: str) -> str:
+    """Regex as a SQL string literal: Spark string literals process
+    backslash escapes (double them), DuckDB's do not; quotes double in
+    both."""
+    pat = pat.replace("'", "''")
+    return pat.replace("\\", "\\\\") if dialect == "spark" else pat
+
+
+def url_stats_exprs(text_col: str, dialect: str,
+                    blocklist: tuple[str, ...]) -> list[str]:
+    """Aliased column expressions (n_urls, n_domains, n_blocked_urls,
+    url_blocked, first_reg_domain) for one dialect — shared by the
+    operator (spark) and the gate's DuckDB oracle so both engines replay
+    the same pattern set and the same blocklist by construction."""
+    host = _re_lit(URL_HOST_PAT, dialect)
+    reg = _re_lit(REG_DOMAIN_PAT, dialect)
+    blist = ", ".join("'" + b.replace("'", "''") + "'" for b in blocklist)
+    if dialect == "spark":
+        hosts = (f"transform(regexp_extract_all({text_col}, '{host}', 1), "
+                 f"h -> lower(h))")
+        size, distinct, filt = "size", "array_distinct", "filter"
+        first = f"{hosts}[0]"
+    else:
+        hosts = (f"list_transform(regexp_extract_all({text_col}, "
+                 f"'{host}', 1), h -> lower(h))")
+        size, distinct, filt = "len", "list_distinct", "list_filter"
+        first = f"{hosts}[1]"
+    blocked = (f"{size}({filt}({hosts}, "
+               f"h -> regexp_extract(h, '{reg}', 1) IN ({blist})))")
+    return [
+        f"CAST({size}({hosts}) AS BIGINT) AS n_urls",
+        f"CAST({size}({distinct}({hosts})) AS BIGINT) AS n_domains",
+        f"CAST({blocked} AS BIGINT) AS n_blocked_urls",
+        f"CAST(CASE WHEN {blocked} > 0 THEN 1 ELSE 0 END AS INT)"
+        " AS url_blocked",
+        f"CASE WHEN {size}({hosts}) > 0"
+        f" THEN regexp_extract({first}, '{reg}', 1) ELSE '-' END"
+        " AS first_reg_domain",
+    ]
+
+
+def url_stats(df: DataFrame, blocklist: tuple[str, ...],
+              id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """Per-document URL provenance: URL count, distinct (lowercased)
+    domain count, blocklisted-URL count + 0/1 verdict, and the first
+    URL's registered domain ('-' if the document has no URL).
+
+    The blocklist is matched on the registered domain (last two host
+    labels), so "ads.spam-net.biz" is blocked by entry "spam-net.biz".
+    Entries arrive as bound literals with quotes escaped — a metacharacter
+    in a blocklist entry is data, never SQL syntax."""
+    cols = ",\n       ".join(url_stats_exprs(text_col, "spark", blocklist))
+    return _sql(df, f"SELECT {id_col},\n       {cols}\nFROM {{t}}")
+
+
+def domain_freq(df: DataFrame, k: int = 20, text_col: str = "text",
+                min_count: int = 1) -> DataFrame:
+    """Corpus-level registered-domain frequency top-k (ties broken by
+    domain): one explode of the row-local host array, then a single
+    bounded-key aggregation (key cardinality = number of registered
+    domains, with map-side partial combine) — the standard crawl-volume
+    report. -> (reg_domain, n_urls)."""
+    from pyspark.sql import functions as F
+    host = _re_lit(URL_HOST_PAT, "spark")
+    reg = _re_lit(REG_DOMAIN_PAT, "spark")
+    hosts = (f"transform(regexp_extract_all({text_col}, '{host}', 1), "
+             f"h -> lower(h))")
+    return (df.select(F.explode(F.expr(hosts)).alias("host"))
+            .select(F.regexp_extract("host", REG_DOMAIN_PAT, 1)
+                     .alias("reg_domain"))
+            .filter(F.col("reg_domain") != "")
+            .groupBy("reg_domain").agg(F.count(F.lit(1)).alias("n_urls"))
+            .filter(F.col("n_urls") >= min_count)
+            .orderBy(F.desc("n_urls"), "reg_domain").limit(k))
+
+
+# --------------------------------------------- decontamination normalization
+# GPT-3/PaLM-style decontamination normalizes BEFORE n-gram matching
+# (lowercase, strip punctuation, collapse whitespace): an eval question
+# re-typeset with different case/punctuation must still be caught. The
+# normalizer is one regexp_replace inside the scan projection — the
+# contamination screen's plan shape is unchanged.
+
+def normalize_for_decontam_sql(text_col: str, dialect: str) -> str:
+    """SQL expression: lowercase, non-alphanumeric runs collapsed to one
+    space, trimmed. Spark regexp_replace is global by default; DuckDB
+    needs the 'g' flag."""
+    pat = "[^a-z0-9]+"
+    if dialect == "spark":
+        return f"trim(regexp_replace(lower({text_col}), '{pat}', ' '))"
+    return f"trim(regexp_replace(lower({text_col}), '{pat}', ' ', 'g'))"
+
+
+def normalize_for_decontam(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """-> (id, text) with the decontamination normalization applied."""
+    return _sql(df, f"""
+SELECT {id_col}, {normalize_for_decontam_sql(text_col, 'spark')} AS {text_col}
+FROM {{t}}
+""")

@@ -493,8 +493,79 @@ def run_substring_dup(spark, reps: int) -> dict:
             "rows_out": n_out, "flagged_docs": n_flagged, "sec": sec}
 
 
+def run_url_stats(spark, reps: int) -> dict:
+    """Round 5: URL extraction + blocklist verdicts at volume. The whole
+    operator is one codegen'd projection (zero Exchanges), so wall must
+    be linear in input with rows_out == rows_in exactly."""
+    from nlp_lib_spark.gate import _URL_BLOCKLIST, _URL_SYNTH
+    from nlp_lib_spark.operators.textstats import url_stats
+    docs = (replicate_docs(spark, reps)
+            .selectExpr("doc_id", f"{_URL_SYNTH} AS text")
+            .localCheckpoint())
+    n_docs = docs.count()
+    t0 = time.time()
+    out = url_stats(docs, _URL_BLOCKLIST)
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 2)
+    n_out = out.count()
+    n_blocked = out.filter("url_blocked = 1").count()
+    return {"op": "url_stats", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "blocked_docs": n_blocked, "sec": sec}
+
+
+def run_decontam_norm(spark, reps: int) -> dict:
+    """Round 5: normalized decontamination at volume — same plan shape
+    as the raw screen (explode -> distinct -> broadcast bench join), the
+    normalizer rides the scan projection. Bench set stays fixed (the
+    UN-replicated every-10th docs), so hits grow linearly with copies."""
+    from nlp_lib_spark.operators.textstats import (bench_grams,
+                                                   contamination_hits,
+                                                   normalize_for_decontam)
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    noisy = (replicate_docs(spark, reps)
+             .selectExpr("doc_id", """CASE WHEN doc_id % 3 = 1
+                 THEN upper(text) WHEN doc_id % 3 = 2
+                 THEN replace(text, ' ', ', ') ELSE text END AS text""")
+             .localCheckpoint())
+    n_docs = noisy.count()
+    bench = bench_grams(normalize_for_decontam(
+        base.select("doc_id", "text"))).localCheckpoint()
+    t0 = time.time()
+    out = contamination_hits(normalize_for_decontam(noisy), bench)
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 2)
+    n_out = out.count()
+    n_hit = out.filter("cont_hits > 0").count()
+    return {"op": "decontam_norm", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "hit_docs": n_hit, "sec": sec}
+
+
+def run_bpe(spark, reps: int) -> dict:
+    """Round 5: BPE token counting at volume. The merge loop runs per
+    DISTINCT word, so the Python cost is O(vocab) — vocab grows only by
+    the per-copy 'repN' suffix words while the corpus grows by reps; the
+    corpus-sized stages are the distinct-word aggregate (map-side
+    combine) and the doc-keyed reassembly."""
+    from nlp_lib_spark.operators.bpe import bpe_token_counts
+    docs = replicate_docs(spark, reps).select(
+        "doc_id", "text").localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    out = bpe_token_counts(docs)
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 2)
+    n_out = out.count()
+    vocab = docs.selectExpr(
+        "explode(split(text, ' ')) AS w").filter("w <> ''") \
+        .distinct().count()
+    return {"op": "bpe_token_counts", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "vocab": vocab, "sec": sec}
+
+
 ROUND5_OPS = (run_neardup_megacluster, run_boilerplate_skew,
               run_substring_dup)
+
+ROUND5B_OPS = (run_url_stats, run_decontam_norm, run_bpe)
 
 
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
@@ -506,16 +577,19 @@ def main() -> None:
     args = sys.argv[1:]
     only_r4 = "--r4" in args
     only_r5 = "--r5" in args
+    only_r5b = "--r5b" in args
     reps_list = [int(a) for a in args
-                 if a not in ("--r4", "--r5")] or [1, 10, 50]
-    if only_r5:
+                 if a not in ("--r4", "--r5", "--r5b")] or [1, 10, 50]
+    if only_r5b:
+        ops = ROUND5B_OPS
+    elif only_r5:
         ops = ROUND5_OPS
     elif only_r4:
         ops = ROUND4_OPS
     else:
         ops = (run_lsh, run_cc, run_kg_edges, run_media_real,
                run_stream_state, run_link_tfidf_dist) \
-            + ROUND4_OPS + ROUND5_OPS
+            + ROUND4_OPS + ROUND5_OPS + ROUND5B_OPS
     spark = get_spark(cpus=32)
     for reps in reps_list:
         for fn in ops:
