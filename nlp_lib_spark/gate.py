@@ -4275,6 +4275,38 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       out.n_bpe_tokens.alias("bpe_n_tokens"), "bpe_md5")
 
 
+def _doc_quality_model_oracle_sql() -> str:
+    from nlp_lib_spark.operators.quality_model import (
+        QM_FEATURES, quality_feature_exprs, quality_score_exprs)
+    feats = ",\n       ".join(quality_feature_exprs("duckdb"))
+    scores = ",\n       ".join(quality_score_exprs())
+    return f"""
+WITH a AS (SELECT doc_id, text, string_split(text, ' ') AS arr
+           FROM documents),
+f AS (SELECT doc_id,
+       {feats}
+      FROM a)
+SELECT doc_id, {', '.join(QM_FEATURES)},
+       {scores}
+FROM f
+"""
+
+
+@gate("doc_quality_model", oracle=_doc_quality_model_oracle_sql())
+def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distilled model-based quality filter
+    (operators/quality_model.quality_model): five row-local integer
+    features, the exact integer score under the frozen micro-unit
+    weights, and the 0/1 keep verdict — a trained classifier standing in
+    for the composed rule chain at scan speed (zero Exchanges, zero
+    Python). The DuckDB oracle scores the same features with the same
+    integer polynomial, so the hash certifies features, score, and
+    verdict bit-for-bit."""
+    from nlp_lib_spark.operators.quality_model import quality_model
+    register_views(spark, sf_dir)
+    return quality_model(spark.table("documents"))
+
+
 # --------------------------------------------------------------------------
 # Composite gates (round 4, VERDICT r3 "What's missing" 1 / "Next round" 4)
 # --------------------------------------------------------------------------
@@ -4426,7 +4458,8 @@ join_composite("doc_stats", "doc_id",
                 "doc_pii", "doc_repetition", "doc_contamination",
                 "doc_pipeline", "neardup_clusters", "doc_sample",
                 "doc_pack", "doc_substring_dup", "doc_urls",
-                "doc_contamination_norm", "token_counts_bpe"))
+                "doc_contamination_norm", "token_counts_bpe",
+                "doc_quality_model"))
 
 
 def _kg_base_composite() -> None:
@@ -4587,7 +4620,7 @@ _GATE_ORDER = [
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
     "doc_pack", "doc_substring_dup", "doc_urls", "doc_contamination_norm",
-    "token_counts_bpe", "kg_tool_stats",
+    "token_counts_bpe", "doc_quality_model", "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

@@ -565,7 +565,27 @@ def run_bpe(spark, reps: int) -> dict:
 ROUND5_OPS = (run_neardup_megacluster, run_boilerplate_skew,
               run_substring_dup)
 
-ROUND5B_OPS = (run_url_stats, run_decontam_norm, run_bpe)
+def run_quality_model(spark, reps: int) -> dict:
+    """Round 5: distilled quality classifier at volume — one codegen'd
+    projection (zero Exchanges), wall must be linear with
+    rows_out == rows_in; kept fraction stays constant under replication
+    (the rep-suffix text perturbs only one token per copy)."""
+    from nlp_lib_spark.operators.quality_model import quality_model
+    docs = replicate_docs(spark, reps).select(
+        "doc_id", "text").localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    out = quality_model(docs)
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 2)
+    n_out = out.count()
+    n_kept = out.filter("qm_pred = 1").count()
+    return {"op": "quality_model", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "kept_docs": n_kept, "sec": sec}
+
+
+ROUND5B_OPS = (run_url_stats, run_decontam_norm, run_bpe,
+               run_quality_model)
 
 
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
