@@ -4208,41 +4208,13 @@ def q_doc_contamination_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _token_counts_bpe_oracle_sql() -> str:
-    from nlp_lib_spark.operators.bpe import bpe_merges_values_sql
+    from nlp_lib_spark.operators.bpe import (bpe_merges_values_sql,
+                                             bpe_recursive_cte_sql)
     return f"""
 WITH RECURSIVE
 m(rank, l, r) AS (VALUES {bpe_merges_values_sql()}),
-w AS (SELECT DISTINCT word FROM (
-        SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-      WHERE word <> ''),
-init AS (SELECT word,
-                ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
-                || ' ' AS s,
-                0 AS n
-         FROM w),
-step(word, s, n) AS (
-  SELECT * FROM init
-  UNION ALL
-  SELECT t.word,
-         substr(t.s, 1, t.pos - 1) || ' ' || t.l || t.r || ' '
-           || substr(t.s, t.pos + length(t.pat)),
-         t.n + 1
-  FROM (
-    SELECT s.word, s.s, s.n, mm.l, mm.r,
-           ' ' || mm.l || ' ' || mm.r || ' ' AS pat,
-           instr(s.s, ' ' || mm.l || ' ' || mm.r || ' ') AS pos
-    FROM step s
-    JOIN m mm ON mm.rank = (
-        SELECT min(m2.rank) FROM m m2
-        WHERE instr(s.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)
-  ) t
-),
-fin AS (SELECT word, s, n,
-               row_number() OVER (PARTITION BY word ORDER BY n DESC) AS rn
-        FROM step),
-tok AS (SELECT word, trim(s) AS toks,
-               len(string_split(trim(s), ' ')) AS n_sym
-        FROM fin WHERE rn = 1),
+words0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+{bpe_recursive_cte_sql('words0')},
 posw AS (SELECT doc_id, i, arr[i] AS word FROM (
            SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
            FROM (SELECT doc_id, string_split(text, ' ') AS arr
@@ -4262,11 +4234,12 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/bpe.bpe_token_counts): per document the true token count
     AND the md5 of the full space-joined token sequence — a hash match
     proves the tokenization itself, byte for byte, not just its length.
-    The Spark side runs the merge loop in Python over the DISTINCT-word
-    vocabulary only (Arrow-batched, memoized) and broadcasts the
-    tokenized vocab back onto the corpus; the DuckDB oracle replays the
+    The Spark side is ONE doc-local mapInPandas (the merge loop memoized
+    per worker; the frozen table makes tokenization a pure per-document
+    function, so nothing shuffles); the DuckDB oracle replays the
     identical min-rank/leftmost-occurrence algorithm as a recursive CTE
-    over the same VALUES merge table."""
+    over the same VALUES merge table (bpe_recursive_cte_sql — one
+    definition shared with the pytest fuzz harness)."""
     from nlp_lib_spark.operators.bpe import bpe_token_counts
     register_views(spark, sf_dir)
     # _spread: one parquet file = one split = one Python task otherwise

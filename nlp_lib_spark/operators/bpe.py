@@ -146,3 +146,47 @@ def bpe_merges_values_sql() -> str:
         return "'" + s.replace("'", "''") + "'"
     return ", ".join(f"({i}, {q(l)}, {q(r)})"
                      for i, (l, r) in enumerate(BPE_MERGES))
+
+
+def bpe_recursive_cte_sql(words_src: str) -> str:
+    """DuckDB CTE chain replaying ``bpe_word`` (min-rank pair, leftmost
+    occurrence, repeat) over the distinct words of ``words_src`` (any
+    relation exposing a ``word`` column). ONE definition shared by the
+    gate oracle and the pytest fuzz harness so the replay cannot drift
+    between them. Splice after ``WITH RECURSIVE m(rank, l, r) AS
+    (VALUES ...),``; the result exposes ``tok(word, toks, n_sym)``.
+
+    ``(?s).`` in the symbol split: RE2's bare ``.`` skips newlines while
+    Python's ``list(word)`` keeps every character — the DOTALL flag makes
+    the two sides identical on any input, not just newline-free corpora."""
+    return f"""w AS (SELECT DISTINCT word FROM {words_src}
+      WHERE word <> ''),
+init AS (SELECT word,
+                ' ' || array_to_string(
+                         regexp_extract_all(word, '(?s).'), ' ')
+                || ' ' AS s,
+                0 AS n
+         FROM w),
+step(word, s, n) AS (
+  SELECT * FROM init
+  UNION ALL
+  SELECT t.word,
+         substr(t.s, 1, t.pos - 1) || ' ' || t.l || t.r || ' '
+           || substr(t.s, t.pos + length(t.pat)),
+         t.n + 1
+  FROM (
+    SELECT s.word, s.s, s.n, mm.l, mm.r,
+           ' ' || mm.l || ' ' || mm.r || ' ' AS pat,
+           instr(s.s, ' ' || mm.l || ' ' || mm.r || ' ') AS pos
+    FROM step s
+    JOIN m mm ON mm.rank = (
+        SELECT min(m2.rank) FROM m m2
+        WHERE instr(s.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)
+  ) t
+),
+fin AS (SELECT word, s, n,
+               row_number() OVER (PARTITION BY word ORDER BY n DESC) AS rn
+        FROM step),
+tok AS (SELECT word, trim(s) AS toks,
+               len(string_split(trim(s), ' ')) AS n_sym
+        FROM fin WHERE rn = 1)"""

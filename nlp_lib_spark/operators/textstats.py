@@ -442,7 +442,6 @@ def domain_freq(df: DataFrame, k: int = 20, text_col: str = "text",
     report. -> (reg_domain, n_urls)."""
     from pyspark.sql import functions as F
     host = _re_lit(URL_HOST_PAT, "spark")
-    reg = _re_lit(REG_DOMAIN_PAT, "spark")
     hosts = (f"transform(regexp_extract_all({text_col}, '{host}', 1), "
              f"h -> lower(h))")
     return (df.select(F.explode(F.expr(hosts)).alias("host"))

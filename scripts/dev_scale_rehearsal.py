@@ -518,14 +518,15 @@ def run_decontam_norm(spark, reps: int) -> dict:
     as the raw screen (explode -> distinct -> broadcast bench join), the
     normalizer rides the scan projection. Bench set stays fixed (the
     UN-replicated every-10th docs), so hits grow linearly with copies."""
+    from nlp_lib_spark.gate import _DECON_NOISE
     from nlp_lib_spark.operators.textstats import (bench_grams,
                                                    contamination_hits,
                                                    normalize_for_decontam)
     base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    # the gate's noise expression, imported so the rehearsal can never
+    # silently measure a different workload than the gate certifies
     noisy = (replicate_docs(spark, reps)
-             .selectExpr("doc_id", """CASE WHEN doc_id % 3 = 1
-                 THEN upper(text) WHEN doc_id % 3 = 2
-                 THEN replace(text, ' ', ', ') ELSE text END AS text""")
+             .selectExpr("doc_id", f"{_DECON_NOISE} AS text")
              .localCheckpoint())
     n_docs = noisy.count()
     bench = bench_grams(normalize_for_decontam(
@@ -541,11 +542,13 @@ def run_decontam_norm(spark, reps: int) -> dict:
 
 
 def run_bpe(spark, reps: int) -> dict:
-    """Round 5: BPE token counting at volume. The merge loop runs per
-    DISTINCT word, so the Python cost is O(vocab) — vocab grows only by
-    the per-copy 'repN' suffix words while the corpus grows by reps; the
-    corpus-sized stages are the distinct-word aggregate (map-side
-    combine) and the doc-keyed reassembly."""
+    """Round 5: BPE token counting at volume. bpe_token_counts is ONE
+    doc-local mapInPandas with a per-worker word cache (zero shuffles) —
+    vocab grows only by the per-copy 'repN' suffix words while the
+    corpus grows by reps, so the cache hit rate rises with volume and
+    the wall goes sub-linear (the replaced vocab-join plan, which did
+    carry a distinct-word aggregate and a doc-keyed reassembly, rehearsed
+    7.4x wall for 5x rows — see BASELINE.md)."""
     from nlp_lib_spark.operators.bpe import bpe_token_counts
     docs = replicate_docs(spark, reps).select(
         "doc_id", "text").localCheckpoint()

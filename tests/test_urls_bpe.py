@@ -14,6 +14,7 @@ import pandas as pd
 import pytest
 
 from nlp_lib_spark.operators.bpe import (BPE_MERGES, bpe_merges_values_sql,
+                                         bpe_recursive_cte_sql,
                                          bpe_token_counts, bpe_word)
 from nlp_lib_spark.operators.textstats import (domain_freq,
                                                normalize_for_decontam_sql,
@@ -147,31 +148,15 @@ def test_bpe_min_rank_beats_leftmost():
 
 
 def _duck_bpe(words: list[str]) -> dict[str, str]:
+    # the SAME CTE builder the gate oracle splices (drift-proof: a fix
+    # to the replay logic lands in both places by construction)
     con = duckdb.connect()
     con.register("w0", pd.DataFrame({"word": words}))
     rows = con.execute(f"""
 WITH RECURSIVE
 m(rank, l, r) AS (VALUES {bpe_merges_values_sql()}),
-init AS (SELECT word,
-                ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
-                || ' ' AS s, 0 AS n
-         FROM (SELECT DISTINCT word FROM w0 WHERE word <> '')),
-step(word, s, n) AS (
-  SELECT * FROM init
-  UNION ALL
-  SELECT t.word,
-         substr(t.s, 1, t.pos - 1) || ' ' || t.l || t.r || ' '
-           || substr(t.s, t.pos + length(t.pat)), t.n + 1
-  FROM (SELECT s.word, s.s, s.n, mm.l, mm.r,
-               ' ' || mm.l || ' ' || mm.r || ' ' AS pat,
-               instr(s.s, ' ' || mm.l || ' ' || mm.r || ' ') AS pos
-        FROM step s JOIN m mm ON mm.rank = (
-            SELECT min(m2.rank) FROM m m2
-            WHERE instr(s.s, ' ' || m2.l || ' ' || m2.r || ' ') > 0)) t),
-fin AS (SELECT word, s, n,
-               row_number() OVER (PARTITION BY word ORDER BY n DESC) AS rn
-        FROM step)
-SELECT word, trim(s) FROM fin WHERE rn = 1
+{bpe_recursive_cte_sql('w0')}
+SELECT word, toks FROM tok
 """).fetchall()
     con.close()
     return dict(rows)
@@ -188,6 +173,9 @@ def test_bpe_python_vs_duckdb_fuzz():
     words += [l + r for l, r in BPE_MERGES]
     words += ["sortsort", "window", "columncolumn", "erererer",
               "scascasca", "parpar", "atat"]
+    # RE2 '.' skips newlines; the oracle's (?s) flag must keep them —
+    # these pin the fix (list(word) and the CTE split must agree)
+    words += ["foo\nbar", "a\tb", "\nwindow", "sort\n"]
     got = _duck_bpe(words)
     for w in set(words):
         assert got[w] == " ".join(bpe_word(w)), w
