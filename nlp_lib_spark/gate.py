@@ -4248,6 +4248,57 @@ def q_token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                       out.n_bpe_tokens.alias("bpe_n_tokens"), "bpe_md5")
 
 
+def _doc_pack_bpe_oracle_sql() -> str:
+    from nlp_lib_spark.operators.bpe import (bpe_merges_values_sql,
+                                             bpe_recursive_cte_sql)
+    return f"""
+WITH RECURSIVE
+m(rank, l, r) AS (VALUES {bpe_merges_values_sql()}),
+words0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+{bpe_recursive_cte_sql('words0')},
+posw AS (SELECT doc_id, arr[i] AS word FROM (
+           SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+           FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents))
+         WHERE arr[i] <> ''),
+cnt AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+        FROM posw JOIN tok USING (word) GROUP BY doc_id),
+b AS (SELECT doc_id, ((doc_id % 8) + 8) % 8 AS shard, n_tokens FROM cnt),
+c AS (SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM b)
+SELECT doc_id, shard AS bp_shard, n_tokens AS bp_n_tokens,
+       cum_tokens AS bp_cum_tokens,
+       (cum_tokens - n_tokens) // 512 AS bp_pack_id
+FROM c
+"""
+
+
+@gate("doc_pack_bpe", oracle=_doc_pack_bpe_oracle_sql())
+def q_doc_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing budgeted by REAL tokenizer tokens
+    (operators/packing.pack_counts over operators/bpe.bpe_token_counts):
+    training runs bill by tokenizer tokens, not whitespace words, so the
+    bin layout must too — this composes the two certified operators and
+    certifies the composition (counts, cumulative sums, bin ids) against
+    an oracle that recomputes the BPE counts via the shared recursive
+    CTE and replays the same integer window."""
+    from nlp_lib_spark.operators.bpe import bpe_token_counts
+    from nlp_lib_spark.operators.packing import pack_counts
+    register_views(spark, sf_dir)
+    counts = bpe_token_counts(_spread(spark.table("documents")))
+    out = pack_counts(counts.select("doc_id", "n_bpe_tokens"),
+                      budget_tokens=512, n_shards=8,
+                      count_col="n_bpe_tokens")
+    # bp_ prefix: doc_pack already owns the pack_/pk_ names in the
+    # doc_stats composite's 1:1 join chain
+    return out.select("doc_id", out.shard.alias("bp_shard"),
+                      out.n_tokens.alias("bp_n_tokens"),
+                      out.cum_tokens.alias("bp_cum_tokens"),
+                      out.pack_id.alias("bp_pack_id"))
+
+
 def _doc_quality_model_oracle_sql() -> str:
     from nlp_lib_spark.operators.quality_model import (
         QM_FEATURES, quality_feature_exprs, quality_score_exprs)
@@ -4432,7 +4483,7 @@ join_composite("doc_stats", "doc_id",
                 "doc_pipeline", "neardup_clusters", "doc_sample",
                 "doc_pack", "doc_substring_dup", "doc_urls",
                 "doc_contamination_norm", "token_counts_bpe",
-                "doc_quality_model"))
+                "doc_quality_model", "doc_pack_bpe"))
 
 
 def _kg_base_composite() -> None:
@@ -4593,7 +4644,8 @@ _GATE_ORDER = [
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
     "doc_pack", "doc_substring_dup", "doc_urls", "doc_contamination_norm",
-    "token_counts_bpe", "doc_quality_model", "kg_tool_stats",
+    "token_counts_bpe", "doc_quality_model", "doc_pack_bpe",
+    "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

@@ -34,18 +34,35 @@ def pack_sequences(df: DataFrame, budget_tokens: int,
     FIRST token lands in (contiguous fill; an over-budget document
     spills into the next bin rather than being split — splitting is the
     tokenizer stage's job, after this layout decides grouping)."""
+    counts = df.select(
+        F.col(id_col),
+        F.expr(f"size(split({text_col}, ' '))").cast("long")
+         .alias("n_tokens"))
+    return pack_counts(counts, budget_tokens, n_shards=n_shards,
+                       id_col=id_col)
+
+
+def pack_counts(counts: DataFrame, budget_tokens: int,
+                n_shards: int = 8, id_col: str = "doc_id",
+                count_col: str = "n_tokens") -> DataFrame:
+    """:func:`pack_sequences` over CALLER-SUPPLIED per-document token
+    counts — the seam that lets the layout budget by whatever the
+    training run actually bills: whitespace words (pack_sequences'
+    default), real BPE tokens (operators/bpe.bpe_token_counts), or any
+    other counter. Same plan (one Exchange on the explicit shard + one
+    window cumsum), same purity contract (every assignment a function of
+    (id, count, n_shards, budget))."""
     if budget_tokens <= 0 or n_shards <= 0:
         raise ValueError(f"budget_tokens={budget_tokens} n_shards="
                          f"{n_shards} must be positive")
     from pyspark.sql import Window
-    base = df.select(
+    base = counts.select(
         F.col(id_col),
         # pmod, not %: Spark/DuckDB % follow the dividend's sign, so a
         # negative id would mint a shard outside 0..n_shards-1 (and
         # n_shards would no longer bound distinct shards)
         F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
-        F.expr(f"size(split({text_col}, ' '))").cast("long")
-         .alias("n_tokens"))
+        F.col(count_col).cast("long").alias("n_tokens"))
     w = (Window.partitionBy("shard").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (base

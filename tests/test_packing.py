@@ -57,3 +57,32 @@ def test_pack_bounds_raise(spark):
         pack_sequences(df, 0)
     with pytest.raises(ValueError):
         pack_sequences(df, 128, n_shards=0)
+
+
+def test_pack_counts_seam_equals_pack_sequences(spark):
+    """pack_sequences == pack_counts over its own whitespace counts (the
+    caller-supplied-counter seam must not change the default layout)."""
+    from pyspark.sql import functions as F
+    from nlp_lib_spark.operators.packing import pack_counts, pack_sequences
+    docs = [(i, " ".join(["tok"] * (1 + i % 9))) for i in range(200)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    a = sorted(tuple(r) for r in pack_sequences(df, 64, n_shards=4).collect())
+    counts = df.select("doc_id", F.expr("size(split(text, ' '))")
+                       .cast("long").alias("n_tokens"))
+    b = sorted(tuple(r) for r in pack_counts(counts, 64, n_shards=4).collect())
+    assert a == b
+
+
+def test_pack_counts_custom_counter(spark):
+    """Packing by an arbitrary counter column: cumulative sums and bin
+    ids follow the supplied counts, id-ordered within each shard."""
+    from nlp_lib_spark.operators.packing import pack_counts
+    counts = spark.createDataFrame(
+        [(0, 10), (2, 20), (4, 30), (6, 500), (8, 5)],
+        "doc_id long, n_bpe long")
+    got = {r.doc_id: (r.shard, r.cum_tokens, r.pack_id)
+           for r in pack_counts(counts, 64, n_shards=2,
+                                count_col="n_bpe").collect()}
+    # all even ids -> shard 0; cumsum 10,30,60,560,565; first-token bins
+    assert got == {0: (0, 10, 0), 2: (0, 30, 0), 4: (0, 60, 0),
+                   6: (0, 560, 0), 8: (0, 565, 8)}
