@@ -69,6 +69,8 @@ HEADLINE = (
     "token_counts_bpe",    # real BPE tokenization over the vocab (r5)
     "doc_quality_model",   # distilled quality classifier, integer dot (r5)
     "doc_pack_bpe",        # packing budgeted by real BPE tokens (r5)
+    "doc_mix_pipeline",    # end-to-end model-quality->dedup->decontam->
+                           # sample->BPE-pack training mix (r5)
     "kg_boilerplate",      # cross-conv boilerplate scrub + ordered md5 (r4)
     "kg_stream_dedup",     # stateful streaming dedup drain (r4)
     "kg_stream_dedup_wm",  # bounded-retention watermarked dedup drain (r5)

@@ -4331,6 +4331,146 @@ def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model(spark.table("documents"))
 
 
+def _doc_mix_pipeline_oracle_sql() -> str:
+    from nlp_lib_spark.operators.bpe import (bpe_merges_values_sql,
+                                             bpe_recursive_cte_sql)
+    from nlp_lib_spark.operators.quality_model import (
+        quality_feature_exprs, quality_score_exprs)
+    from nlp_lib_spark.operators.sampling import _threshold
+    from nlp_lib_spark.operators.textstats import normalize_for_decontam_sql
+    feats = ",\n       ".join(quality_feature_exprs("duckdb"))
+    score_pred = quality_score_exprs()[1].replace(" AS qm_pred", "")
+    norm = normalize_for_decontam_sql("text", "duckdb")
+    thr = _threshold(0.8)
+    return f"""
+WITH RECURSIVE
+m(rank, l, r) AS (VALUES {bpe_merges_values_sql()}),
+words0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+{bpe_recursive_cte_sql('words0')},
+qf AS (SELECT doc_id,
+       {feats}
+       FROM (SELECT doc_id, text, string_split(text, ' ') AS arr
+             FROM documents)),
+q AS (SELECT doc_id, {score_pred} AS mix_quality FROM qf),
+k AS (SELECT doc_id,
+             CAST(CASE WHEN doc_id = min(doc_id) OVER
+                  (PARTITION BY md5(lower(text))) THEN 1 ELSE 0 END
+                  AS INT) AS mix_keeper
+      FROM documents),
+norm AS (SELECT doc_id, {norm} AS text FROM documents),
+gn AS (SELECT DISTINCT doc_id, array_to_string(arr[i:i + 4], ' ') AS gram
+       FROM (SELECT doc_id, arr,
+                    unnest(generate_series(1, len(arr) - 4)) AS i
+             FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                   FROM norm))),
+bench AS (SELECT DISTINCT gram FROM gn WHERE doc_id % 10 = 0),
+hn AS (SELECT gn.doc_id, count(*) AS n
+       FROM gn JOIN bench USING (gram) GROUP BY gn.doc_id),
+c AS (SELECT d.doc_id,
+             CAST(CASE WHEN coalesce(hn.n, 0) = 0 THEN 1 ELSE 0 END
+                  AS INT) AS mix_cont_free
+      FROM documents d LEFT JOIN hn ON d.doc_id = hn.doc_id),
+s AS (SELECT doc_id,
+             CAST(CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                  || ':mix'), 1, 15))::BIGINT < {thr}
+                  THEN 1 ELSE 0 END AS INT) AS mix_sampled
+      FROM documents),
+f AS (SELECT q.doc_id, mix_quality, mix_keeper, mix_cont_free,
+             mix_sampled,
+             CAST(mix_quality * mix_keeper * mix_cont_free AS INT)
+               AS mix_eligible,
+             CAST(mix_quality * mix_keeper * mix_cont_free * mix_sampled
+                  AS INT) AS mix_kept
+      FROM q JOIN k USING (doc_id) JOIN c USING (doc_id)
+             JOIN s USING (doc_id)),
+posw AS (SELECT doc_id, arr[i] AS word FROM (
+           SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+           FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents))
+         WHERE arr[i] <> ''),
+cnt AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n_tokens
+        FROM posw JOIN tok USING (word) GROUP BY doc_id),
+p AS (SELECT f.doc_id, ((f.doc_id % 8) + 8) % 8 AS shard, cnt.n_tokens,
+             CAST(sum(cnt.n_tokens) OVER (PARTITION BY
+                  ((f.doc_id % 8) + 8) % 8 ORDER BY f.doc_id
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM f JOIN cnt ON f.doc_id = cnt.doc_id
+      WHERE f.mix_kept = 1)
+SELECT f.doc_id, mix_quality, mix_keeper, mix_cont_free, mix_sampled,
+       mix_eligible, mix_kept,
+       CAST(coalesce(p.shard, -1) AS BIGINT) AS mix_shard,
+       CAST(coalesce(p.cum_tokens, -1) AS BIGINT) AS mix_cum_tokens,
+       CAST(coalesce((p.cum_tokens - p.n_tokens) // 512, -1) AS BIGINT)
+         AS mix_pack_id
+FROM f LEFT JOIN p ON f.doc_id = p.doc_id
+"""
+
+
+@gate("doc_mix_pipeline", oracle=_doc_mix_pipeline_oracle_sql())
+def q_doc_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete modern training-mix pipeline as ONE certified
+    operator: model-based quality filter (doc_quality_model) AND exact
+    dedup keeper election AND normalized decontamination
+    (doc_contamination_norm's screen over the raw corpus) -> 80%
+    deterministic sample of the eligible set -> sequence packing of the
+    kept documents budgeted by REAL BPE tokens (doc_pack_bpe's layout).
+    One row per INPUT document carries every stage verdict plus the
+    final bin assignment (-1 for dropped docs), so the certified hash
+    proves the end-to-end mix two engines would train on is identical.
+
+    Scale shape: the stages' plans compose by 1:1 doc-keyed joins —
+    quality is a zero-Exchange projection, keeper one (text-hash)-keyed
+    min, decontamination one broadcast-bench screen, the sample a pure
+    md5-threshold projection, the packer one shard Exchange + window
+    over only the kept subset. Stages sum, never multiply."""
+    from pyspark.sql import functions as F
+    from nlp_lib_spark.operators.bpe import bpe_token_counts
+    from nlp_lib_spark.operators.packing import pack_counts
+    from nlp_lib_spark.operators.quality_model import quality_model
+    from nlp_lib_spark.operators.sampling import sample_flags
+    from nlp_lib_spark.operators.textstats import (
+        bench_grams, contamination_hits, normalize_for_decontam)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    q = quality_model(docs).select(
+        "doc_id", F.col("qm_pred").alias("mix_quality"))
+    hashed = docs.selectExpr("doc_id", "md5(lower(text)) AS __h")
+    keepers = hashed.groupBy("__h").agg(F.min("doc_id").alias("__kid"))
+    k = (hashed.join(keepers, "__h")
+         .select("doc_id", (F.col("doc_id") == F.col("__kid"))
+                 .cast("int").alias("mix_keeper")))
+    norm = normalize_for_decontam(docs)
+    c = (contamination_hits(norm, bench_grams(norm))
+         .select("doc_id", (F.col("cont_hits") == 0).cast("int")
+                 .alias("mix_cont_free")))
+    s = (sample_flags(docs.select("doc_id"), {}, strata_col="doc_id",
+                      salt="mix", default_frac=0.8)
+         .select("doc_id", F.col("sampled").alias("mix_sampled")))
+    f = (q.join(k, "doc_id").join(c, "doc_id").join(s, "doc_id")
+         .withColumn("mix_eligible",
+                     (F.col("mix_quality") * F.col("mix_keeper")
+                      * F.col("mix_cont_free")).cast("int"))
+         .withColumn("mix_kept",
+                     (F.col("mix_eligible") * F.col("mix_sampled"))
+                     .cast("int")))
+    cnt = bpe_token_counts(_spread(docs))
+    kept_counts = (f.filter(F.col("mix_kept") == 1).select("doc_id")
+                   .join(cnt.select("doc_id", "n_bpe_tokens"), "doc_id"))
+    p = pack_counts(kept_counts, budget_tokens=512, n_shards=8,
+                    count_col="n_bpe_tokens")
+    return (f.join(p.select("doc_id", "shard", "cum_tokens", "pack_id"),
+                   "doc_id", "left")
+            .select("doc_id", "mix_quality", "mix_keeper",
+                    "mix_cont_free", "mix_sampled", "mix_eligible",
+                    "mix_kept",
+                    F.coalesce(F.col("shard").cast("long"), F.lit(-1))
+                     .alias("mix_shard"),
+                    F.coalesce("cum_tokens", F.lit(-1))
+                     .alias("mix_cum_tokens"),
+                    F.coalesce("pack_id", F.lit(-1))
+                     .alias("mix_pack_id")))
+
+
 # --------------------------------------------------------------------------
 # Composite gates (round 4, VERDICT r3 "What's missing" 1 / "Next round" 4)
 # --------------------------------------------------------------------------
@@ -4483,7 +4623,8 @@ join_composite("doc_stats", "doc_id",
                 "doc_pipeline", "neardup_clusters", "doc_sample",
                 "doc_pack", "doc_substring_dup", "doc_urls",
                 "doc_contamination_norm", "token_counts_bpe",
-                "doc_quality_model", "doc_pack_bpe"))
+                "doc_quality_model", "doc_pack_bpe",
+                "doc_mix_pipeline"))
 
 
 def _kg_base_composite() -> None:
@@ -4645,7 +4786,7 @@ _GATE_ORDER = [
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
     "doc_pack", "doc_substring_dup", "doc_urls", "doc_contamination_norm",
     "token_counts_bpe", "doc_quality_model", "doc_pack_bpe",
-    "kg_tool_stats",
+    "doc_mix_pipeline", "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",
