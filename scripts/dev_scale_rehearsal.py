@@ -587,8 +587,58 @@ def run_quality_model(spark, reps: int) -> dict:
             "rows_out": n_out, "kept_docs": n_kept, "sec": sec}
 
 
+def run_mix_pipeline(spark, reps: int) -> dict:
+    """Round 5: the end-to-end training-mix composition at volume —
+    stages sum (quality projection + keeper agg + decontam screen +
+    sample projection + BPE counter + kept-only pack window), so wall
+    must stay ~linear and rows_out == rows_in exactly (every input doc
+    keeps its verdict row; dropped docs carry -1 bins)."""
+    from pyspark.sql import functions as F
+    from nlp_lib_spark.operators.bpe import bpe_token_counts
+    from nlp_lib_spark.operators.packing import pack_counts
+    from nlp_lib_spark.operators.quality_model import quality_model
+    from nlp_lib_spark.operators.sampling import sample_flags
+    from nlp_lib_spark.operators.textstats import (
+        bench_grams, contamination_hits, normalize_for_decontam)
+    docs = replicate_docs(spark, reps).select(
+        "doc_id", "text").localCheckpoint()
+    n_docs = docs.count()
+    t0 = time.time()
+    q = quality_model(docs).select(
+        "doc_id", F.col("qm_pred").alias("mix_quality"))
+    hashed = docs.selectExpr("doc_id", "md5(lower(text)) AS __h")
+    keepers = hashed.groupBy("__h").agg(F.min("doc_id").alias("__kid"))
+    k = (hashed.join(keepers, "__h")
+         .select("doc_id", (F.col("doc_id") == F.col("__kid"))
+                 .cast("int").alias("mix_keeper")))
+    norm = normalize_for_decontam(docs)
+    c = (contamination_hits(norm, bench_grams(norm))
+         .select("doc_id", (F.col("cont_hits") == 0).cast("int")
+                 .alias("mix_cont_free")))
+    s = (sample_flags(docs.select("doc_id"), {}, strata_col="doc_id",
+                      salt="mix", default_frac=0.8)
+         .select("doc_id", F.col("sampled").alias("mix_sampled")))
+    f = (q.join(k, "doc_id").join(c, "doc_id").join(s, "doc_id")
+         .withColumn("mix_kept",
+                     (F.col("mix_quality") * F.col("mix_keeper")
+                      * F.col("mix_cont_free") * F.col("mix_sampled"))
+                     .cast("int")))
+    cnt = bpe_token_counts(docs)
+    kept = (f.filter("mix_kept = 1").select("doc_id")
+            .join(cnt.select("doc_id", "n_bpe_tokens"), "doc_id"))
+    p = pack_counts(kept, 512, n_shards=max(8, reps),
+                    count_col="n_bpe_tokens")
+    out = f.join(p.select("doc_id", "pack_id"), "doc_id", "left")
+    out.write.format("noop").mode("overwrite").save()
+    sec = round(time.time() - t0, 2)
+    n_out = out.count()
+    n_kept = out.filter("mix_kept = 1").count()
+    return {"op": "mix_pipeline", "reps": reps, "rows_in": n_docs,
+            "rows_out": n_out, "kept_docs": n_kept, "sec": sec}
+
+
 ROUND5B_OPS = (run_url_stats, run_decontam_norm, run_bpe,
-               run_quality_model)
+               run_quality_model, run_mix_pipeline)
 
 
 ROUND4_OPS = (run_pii_scrub, run_repetition, run_contamination,
