@@ -1719,7 +1719,12 @@ def q_media_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("feature_sig")))
 
 
-@gate("media_features_jpeg", oracle="""
+# Closed-form oracle for the flat-block JPEG gate corpus: with a DC quant
+# step of 8 the 2x2 flat 8x8 blocks decode bit-exactly, so the decoded
+# features are a pure function of md5(text)'s first four bytes. Shared by
+# the baseline (SOF0) and progressive (SOF2) gates — both payloads carry
+# identical quantized coefficients, so decoded pixels are identical.
+_JPEG_FLAT_ORACLE = """
 WITH hx AS (
   SELECT doc_id, md5(text) AS h FROM documents
 ), b AS (
@@ -1737,7 +1742,10 @@ SELECT doc_id AS media_id, 'image' AS kind,
          list_transform(generate_series(0, 15), t ->
            p[(t // 8) * 2 + (t % 4) // 2 + 1]), ',') AS feature_sig
 FROM px
-""")
+"""
+
+
+@gate("media_features_jpeg", oracle=_JPEG_FLAT_ORACLE)
 def q_media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy-compressed-image decode (VERDICT r3 'Next round' 7):
     documents become genuine baseline-sequential JFIF files (16x16 gray,
@@ -1763,6 +1771,45 @@ def q_media_features_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         for pdf in batches:
             rows = [(int(d), "image", synth_jpeg_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
+@gate("media_features_jpeg_prog", oracle=_JPEG_FLAT_ORACLE)
+def q_media_features_jpeg_prog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL progressive-JPEG decode (VERDICT r4 stretch direction 7,
+    continuing the genuine-codec line): the SAME flat-block image as
+    media_features_jpeg, but encoded as a four-scan SOF2 file
+    (spectral selection + successive approximation), so
+    extract_media_features(mode="real") runs the full progressive
+    decoder — multi-scan marker walk, DC first/refinement passes, AC
+    EOB-run first pass and the correction-bit refinement pass
+    (operators/mediacodec.decode_jpeg_progressive). Coefficients are
+    fully transmitted across the pass pairs, so decoded pixels equal the
+    baseline decode and the shared closed-form oracle applies verbatim;
+    the general lossy path (ZRL-in-refine, interleaved correction bits,
+    EOB runs spanning blocks) is certified by the pytest equality suite
+    against the baseline decoder on arbitrary images."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_jpeg_prog_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "image", synth_jpeg_prog_payload(t))
                     for d, t in zip(pdf["doc_id"], pdf["text"])]
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
@@ -4679,7 +4726,8 @@ def _media_suite_composite() -> None:
             .select(F.lit("ima").alias("codec"), "*")
         out = fake.unionByName(real).unionByName(ima)
         for codec, member in (("png", "media_features_png"),
-                              ("jpeg", "media_features_jpeg")):
+                              ("jpeg", "media_features_jpeg"),
+                              ("jpegp", "media_features_jpeg_prog")):
             out = out.unionByName(
                 QUERIES[member](spark, sf_dir)
                 .select(F.lit(codec).alias("codec"), "media_id", "kind",
@@ -4690,7 +4738,8 @@ def _media_suite_composite() -> None:
     QUERIES["media_suite"] = fn
     COMPOSITE_MEMBERS["media_suite"] = (
         "media_features", "media_features_real", "media_features_ima",
-        "media_features_png", "media_features_jpeg")
+        "media_features_png", "media_features_jpeg",
+        "media_features_jpeg_prog")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
 ) m
@@ -4707,6 +4756,10 @@ SELECT 'png' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
 UNION ALL
 SELECT 'jpeg' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
        feature_sig FROM ({ORACLES["media_features_jpeg"]}
+) m
+UNION ALL
+SELECT 'jpegp' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
+       feature_sig FROM ({ORACLES["media_features_jpeg_prog"]}
 ) m
 """
 
@@ -4778,7 +4831,7 @@ _GATE_ORDER = [
     "dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm",
     "kg_link_tfidf", "kg_link_tfidf_dist",
     "media_features_real", "media_features_ima", "media_features_png",
-    "media_features_jpeg",
+    "media_features_jpeg", "media_features_jpeg_prog",
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",

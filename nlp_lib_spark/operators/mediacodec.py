@@ -894,7 +894,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[int]]:
     gray raster, row 0 = top). Marker walk, multi-table DQT/DHT, DRI +
     RSTn predictor resets, Huffman/RLE entropy decode, dequantize,
     de-zigzag, separable float IDCT, level shift + clamp. Progressive
-    (SOF2), arithmetic coding, and multi-component scans raise."""
+    (SOF2) files dispatch to decode_jpeg_progressive; arithmetic coding
+    and multi-component scans raise."""
     import numpy as np
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
@@ -942,7 +943,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[int]]:
                     f"unsupported JPEG: precision={precision} "
                     f"components={nf} (8-bit grayscale baseline only)")
             comp_q = body[8]  # per-component: id, sampling, quant-table id
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive DCT — dedicated decoder
+            return decode_jpeg_progressive(data)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError("unsupported JPEG coding process "
                              f"(SOF marker 0xFF{marker:02X})")
@@ -1008,6 +1011,430 @@ def decode_jpeg(data: bytes) -> tuple[int, int, list[int]]:
     return width, height, [int(v) for v in
                            out[:height, :width].reshape(-1)]
 
+
+# ------------------------------------------- JPEG (progressive DCT, gray)
+# A real progressive (SOF2) codec (VERDICT r4 stretch direction, continuing
+# the "genuine codecs at the media seam" line): the encoder emits FOUR
+# scans — DC first pass at point transform Al=1, AC spectral band 1..63
+# first pass at Al=1 with EOB-run coding, then the DC and AC successive-
+# approximation REFINEMENT passes (T.81 G.1.2.2/G.1.2.3: raw DC low bits;
+# newly-nonzero AC insertion with buffered correction bits for history-
+# nonzero coefficients, interleaved with ZRL and EOB-run codes). The
+# decoder accumulates quantized coefficients across scans and runs the
+# shared dequant/de-zigzag/IDCT once at EOI. Because the two passes
+# together transmit every coefficient bit, progressive decode is EXACTLY
+# equal to baseline decode of the same quantized coefficients — the pytest
+# suite asserts that equality on arbitrary images, and the flat-block gate
+# corpus stays bit-exact, so the media_features_jpeg closed-form oracle
+# certifies this decoder unchanged.
+
+# AC table for progressive scans: the baseline 162-symbol table lacks the
+# EOBn run codes (r<<4, r=1..14). 176 symbols, all at code length 8 —
+# canonical codes 0..175 leave the all-ones byte unassigned (T.81 C.2
+# guidance), so 1-fill padding can never alias a symbol.
+_AC_PROG_BITS = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_PROG_VALS = ([r << 4 for r in range(15)] + [0xF0]
+                 + [(r << 4) | s for r in range(16) for s in range(1, 11)])
+
+
+class _ProgAcWriter:
+    """Shared EOB-run state for one progressive AC scan: symbols must not
+    be emitted while an end-of-band run is pending, so every write funnels
+    through flush_eob(). Refinement passes additionally buffer correction
+    bits (T.81 G.1.2.3) that trail the next emitted symbol."""
+
+    def __init__(self, bw: _BitWriter, ac_huff: dict) -> None:
+        self.bw, self.ac = bw, ac_huff
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits owed after next sym
+
+    def flush_eob(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, ln = self.ac[nbits << 4]
+            self.bw.write(code, ln)
+            if nbits:
+                self.bw.write(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending = []
+
+    def symbol(self, sym: int) -> None:
+        self.flush_eob()
+        code, ln = self.ac[sym]
+        self.bw.write(code, ln)
+
+    def end_of_band(self, correction_bits: list[int]) -> None:
+        self.eobrun += 1
+        self.pending.extend(correction_bits)
+        if self.eobrun == 0x7FFF:  # EOBn maximum (T.81 table G.1)
+            self.flush_eob()
+
+
+def _encode_ac_first(zz_all: list, ss: int, se: int, al: int,
+                     ac_huff: dict) -> bytes:
+    """Progressive AC first pass (T.81 G.1.2.2): band ss..se, magnitudes
+    point-transformed by al, zero runs + ZRL + accumulated EOB runs."""
+    bw = _BitWriter()
+    w = _ProgAcWriter(bw, ac_huff)
+    for zz in zz_all:
+        run = 0
+        emitted = False
+        for k in range(ss, se + 1):
+            mag = abs(zz[k]) >> al
+            if mag == 0:
+                run += 1
+                continue
+            while run > 15:
+                w.symbol(0xF0)  # ZRL
+                run -= 16
+            size = mag.bit_length()
+            w.symbol((run << 4) | size)
+            v = mag if zz[k] >= 0 else -mag
+            bw.write(_amplitude_bits(v, size), size)
+            run = 0
+            emitted = True
+        if run > 0 or not emitted:
+            w.end_of_band([])
+    w.flush_eob()
+    return bw.flush()
+
+
+def _encode_ac_refine(zz_all: list, ss: int, se: int, al: int,
+                      ac_huff: dict) -> bytes:
+    """Progressive AC refinement pass (T.81 G.1.2.3): newly-nonzero
+    coefficients (post-shift magnitude 1) emit (run, 1) + a sign bit;
+    history-nonzero coefficients ride along as buffered correction bits;
+    runs past 15 emit ZRL only up to the last newly-nonzero position,
+    after which the block tail joins the EOB run."""
+    bw = _BitWriter()
+    w = _ProgAcWriter(bw, ac_huff)
+    for zz in zz_all:
+        mags = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = -1  # index of the last newly-nonzero coefficient
+        for i, m in enumerate(mags):
+            if m == 1:
+                eob = i
+        run = 0
+        corr: list[int] = []  # correction bits since the last symbol
+        for i, m in enumerate(mags):
+            if m == 0:
+                run += 1
+                continue
+            # the ZRL check runs at EVERY nonzero coefficient (history or
+            # new) so correction bits flush incrementally in the exact
+            # order the decoder's skip walk consumes them; runs past the
+            # last newly-nonzero position fold into the EOB run instead
+            while run > 15 and i <= eob:
+                w.symbol(0xF0)
+                run -= 16
+                for b in corr:
+                    bw.write(b, 1)
+                corr = []
+            if m > 1:  # history coefficient: correction bit only
+                corr.append(m & 1)
+                continue
+            w.symbol((run << 4) | 1)
+            bw.write(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in corr:
+                bw.write(b, 1)
+            corr = []
+            run = 0
+        if run > 0 or corr:
+            w.end_of_band(corr)
+    w.flush_eob()
+    return bw.flush()
+
+
+def encode_jpeg_progressive(gray: list[int], width: int, height: int,
+                            q_dc: int = 8, q_ac: int = 16) -> bytes:
+    """Progressive (SOF2) grayscale JFIF encoder: same FDCT/quantization
+    as encode_jpeg, then four scans — (Ss=0,Se=0,Ah=0,Al=1),
+    (1,63,0,1), (0,0,1,0), (1,63,1,0). Coefficients are transmitted
+    exactly across the pass pairs, so the file decodes to the SAME pixels
+    as the baseline encoding of the same image."""
+    import numpy as np
+    if width % 8 or height % 8:
+        raise ValueError("encode_jpeg_progressive requires multiple-of-8 "
+                         "dimensions")
+    if len(gray) != width * height:
+        raise ValueError("pixel count != width*height")
+    basis = _dct_basis()
+    img = (np.asarray(gray, dtype=np.float64).reshape(height, width)
+           - 128.0)
+    qtab = np.full(64, float(q_ac))
+    qtab[0] = float(q_dc)
+    blocks = (img.reshape(height // 8, 8, width // 8, 8)
+              .transpose(0, 2, 1, 3))
+    coefs = 0.25 * (basis @ blocks @ basis.T)
+    zz_all = np.rint(coefs.reshape(-1, 64)[:, _zigzag_arr()]
+                     / qtab).astype(np.int64).tolist()
+    dc_huff = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_huff = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+    al = 1
+    # scan 1: DC first pass at Al=1 (arithmetic >> keeps two's-complement
+    # low bits for the refinement pass)
+    bw = _BitWriter()
+    pred = 0
+    for zz in zz_all:
+        v = zz[0] >> al
+        diff = v - pred
+        pred = v
+        size = _category(diff)
+        code, ln = dc_huff[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(_amplitude_bits(diff, size), size)
+    scan_dc1 = bw.flush()
+    scan_ac1 = _encode_ac_first(zz_all, 1, 63, al, ac_huff)
+    # scan 3: DC refinement — one raw bit (bit Al-1=0) per block
+    bw = _BitWriter()
+    for zz in zz_all:
+        bw.write(zz[0] & 1, 1)
+    scan_dc2 = bw.flush()
+    scan_ac2 = _encode_ac_refine(zz_all, 1, 63, 0, ac_huff)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def sos(ss: int, se: int, ah: int, al_: int) -> bytes:
+        return seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al_]))
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(int(qtab[k]) for k in range(64)))
+    sof2 = seg(0xFFC2, struct.pack(">BHHB", 8, height, width, 1)
+               + bytes([1, 0x11, 0]))
+    dht = (seg(0xFFC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+           + seg(0xFFC4, bytes([0x10]) + bytes(_AC_PROG_BITS)
+                 + bytes(_AC_PROG_VALS)))
+    return (b"\xff\xd8" + app0 + dqt + sof2 + dht
+            + sos(0, 0, 0, 1) + scan_dc1
+            + sos(1, 63, 0, 1) + scan_ac1
+            + sos(0, 0, 1, 0) + scan_dc2
+            + sos(1, 63, 1, 0) + scan_ac2
+            + b"\xff\xd9")
+
+
+def _prog_dc_scan(br: _BitReader, coef, nblk: int, ah: int, al: int,
+                  dc_tab: dict) -> None:
+    """One progressive DC scan over all blocks: first pass (Ah=0) is
+    baseline-style differential coding of the point-transformed value;
+    refinement appends bit Al via OR (two's complement keeps negatives
+    exact)."""
+    if ah == 0:
+        pred = 0
+        for b in range(nblk):
+            size = _huff_decode(br, dc_tab)
+            pred += _extend(br.read_bits(size), size)
+            coef[b][0] = pred << al
+    else:
+        for b in range(nblk):
+            coef[b][0] |= br.read_bit() << al
+
+
+def _prog_ac_first_scan(br: _BitReader, coef, nblk: int, ss: int, se: int,
+                        al: int, ac_tab: dict) -> None:
+    """Progressive AC first pass decode (T.81 G.2 / libjpeg shape): zero
+    runs, ZRL, EOBn run codes with extension bits."""
+    eobrun = 0
+    for b in range(nblk):
+        if eobrun > 0:
+            eobrun -= 1
+            continue
+        k = ss
+        while k <= se:
+            sym = _huff_decode(br, ac_tab)
+            r, s = sym >> 4, sym & 0x0F
+            if s:
+                k += r
+                if k > se:
+                    raise ValueError("progressive JPEG AC overrun")
+                coef[b][k] = _extend(br.read_bits(s), s) << al
+                k += 1
+            elif r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            else:
+                k += 16  # ZRL
+    if eobrun:
+        raise ValueError("progressive JPEG EOB run past final block")
+
+
+def _prog_ac_refine_scan(br: _BitReader, coef, nblk: int, ss: int, se: int,
+                         al: int, ac_tab: dict) -> None:
+    """Progressive AC refinement decode: correction bits grow the
+    magnitude of history-nonzero coefficients; (run, 1) symbols insert
+    newly-nonzero ±(1<<Al) after skipping `run` zero-HISTORY positions;
+    EOB runs still consume correction bits for the blocks they cover."""
+    p1, m1 = 1 << al, -1 << al
+
+    def correct(b: int, k: int) -> None:
+        if br.read_bit() and not (coef[b][k] & p1):
+            coef[b][k] += p1 if coef[b][k] >= 0 else m1
+
+    eobrun = 0
+    for b in range(nblk):
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = _huff_decode(br, ac_tab)
+                r, s = sym >> 4, sym & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad refinement AC symbol")
+                    val = p1 if br.read_bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # advance over `r` zero-history coefficients, applying
+                # correction bits to nonzero-history ones along the way
+                while k <= se:
+                    if coef[b][k] != 0:
+                        correct(b, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("progressive JPEG refine overrun")
+                    coef[b][k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:
+                if coef[b][k] != 0:
+                    correct(b, k)
+                k += 1
+            eobrun -= 1
+    if eobrun:
+        raise ValueError("progressive JPEG EOB run past final block")
+
+
+def decode_jpeg_progressive(data: bytes) -> tuple[int, int, list[int]]:
+    """Full progressive (SOF2) grayscale JPEG decode: multi-scan marker
+    walk, per-scan DHT redefinition honored, DC/AC first + refinement
+    passes accumulating quantized coefficients in zigzag order, then one
+    dequant/de-zigzag/IDCT pass at EOI (shared with the baseline
+    decoder). Restart intervals inside progressive scans are unsupported
+    and raise; single-component 8-bit only, like the baseline path."""
+    import numpy as np
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    width = height = None
+    comp_q = 0
+    coef = None
+    nblk = bw = bh = 0
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG segment header")
+        seg_len = struct.unpack_from(">H", data, pos + 2)[0]
+        if pos + 2 + seg_len > len(data):
+            raise ValueError("truncated JPEG segment")
+        body = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                i += 1
+                if pq == 0:
+                    qtabs[tq] = list(body[i:i + 64])
+                    i += 64
+                else:
+                    qtabs[tq] = [struct.unpack_from(">H", body, i + 2 * k)[0]
+                                 for k in range(64)]
+                    i += 128
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1:i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17:i + 17 + nv])
+                huff[(tc, th)] = _build_huff_decoder(bits, vals)
+                i += 17 + nv
+        elif marker == 0xC2:
+            precision, height, width, nf = struct.unpack_from(
+                ">BHHB", body, 0)
+            if precision != 8 or nf != 1:
+                raise ValueError(
+                    f"unsupported progressive JPEG: precision={precision} "
+                    f"components={nf} (8-bit grayscale only)")
+            comp_q = body[8]
+            bw = (width + 7) // 8
+            bh = (height + 7) // 8
+            nblk = bw * bh
+            coef = [[0] * 64 for _ in range(nblk)]
+        elif marker in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("decode_jpeg_progressive requires SOF2 "
+                             f"(got SOF marker 0xFF{marker:02X})")
+        elif marker == 0xDD:
+            if struct.unpack_from(">H", body, 0)[0]:
+                raise ValueError("restart intervals unsupported in "
+                                 "progressive scans")
+        elif marker == 0xDA:
+            if coef is None:
+                raise ValueError("progressive JPEG scan before SOF2")
+            if body[0] != 1:
+                raise ValueError("multi-component JPEG scan unsupported")
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            ss, se = body[3], body[4]
+            ah, al = body[5] >> 4, body[5] & 0x0F
+            br = _BitReader(data, pos)
+            try:
+                if ss == 0:
+                    if se != 0:
+                        raise ValueError("progressive scan mixes DC and AC")
+                    _prog_dc_scan(br, coef, nblk, ah, al, huff[(0, td)])
+                elif ah == 0:
+                    _prog_ac_first_scan(br, coef, nblk, ss, se, al,
+                                        huff[(1, ta)])
+                else:
+                    _prog_ac_refine_scan(br, coef, nblk, ss, se, al,
+                                         huff[(1, ta)])
+            except _BitReader._Marker:
+                raise ValueError("JPEG marker inside progressive scan "
+                                 "(restart markers unsupported)")
+            # entropy data ends byte-aligned just before the next marker
+            # (the bit reader advances pos at byte-load time, so any
+            # partially-consumed padding byte is already behind pos)
+            pos = br.pos
+            while pos < len(data) and data[pos] != 0xFF:
+                pos += 1
+    else:
+        raise ValueError("JPEG missing EOI")
+    if width is None or coef is None:
+        raise ValueError("progressive JPEG missing SOF2")
+    qt = np.asarray(qtabs[comp_q], dtype=np.float64)
+    basis = _dct_basis()
+    zz = _zigzag_arr()
+    cz = np.asarray(coef, dtype=np.float64) * qt  # (nblk, 64) zigzag order
+    nat = np.zeros_like(cz)
+    nat[:, zz] = cz
+    blocks = 0.25 * (basis.T @ nat.reshape(nblk, 8, 8) @ basis)
+    out = np.clip(np.rint(blocks) + 128, 0, 255).astype(np.int64)
+    raster = (out.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3)
+              .reshape(bh * 8, bw * 8))
+    return width, height, [int(v) for v in
+                           raster[:height, :width].reshape(-1)]
+
+
 def synth_payload(doc_id: int, text: str) -> tuple[str, bytes]:
     """Deterministic real-container payload from a document row (the gate's
     input builder, mirrored closed-form by the media_features_real oracle):
@@ -1064,6 +1491,18 @@ def synth_jpeg_payload(text: str) -> bytes:
     full marker/Huffman/dequant/IDCT machinery."""
     return encode_jpeg(_flat_block_raster(list(md5_expand(text, 4))),
                        JPEG_DIM, JPEG_DIM)
+
+
+def synth_jpeg_prog_payload(text: str) -> bytes:
+    """Deterministic progressive-JPEG payload (gate input builder): the
+    SAME 16x16 flat-block image as synth_jpeg_payload, encoded as a
+    four-scan SOF2 file. Progressive decode of fully-transmitted
+    coefficients is exactly the baseline decode, so the
+    media_features_jpeg closed-form oracle applies verbatim while the
+    decoder exercises the whole multi-scan successive-approximation
+    machinery (DC/AC first + refinement passes, EOB-run codes)."""
+    return encode_jpeg_progressive(
+        _flat_block_raster(list(md5_expand(text, 4))), JPEG_DIM, JPEG_DIM)
 
 
 IMA_N_NIBBLES = 32  # one md5 hex string's worth -> 33 decoded samples

@@ -397,3 +397,84 @@ def test_ima_synth_matches_oracle_model_and_dispatch():
     assert feats[:5] == [8000.0, 33.0, float(min(exp)), float(max(exp)),
                          float(sum(abs(v) for v in exp))]
     assert feats[5:] == [float(v) for v in exp[:16]]
+
+
+# ------------------------------------------------ progressive JPEG (SOF2)
+
+def test_jpeg_progressive_flat_block_exact_and_dispatch():
+    """The progressive gate payload decodes bit-exactly to the flat-block
+    raster (the property the shared media_features_jpeg oracle relies on),
+    through both the dedicated decoder and the decode_jpeg dispatch."""
+    from nlp_lib_spark.operators.mediacodec import (
+        decode_jpeg, decode_jpeg_progressive, synth_jpeg_prog_payload)
+    text = "progressive gate corpus"
+    blob = synth_jpeg_prog_payload(text)
+    exp = _flat_raster(list(md5_expand(text, 4)))
+    assert decode_jpeg_progressive(blob) == (16, 16, exp)
+    assert decode_jpeg(blob) == (16, 16, exp)  # SOF2 dispatch
+    # structurally progressive: SOF2 marker + four SOS scans
+    assert b"\xff\xc2" in blob and blob.count(b"\xff\xda") == 4
+    assert b"\xff\xc0" not in blob
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.data())
+def test_jpeg_progressive_equals_baseline_decode(data):
+    """Successive approximation transmits every coefficient bit across the
+    first+refinement pass pairs, so progressive decode must EQUAL baseline
+    decode of the same image at the same quantization — on arbitrary
+    images (random / smooth / sparse-spike / near-flat), exercising ZRL,
+    EOB runs spanning blocks, newly-nonzero insertion and correction-bit
+    interleaving in the refinement scan."""
+    from nlp_lib_spark.operators.mediacodec import (
+        decode_jpeg, decode_jpeg_progressive, encode_jpeg,
+        encode_jpeg_progressive)
+    w = 8 * data.draw(st.integers(1, 4))
+    h = 8 * data.draw(st.integers(1, 4))
+    q_dc = data.draw(st.sampled_from([1, 2, 8, 16]))
+    q_ac = data.draw(st.sampled_from([2, 16, 64]))
+    kind = data.draw(st.integers(0, 3))
+    if kind == 0:
+        img = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                 max_size=w * h))
+    elif kind == 1:  # low-amplitude noise: magnitude-0/1 refine paths
+        img = [128 + data.draw(st.integers(-6, 6)) for _ in range(w * h)]
+    elif kind == 2:  # sparse spikes on flat: long zero runs + ZRL
+        img = [128] * (w * h)
+        for _ in range(4):
+            img[data.draw(st.integers(0, w * h - 1))] = data.draw(
+                st.sampled_from([0, 255]))
+    else:  # checkerboard: maximal high-frequency energy
+        img = [255 * ((x + y) & 1) for y in range(h) for x in range(w)]
+    base = decode_jpeg(encode_jpeg(img, w, h, q_dc, q_ac))
+    prog = decode_jpeg_progressive(
+        encode_jpeg_progressive(img, w, h, q_dc, q_ac))
+    assert prog == base
+
+
+def test_jpeg_progressive_rejects_malformed():
+    from nlp_lib_spark.operators.mediacodec import (
+        decode_jpeg_progressive, encode_jpeg_progressive)
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive(b"not a jpeg")
+    good = encode_jpeg_progressive(_flat_raster([9, 8, 7, 6]), 16, 16)
+    # baseline SOF0 handed to the progressive decoder must raise
+    from nlp_lib_spark.operators.mediacodec import encode_jpeg
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive(encode_jpeg(_flat_raster([1, 2, 3, 4]),
+                                            16, 16))
+    # truncating the final scan must raise, not return partial pixels
+    with pytest.raises(ValueError):
+        decode_jpeg_progressive(good[:len(good) // 2])
+    with pytest.raises(ValueError):
+        encode_jpeg_progressive([0] * 12, 4, 3)  # non-multiple-of-8 dims
+
+
+def test_jpeg_progressive_real_features_seam():
+    """real_features dispatches SOF2 payloads through the image path with
+    the same feature layout as the baseline JPEG."""
+    from nlp_lib_spark.operators.mediacodec import (
+        real_features, synth_jpeg_payload, synth_jpeg_prog_payload)
+    text = "seam check"
+    assert (real_features(synth_jpeg_prog_payload(text))
+            == real_features(synth_jpeg_payload(text)))
