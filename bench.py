@@ -53,6 +53,7 @@ HEADLINE = (
     "media_features_real", # real BMP/WAV decode + pixel/sample stats (r3)
     "media_features_jpeg", # baseline JPEG decode (Huffman+dequant+IDCT, r4)
     "media_features_ima",  # IMA-ADPCM compressed-audio decode (r5)
+    "media_features_g711", # G.711 u-law/A-law companded audio decode (r5)
     "media_features_jpeg_prog",  # progressive (SOF2) JPEG decode (r5)
     "media_frames_avi",    # real AVI demux + frame sampling (r3)
     "media_frames_mjpeg",  # Motion-JPEG demux + per-frame JPEG decode (r4)

@@ -1911,6 +1911,82 @@ def q_media_features_ima(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("feature_sig")))
 
 
+_G711_ORACLE = """
+WITH hx AS (
+  SELECT doc_id, md5(text) || md5(text || ':1') AS h FROM documents
+), b AS (
+  SELECT doc_id, g.k AS k,
+         (strpos('0123456789abcdef', substr(h, 2*g.k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 2*g.k + 2, 1)) - 1 AS v
+  FROM hx, generate_series(0, 31) AS g(k)
+), dec AS (
+  SELECT doc_id, k,
+         CASE WHEN doc_id % 2 = 0 THEN
+           CASE WHEN (255 - v) >= 128
+                THEN 132 - ((((255 - v) % 16) * 8 + 132)
+                            * (1 << (((255 - v) // 16) % 8)))
+                ELSE ((((255 - v) % 16) * 8 + 132)
+                      * (1 << (((255 - v) // 16) % 8))) - 132
+           END
+         ELSE
+           (CASE WHEN xor(v, 85) >= 128 THEN 1 ELSE -1 END) *
+           (CASE WHEN ((xor(v, 85) // 16) % 8) = 0
+                 THEN (xor(v, 85) % 16) * 16 + 8
+                 WHEN ((xor(v, 85) // 16) % 8) = 1
+                 THEN (xor(v, 85) % 16) * 16 + 264
+                 ELSE ((xor(v, 85) % 16) * 16 + 264)
+                      * (1 << (((xor(v, 85) // 16) % 8) - 1))
+            END)
+         END AS s
+  FROM b
+), px AS (
+  SELECT doc_id, list(s ORDER BY k) AS s FROM dec GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 90 AS n_bytes,
+       array_to_string([8000, 32, list_min(s), list_max(s),
+         list_sum(list_transform(s, x -> abs(x)))] || s[1:16], ',')
+       AS feature_sig
+FROM px
+"""
+
+
+@gate("media_features_g711", oracle=_G711_ORACLE)
+def q_media_features_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL companded-telephony-audio decode: documents become genuine
+    G.711 WAV files (wFormatTag 0x0007 µ-law for even doc_id, 0x0006
+    A-law for odd; the 8-bit code stream is md5_expand(text, 32)), and
+    extract_media_features(mode="real") runs the full real path — RIFF
+    chunk walk, fmt 6/7 parse, and the canonical CCITT segment/mantissa
+    expansion per code (operators/mediacodec.decode_wav_g711). The
+    oracle recomputes the expansion closed-form in integer SQL from the
+    same md5 bytes (bias-0x84 µ-law / 0x55-toggle A-law formulas), so a
+    hash match proves the decoder expands every code byte-exactly; the
+    nearest-codeword ENCODER is certified by the pytest idempotence +
+    round-trip suite."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_g711_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "audio", synth_g711_payload(int(d), t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind", "n_bytes",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
 @gate("media_frames_mjpeg", oracle="""
 WITH fr AS (SELECT unnest([0, 2]) AS f),
 hx AS (
@@ -4710,11 +4786,13 @@ def _media_suite_composite() -> None:
     """Multimodal decode family under one driver gate: the deterministic
     fake-decode path (schema/partitioning plumbing), the real BMP/WAV
     stdlib decoders, the real IMA-ADPCM compressed-audio decoder (RIFF
-    walk + 4-bit step machine, round 5), the real PNG decoder (zlib
-    inflate + scanline defilter), and the real baseline-JPEG decoder
-    (Huffman + dequant + IDCT), tagged by codec. media_features_png /
-    media_features_jpeg have no n_bytes column (compressed size is
-    build-/data-dependent); both pad a constant -1 on BOTH sides."""
+    walk + 4-bit step machine, round 5), the real G.711 µ-law/A-law
+    companded-audio decoder (round 5), the real PNG decoder (zlib
+    inflate + scanline defilter), and the real baseline + progressive
+    JPEG decoders (Huffman + dequant + IDCT; multi-scan successive
+    approximation), tagged by codec. media_features_png /
+    media_features_jpeg(_prog) have no n_bytes column (compressed size
+    is build-/data-dependent); they pad a constant -1 on BOTH sides."""
 
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         from pyspark.sql import functions as F
@@ -4724,7 +4802,9 @@ def _media_suite_composite() -> None:
             .select(F.lit("real").alias("codec"), "*")
         ima = QUERIES["media_features_ima"](spark, sf_dir) \
             .select(F.lit("ima").alias("codec"), "*")
-        out = fake.unionByName(real).unionByName(ima)
+        g711 = QUERIES["media_features_g711"](spark, sf_dir) \
+            .select(F.lit("g711").alias("codec"), "*")
+        out = fake.unionByName(real).unionByName(ima).unionByName(g711)
         for codec, member in (("png", "media_features_png"),
                               ("jpeg", "media_features_jpeg"),
                               ("jpegp", "media_features_jpeg_prog")):
@@ -4738,7 +4818,7 @@ def _media_suite_composite() -> None:
     QUERIES["media_suite"] = fn
     COMPOSITE_MEMBERS["media_suite"] = (
         "media_features", "media_features_real", "media_features_ima",
-        "media_features_png", "media_features_jpeg",
+        "media_features_g711", "media_features_png", "media_features_jpeg",
         "media_features_jpeg_prog")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
@@ -4748,6 +4828,9 @@ SELECT 'real' AS codec, m.* FROM ({ORACLES["media_features_real"]}
 ) m
 UNION ALL
 SELECT 'ima' AS codec, m.* FROM ({ORACLES["media_features_ima"]}
+) m
+UNION ALL
+SELECT 'g711' AS codec, m.* FROM ({ORACLES["media_features_g711"]}
 ) m
 UNION ALL
 SELECT 'png' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
@@ -4830,7 +4913,8 @@ _GATE_ORDER = [
     "kg_conversations", "kg_boilerplate",
     "dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm",
     "kg_link_tfidf", "kg_link_tfidf_dist",
-    "media_features_real", "media_features_ima", "media_features_png",
+    "media_features_real", "media_features_ima", "media_features_g711",
+    "media_features_png",
     "media_features_jpeg", "media_features_jpeg_prog",
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",

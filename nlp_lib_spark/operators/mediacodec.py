@@ -582,9 +582,115 @@ def decode_wav_ima(data: bytes) -> tuple[int, list[int]]:
     return rate, samples
 
 
+# ------------------------------------------- G.711 µ-law / A-law WAV (6/7)
+# The ITU-T G.711 companded telephony codecs WAV carries as wFormatTag
+# 0x0006 (A-law) / 0x0007 (µ-law): 8 bits per sample, sign + 3-bit segment
+# + 4-bit mantissa, expanded by the canonical integer formulas (CCITT
+# reference code shape — bias 0x84 for µ-law, the 0x55 toggle + segment
+# switch for A-law). The stdlib ``wave`` module refuses compressed
+# formats, so the decoder walks RIFF chunks itself like the IMA path.
+# The gate corpus builds payloads whose 8-bit code stream IS the md5
+# expansion of the document text, so the decoded samples are a pure
+# integer function of the md5 bytes that the DuckDB oracle recomputes
+# closed-form; the true sample ENCODER (nearest-codeword quantizer) is
+# certified by the pytest round-trip + code-idempotence suite.
+
+def g711_ulaw_to_linear(b: int) -> int:
+    """One µ-law byte -> PCM16 sample (CCITT ulaw2linear, bias 0x84)."""
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return (0x84 - t) if u & 0x80 else (t - 0x84)
+
+
+def g711_alaw_to_linear(b: int) -> int:
+    """One A-law byte -> PCM16 sample (CCITT alaw2linear, 0x55 toggle)."""
+    a = b ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    if seg == 0:
+        t += 8
+    elif seg == 1:
+        t += 0x108
+    else:
+        t = (t + 0x108) << (seg - 1)
+    return t if a & 0x80 else -t
+
+
+_G711_TABLES: dict[str, list[int]] = {}
+
+
+def _g711_table(law: str) -> list[int]:
+    if law not in _G711_TABLES:
+        fn = {"ulaw": g711_ulaw_to_linear,
+              "alaw": g711_alaw_to_linear}[law]
+        _G711_TABLES[law] = [fn(b) for b in range(256)]
+    return _G711_TABLES[law]
+
+
+G711_TAGS = {"alaw": 0x0006, "ulaw": 0x0007}
+
+
+def build_wav_g711(codes: bytes, law: str = "ulaw",
+                   rate: int = 8000) -> bytes:
+    """Assemble a mono G.711 WAV around the given 8-bit code stream (the
+    gate's synthetic payload path — the codes come straight from
+    md5_expand there). 18-byte fmt (cbSize=0) + fact chunk per the spec
+    for non-PCM formats."""
+    fmt = struct.pack("<HHIIHHH", G711_TAGS[law], 1, rate, rate, 1, 8, 0)
+    fact = struct.pack("<I", len(codes))
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(codes)) + codes)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def encode_wav_g711(samples: list[int], law: str = "ulaw",
+                    rate: int = 8000) -> bytes:
+    """PCM16 samples -> G.711 WAV via the optimal quantizer: each sample
+    takes the code whose expansion is nearest (ties to the smaller code),
+    which makes encode(decode(code)) == code for every code whose
+    expansion is unique — the idempotence property the pytest suite
+    pins."""
+    tab = _g711_table(law)
+    order = sorted(range(256), key=lambda b: (tab[b], b))
+    vals = [tab[b] for b in order]
+    import bisect
+    out = bytearray()
+    for s in samples:
+        i = bisect.bisect_left(vals, s)
+        best = None
+        for j in (i - 1, i, i + 1):
+            if 0 <= j < 256:
+                cand = (abs(vals[j] - s), order[j])
+                if best is None or cand < best:
+                    best = cand
+        out.append(best[1])
+    return build_wav_g711(bytes(out), law, rate)
+
+
+def decode_wav_g711(data: bytes) -> tuple[int, list[int]]:
+    """Parse + expand a mono G.711 WAV -> (rate, PCM16 samples)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate = tag_fmt = codes = None
+    for tag, off, size in _iter_riff(data, 12, 8 + struct.unpack(
+            "<I", data[4:8])[0]):
+        if tag == b"fmt ":
+            (tag_fmt, channels, rate, _br, _ba,
+             bits) = struct.unpack("<HHIIHH", data[off:off + 16])
+            if tag_fmt not in (0x0006, 0x0007) or channels != 1 or bits != 8:
+                raise ValueError("unsupported G.711 WAV layout")
+        elif tag == b"data":
+            codes = data[off:off + size]
+    if rate is None or codes is None:
+        raise ValueError("missing fmt/data chunk")
+    tab = _g711_table("alaw" if tag_fmt == 0x0006 else "ulaw")
+    return rate, [tab[b] for b in codes]
+
+
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
-    """WAV dispatch on wFormatTag: 0x0001 PCM16 (stdlib wave) or 0x0011
-    IMA ADPCM (own RIFF walk)."""
+    """WAV dispatch on wFormatTag: 0x0001 PCM16 (stdlib wave), 0x0006 /
+    0x0007 G.711 A-law / µ-law, or 0x0011 IMA ADPCM (own RIFF walks)."""
     fmt_tag = None
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         for tag, off, _size in _iter_riff(data, 12, min(len(data), 64)):
@@ -593,6 +699,8 @@ def decode_audio(data: bytes) -> tuple[int, list[int]]:
                 break
     if fmt_tag == 0x0011:
         return decode_wav_ima(data)
+    if fmt_tag in (0x0006, 0x0007):
+        return decode_wav_g711(data)
     return decode_wav(data)
 
 
@@ -607,7 +715,8 @@ def real_features(data: bytes) -> list[float]:
     if data[:2] == b"\xff\xd8":
         return image_features(data)
     raise ValueError("unsupported media container (BMP, gray8 PNG, "
-                     "baseline JPEG, PCM16 WAV, IMA-ADPCM WAV, "
+                     "baseline + progressive JPEG, PCM16 WAV, "
+                     "IMA-ADPCM WAV, G.711 u-law/A-law WAV, "
                      "uncompressed-DIB AVI and MJPG AVI are the decoders "
                      "available without optional codec deps)")
 
@@ -1503,6 +1612,19 @@ def synth_jpeg_prog_payload(text: str) -> bytes:
     machinery (DC/AC first + refinement passes, EOB-run codes)."""
     return encode_jpeg_progressive(
         _flat_block_raster(list(md5_expand(text, 4))), JPEG_DIM, JPEG_DIM)
+
+
+G711_N_CODES = 32  # two md5 blocks' worth of 8-bit codes
+
+
+def synth_g711_payload(doc_id: int, text: str) -> bytes:
+    """Deterministic G.711 WAV payload (gate input builder, mirrored
+    closed-form by the media_features_g711 oracle): the 8-bit code stream
+    IS md5_expand(text, 32); even doc_id -> µ-law, odd -> A-law. The
+    decoder still runs the full real path (RIFF walk, fmt 6/7 parse,
+    segment/mantissa expansion per code)."""
+    law = "ulaw" if doc_id % 2 == 0 else "alaw"
+    return build_wav_g711(md5_expand(text, G711_N_CODES), law, 8000)
 
 
 IMA_N_NIBBLES = 32  # one md5 hex string's worth -> 33 decoded samples

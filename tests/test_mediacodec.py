@@ -478,3 +478,88 @@ def test_jpeg_progressive_real_features_seam():
     text = "seam check"
     assert (real_features(synth_jpeg_prog_payload(text))
             == real_features(synth_jpeg_payload(text)))
+
+
+# ------------------------------------------------ G.711 µ-law / A-law WAV
+
+def test_g711_canonical_expansion_points():
+    """Pin the CCITT reference expansions: segment extremes, zero codes,
+    and the sign convention for both laws."""
+    from nlp_lib_spark.operators.mediacodec import (g711_alaw_to_linear,
+                                                    g711_ulaw_to_linear)
+    assert g711_ulaw_to_linear(0x00) == -32124
+    assert g711_ulaw_to_linear(0x80) == 32124
+    assert g711_ulaw_to_linear(0xFF) == 0 == g711_ulaw_to_linear(0x7F)
+    assert g711_alaw_to_linear(0x55) == -8
+    assert g711_alaw_to_linear(0xD5) == 8
+    assert g711_alaw_to_linear(0x2A) == -32256
+    assert g711_alaw_to_linear(0xAA) == 32256
+
+
+def test_g711_code_idempotence_and_full_table_roundtrip():
+    """encode(decode(code)) == code for every one of the 256 codes of
+    both laws (expansions are unique per law except the µ-law ±0 pair,
+    where the tie rule picks the smaller code deterministically)."""
+    from nlp_lib_spark.operators.mediacodec import (_g711_table,
+                                                    decode_wav_g711,
+                                                    encode_wav_g711)
+    for law in ("ulaw", "alaw"):
+        tab = _g711_table(law)
+        wav = encode_wav_g711(tab, law)
+        rate, dec = decode_wav_g711(wav)
+        assert (rate, dec) == (8000, tab)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+       st.sampled_from(["ulaw", "alaw"]))
+def test_g711_roundtrip_quantization_bound(samples, law):
+    """Companding error is bounded by half the top segment's step (the
+    optimal quantizer picks the nearest codeword)."""
+    from nlp_lib_spark.operators.mediacodec import (decode_audio,
+                                                    encode_wav_g711)
+    rate, dec = decode_audio(encode_wav_g711(samples, law))
+    assert rate == 8000 and len(dec) == len(samples)
+    bound = 512 if law == "alaw" else 1024  # half of the top-segment step
+    for s, d in zip(samples, dec):
+        # clipping at the code range extremes dominates near ±32767
+        lim = 32256 if law == "alaw" else 32124
+        if abs(s) > lim:
+            assert abs(d) == lim and (s >= 0) == (d >= 0)
+        else:
+            assert abs(s - d) <= bound, (s, d)
+
+
+def test_g711_rejects_garbage_and_wrong_layout():
+    from nlp_lib_spark.operators.mediacodec import (build_wav_g711,
+                                                    decode_wav_g711,
+                                                    encode_wav)
+    with pytest.raises(ValueError):
+        decode_wav_g711(b"not a wav")
+    with pytest.raises(ValueError):
+        decode_wav_g711(encode_wav([0, 1, 2]))  # PCM16 fmt tag
+    good = build_wav_g711(bytes(range(32)), "ulaw")
+    bad = good.replace(b"data", b"datx")
+    with pytest.raises(ValueError):
+        decode_wav_g711(bad)
+
+
+def test_g711_synth_matches_oracle_model_and_dispatch():
+    """synth_g711_payload decodes to the closed-form table lookups over
+    md5_expand bytes — the property the gate oracle recomputes in SQL —
+    and real_features dispatches it through the audio path."""
+    from nlp_lib_spark.operators.mediacodec import (_g711_table,
+                                                    decode_audio,
+                                                    real_features,
+                                                    synth_g711_payload)
+    text = "the quick brown fox"
+    for did, law in ((0, "ulaw"), (1, "alaw")):
+        payload = synth_g711_payload(did, text)
+        assert len(payload) == 90  # the gate oracle's n_bytes constant
+        rate, dec = decode_audio(payload)
+        exp = [_g711_table(law)[b] for b in md5_expand(text, 32)]
+        assert (rate, dec) == (8000, exp)
+        feats = real_features(payload)
+        assert feats[:5] == [8000.0, 32.0, float(min(exp)), float(max(exp)),
+                             float(sum(abs(v) for v in exp))]
+        assert feats[5:] == [float(v) for v in exp[:16]]
