@@ -1662,6 +1662,65 @@ def q_media_features_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("feature_sig")))
 
 
+@gate("media_features_gif", oracle="""
+WITH hx AS (
+  SELECT doc_id, md5(text) || md5(text || ':1') || md5(text || ':2')
+         || md5(text || ':3') AS h
+  FROM documents
+), b AS (
+  SELECT doc_id, g.k AS k,
+         (strpos('0123456789abcdef', substr(h, 2*g.k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 2*g.k + 2, 1)) - 1 AS v
+  FROM hx, generate_series(0, 63) AS g(k)
+), px AS (
+  SELECT doc_id, list(v ORDER BY k) AS p,
+         min(v) AS mn, max(v) AS mx, sum(v) AS sm
+  FROM b GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'image' AS kind,
+       array_to_string([8, 8, mn, mx, sm] ||
+         list_transform(generate_series(0, 15), t ->
+           p[(t // 4) * 16 + (t % 4) * 2 + 1]), ',') AS feature_sig
+FROM px
+""")
+def q_media_features_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode: documents become genuine 8x8 GIF89a containers
+    (256-entry gray palette, Graphic Control Extension block, variable-
+    width LSB-first LZW; odd-length texts encode interlaced so the 4-pass
+    row order runs on both codec sides), and extract_media_features
+    (mode="real") performs an actual decode — header/LSD/color-table walk,
+    extension-chain skip, sub-block reassembly, giflib-conformant LZW with
+    late width growth and KwKwK (operators/mediacodec.decode_gif; cross-
+    checked pixel-exact against the SYSTEM giflib in both directions by
+    tests/test_mediacodec.py) — plus the 4x4 nearest-neighbor resize. LZW
+    is lossless, so the oracle recomputes the pixel statistics closed-form
+    from the md5-expansion raster (same contract as media_features_png);
+    n_bytes is excluded: compressed size is an encoder choice, not part of
+    the data contract."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_gif_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "image", synth_gif_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
 @gate("media_frames_avi", oracle="""
 WITH fr AS (SELECT unnest([0, 2]) AS f),
 hx AS (
@@ -1706,6 +1765,68 @@ def q_media_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         for pdf in batches:
             rows = [(int(d), "video", synth_avi_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (frame_sample(media, every_n=2, mode="real")
+            .select("media_id", "frame_idx",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
+@gate("media_frames_gif", oracle="""
+WITH fr AS (SELECT unnest([0, 2]) AS f),
+hx AS (
+  SELECT doc_id, fr.f AS f,
+         md5(text || '#g' || CAST(fr.f AS VARCHAR))
+         || md5(text || '#g' || CAST(fr.f AS VARCHAR) || ':1')
+         || md5(text || '#g' || CAST(fr.f AS VARCHAR) || ':2')
+         || md5(text || '#g' || CAST(fr.f AS VARCHAR) || ':3') AS h
+  FROM documents, fr
+), b AS (
+  SELECT doc_id, f, g.k AS k,
+         (strpos('0123456789abcdef', substr(h, 2*g.k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 2*g.k + 2, 1)) - 1 AS v
+  FROM hx, generate_series(0, 63) AS g(k)
+), px AS (
+  SELECT doc_id, f, list(v ORDER BY k) AS p,
+         min(v) AS mn, max(v) AS mx, sum(v) AS sm
+  FROM b GROUP BY doc_id, f
+)
+SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+       array_to_string([8, 8, mn, mx, sm] ||
+         list_transform(generate_series(0, 15), t ->
+           p[(t // 4) * 16 + (t % 4) * 2 + 1]), ',') AS feature_sig
+FROM px
+""")
+def q_media_frames_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL animated-GIF frame sampling (round 5, third video container
+    beside DIB-AVI and Motion-JPEG): documents become genuine multi-frame
+    GIF89a animations (4 full-screen 8x8 frames, frame k's raster =
+    md5_expand(text#gk, 64), odd frames interlaced, NETSCAPE2.0 looping
+    app extension in the chain), and frame_sample(mode="real") performs
+    an actual demux — header/screen walk, app+graphic-control extension
+    chains, per-frame local-table/interlace handling, per-frame LZW
+    decode (operators/mediacodec.decode_gif_anim; cross-checked frame-
+    exact against the SYSTEM giflib by tests/test_mediacodec.py) —
+    sampling every 2nd frame with per-frame stats + 4x4 resize. LZW is
+    lossless, so the oracle recomputes every sampled frame closed-form
+    from the per-frame md5 expansions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_gif_anim_payload
+    from nlp_lib_spark.operators.multimodal import frame_sample
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "video", synth_gif_anim_payload(t))
                     for d, t in zip(pdf["doc_id"], pdf["text"])]
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
@@ -1898,6 +2019,111 @@ def q_media_features_ima(spark: SparkSession, sf_dir: str) -> DataFrame:
     def synth(batches):
         for pdf in batches:
             rows = [(int(d), "audio", synth_ima_payload(t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind", "n_bytes",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
+def _media_msadpcm_oracle_sql() -> str:
+    """Recursive-CTE replay of the MS-ADPCM two-tap predictor machine:
+    the synthetic block's nibble stream is md5(text)'s 32 hex digits and
+    the header (predictor index, delta, two seed samples) comes from
+    md5(text || ':m') bytes, so the decoded samples are closed-form from
+    the same strings. The coefficient/adaptation tables interpolate from
+    operators/mediacodec.MS_COEF1/MS_COEF2/MS_ADAPT — one source for
+    decoder and oracle. The spec's C signed division truncates toward
+    zero; DuckDB's // does too (verified), so the oracle uses it
+    directly, while the Python decoder spells the truncation out — two
+    different spellings of the same arithmetic agreeing under the hash."""
+    from nlp_lib_spark.operators.mediacodec import (MS_ADAPT, MS_COEF1,
+                                                    MS_COEF2)
+    adapt = "[" + ", ".join(str(v) for v in MS_ADAPT) + "]"
+    c1t = "[" + ", ".join(str(v) for v in MS_COEF1) + "]"
+    c2t = "[" + ", ".join(str(v) for v in MS_COEF2) + "]"
+    hexpos = "strpos('0123456789abcdef', substr({s}, {i}, 1)) - 1"
+    hb = [hexpos.format(s="md5(text || ':m')", i=i + 1) for i in range(14)]
+    byte = ["(" + hb[2 * i] + ") * 16 + " + hb[2 * i + 1]
+            for i in range(7)]
+    return f"""
+WITH RECURSIVE hx AS (
+  SELECT doc_id, md5(text) AS h,
+         ({byte[0]}) AS b0, ({byte[1]}) AS b1, ({byte[2]}) AS b2,
+         ({byte[3]}) AS b3, ({byte[4]}) AS b4, ({byte[5]}) AS b5,
+         ({byte[6]}) AS b6
+  FROM documents
+), hdr AS (
+  SELECT doc_id, h,
+         16 + (b1 * 256 + b2) % 30000 AS delta0,
+         b3 * 256 + b4 - 32768 AS s1_0,
+         b5 * 256 + b6 - 32768 AS s2_0,
+         ({c1t})[b0 % 7 + 1] AS c1,
+         ({c2t})[b0 % 7 + 1] AS c2
+  FROM hx
+), st(doc_id, k, s1, s2, delta) AS (
+  SELECT doc_id, 0, s1_0, s2_0, delta0 FROM hdr
+  UNION ALL
+  SELECT doc_id, k + 1,
+         greatest(-32768, least(32767,
+             (s1 * c1 + s2 * c2) // 256
+             + (CASE WHEN n >= 8 THEN n - 16 ELSE n END) * delta)),
+         s1,
+         greatest(16, (({adapt})[n + 1] * delta) // 256)
+  FROM (
+    SELECT s.doc_id, s.k, s.s1, s.s2, s.delta, hdr.c1, hdr.c2,
+           {hexpos.format(s="hdr.h", i="s.k + 1")} AS n
+    FROM st s JOIN hdr ON hdr.doc_id = s.doc_id
+    WHERE s.k < 32
+  )
+), samples AS (
+  SELECT doc_id, 0 AS j, s2_0 AS v FROM hdr
+  UNION ALL
+  SELECT doc_id, k + 1 AS j, s1 AS v FROM st
+), px AS (
+  SELECT doc_id, list(v ORDER BY j) AS s FROM samples GROUP BY doc_id
+)
+SELECT doc_id AS media_id, 'audio' AS kind, 113 AS n_bytes,
+       array_to_string([8000, 34, list_min(s), list_max(s),
+         list_sum(list_transform(s, x -> abs(x)))] || s[1:16], ',')
+       AS feature_sig
+FROM px
+"""
+
+
+@gate("media_features_msadpcm", oracle=_media_msadpcm_oracle_sql())
+def q_media_features_msadpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MS-ADPCM decode (round 5, completing the classic compressed-
+    WAV family beside IMA and G.711): documents become genuine
+    wFormatTag-0x0002 WAV files (one block whose nibble stream is
+    md5(text)'s hex digits, header state from md5(text || ':m')), and
+    extract_media_features(mode="real") runs the full real path — RIFF
+    chunk walk, MS-ADPCM fmt parse including the 7-pair coefficient
+    table, 7-byte block header, high-nibble-first unpack, and the
+    two-tap predictor + delta-adaptation machine per nibble
+    (operators/mediacodec.decode_wav_msadpcm; decoder certified against
+    an independent spec transliteration by tests/test_mediacodec.py).
+    The oracle replays the machine with a recursive CTE over the same
+    tables, so a hash match proves all 34 decoded samples byte-exactly;
+    the true sample ENCODER (7-predictor scorer + greedy quantizer) is
+    certified by the pytest round-trip suite."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_msadpcm_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "audio", synth_msadpcm_payload(t))
                     for d, t in zip(pdf["doc_id"], pdf["text"])]
             yield pd.DataFrame(rows,
                                columns=["media_id", "kind", "payload"])
@@ -4787,10 +5013,13 @@ def _media_suite_composite() -> None:
     fake-decode path (schema/partitioning plumbing), the real BMP/WAV
     stdlib decoders, the real IMA-ADPCM compressed-audio decoder (RIFF
     walk + 4-bit step machine, round 5), the real G.711 µ-law/A-law
-    companded-audio decoder (round 5), the real PNG decoder (zlib
-    inflate + scanline defilter), and the real baseline + progressive
-    JPEG decoders (Huffman + dequant + IDCT; multi-scan successive
-    approximation), tagged by codec. media_features_png /
+    companded-audio decoder (round 5), the real MS-ADPCM two-tap
+    predictor decoder (fmt 0x0002, round 5), the real PNG decoder (zlib
+    inflate + scanline defilter), the real GIF87a/89a LZW decoder
+    (giflib-conformant variable-width codes, interlace, deferred
+    clears, round 5), and the real baseline + progressive JPEG decoders
+    (Huffman + dequant + IDCT; multi-scan successive approximation),
+    tagged by codec. media_features_png / media_features_gif /
     media_features_jpeg(_prog) have no n_bytes column (compressed size
     is build-/data-dependent); they pad a constant -1 on BOTH sides."""
 
@@ -4804,8 +5033,12 @@ def _media_suite_composite() -> None:
             .select(F.lit("ima").alias("codec"), "*")
         g711 = QUERIES["media_features_g711"](spark, sf_dir) \
             .select(F.lit("g711").alias("codec"), "*")
-        out = fake.unionByName(real).unionByName(ima).unionByName(g711)
+        msa = QUERIES["media_features_msadpcm"](spark, sf_dir) \
+            .select(F.lit("msadpcm").alias("codec"), "*")
+        out = (fake.unionByName(real).unionByName(ima)
+               .unionByName(g711).unionByName(msa))
         for codec, member in (("png", "media_features_png"),
+                              ("gif", "media_features_gif"),
                               ("jpeg", "media_features_jpeg"),
                               ("jpegp", "media_features_jpeg_prog")):
             out = out.unionByName(
@@ -4818,8 +5051,9 @@ def _media_suite_composite() -> None:
     QUERIES["media_suite"] = fn
     COMPOSITE_MEMBERS["media_suite"] = (
         "media_features", "media_features_real", "media_features_ima",
-        "media_features_g711", "media_features_png", "media_features_jpeg",
-        "media_features_jpeg_prog")
+        "media_features_g711", "media_features_msadpcm",
+        "media_features_png", "media_features_gif",
+        "media_features_jpeg", "media_features_jpeg_prog")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
 ) m
@@ -4833,8 +5067,15 @@ UNION ALL
 SELECT 'g711' AS codec, m.* FROM ({ORACLES["media_features_g711"]}
 ) m
 UNION ALL
+SELECT 'msadpcm' AS codec, m.* FROM ({ORACLES["media_features_msadpcm"]}
+) m
+UNION ALL
 SELECT 'png' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
        feature_sig FROM ({ORACLES["media_features_png"]}
+) m
+UNION ALL
+SELECT 'gif' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
+       feature_sig FROM ({ORACLES["media_features_gif"]}
 ) m
 UNION ALL
 SELECT 'jpeg' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
@@ -4849,11 +5090,12 @@ SELECT 'jpegp' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
 
 _media_suite_composite()
 
-# Video frame sampling: uncompressed-DIB demux and Motion-JPEG (full
+# Video frame sampling: uncompressed-DIB, animated-GIF and Motion-JPEG (full
 # per-frame JPEG decode) under one gate, tagged by container codec.
 union_composite("media_frames", "codec", {
     "dib": "media_frames_avi",
     "mjpeg": "media_frames_mjpeg",
+    "gif": "media_frames_gif",
 })
 
 
@@ -4884,8 +5126,8 @@ _GATE_ORDER = [
     "doc_stats",          # quality + lang-ID + token counts + fingerprint
                           # + MinHash signatures + SimHash (join on doc_id)
     "kg_base",            # transcripts derivation + sentence splitter
-    "media_suite",        # fake + real BMP/WAV + real PNG + real JPEG
-    "media_frames",       # DIB-AVI demux + Motion-JPEG frame decode
+    "media_suite",        # fake + real BMP/WAV/ADPCM/G.711/PNG/GIF/JPEG
+    "media_frames",       # DIB-AVI + Motion-JPEG + animated-GIF demux
     "kg_link_tfidf_all",  # broadcast + distributed TF-IDF linking tiers
     "kg_triples_all",     # flagship batch plan + streaming drain
     # -- round-3/4 gates ---------------------------------------------------
@@ -4914,9 +5156,10 @@ _GATE_ORDER = [
     "dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm",
     "kg_link_tfidf", "kg_link_tfidf_dist",
     "media_features_real", "media_features_ima", "media_features_g711",
-    "media_features_png",
+    "media_features_msadpcm", "media_features_png", "media_features_gif",
     "media_features_jpeg", "media_features_jpeg_prog",
     "media_features", "media_frames_avi", "media_frames_mjpeg",
+    "media_frames_gif",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",

@@ -249,8 +249,10 @@ def decode_image(data: bytes) -> tuple[int, int, list[int]]:
         return decode_png(data)
     if data[:2] == b"\xff\xd8":
         return decode_jpeg(data)
+    if data[:4] == b"GIF8":
+        return decode_gif(data)
     raise ValueError(
-        "unsupported image container (BMP / gray8 PNG / baseline JPEG)")
+        "unsupported image container (BMP / gray8 PNG / GIF / JPEG)")
 
 
 # --------------------------------------------------- AVI (uncompressed 'DIB ')
@@ -397,8 +399,12 @@ def encode_mjpeg_avi(frames: list[list[int]], width: int, height: int,
 def frame_features(data: bytes, every_n: int = 1) -> list[tuple[int, list[float]]]:
     """Demux + sample every ``every_n``-th frame -> per-frame feature rows
     (frame_idx, [w, h, min, max, sum] + 4x4 nearest-neighbor resize) — the
-    same feature contract as still images, per sampled frame."""
-    w, h, frames = decode_avi(data)
+    same feature contract as still images, per sampled frame. Container
+    dispatch by magic: RIFF AVI (DIB / Motion-JPEG) or animated GIF."""
+    if data[:4] == b"GIF8":
+        w, h, frames = decode_gif_anim(data)
+    else:
+        w, h, frames = decode_avi(data)
     out = []
     for k in range(0, len(frames), every_n):
         gray = frames[k]
@@ -688,9 +694,159 @@ def decode_wav_g711(data: bytes) -> tuple[int, list[int]]:
     return rate, [tab[b] for b in codes]
 
 
+# --------------------------------------------- MS ADPCM WAV (format 0x0002)
+# The OTHER classic 4-bit WAV ADPCM (wFormatTag 0x0002, Microsoft's own):
+# unlike IMA's fixed step table, MS-ADPCM predicts each sample from the
+# previous TWO through one of seven coefficient pairs chosen per block,
+# then adapts a per-block delta through a 16-entry multiplier table
+# ("Multimedia Data Standards Update" pseudocode; same algorithm ffmpeg's
+# adpcm_ms implements). The spec's arithmetic is C signed division, which
+# TRUNCATES toward zero — Python's // floors, so the predictor division
+# is spelled out; DuckDB's // truncates like C, so the gate oracle can
+# use it directly (two different spellings of the same arithmetic).
+# Reference NLP-Lib is text-only Java with no media path (SURVEY §2);
+# this implements the engine's multimodal contract like the IMA/G.711
+# decoders above it.
+
+MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+            768, 614, 512, 409, 307, 230, 230, 230)
+MS_COEF1 = (256, 512, 0, 192, 240, 460, 392)
+MS_COEF2 = (0, -256, 0, 64, 0, -208, -232)
+
+
+def _trunc_div_256(a: int) -> int:
+    # C-style signed-division semantics for the spec's `/ 256`
+    return -((-a) >> 8) if a < 0 else a >> 8
+
+
+def _ms_decode_nibble(n: int, s1: int, s2: int, delta: int,
+                      c1: int, c2: int) -> tuple[int, int]:
+    """One MS-ADPCM step: predict from the two prior samples through the
+    block's coefficient pair, add the signed-nibble error scaled by the
+    current delta, clamp, then adapt delta (floor 16)."""
+    pred = _trunc_div_256(s1 * c1 + s2 * c2)
+    signed = n - 16 if n >= 8 else n
+    pred = max(-32768, min(32767, pred + signed * delta))
+    delta = (MS_ADAPT[n] * delta) >> 8
+    if delta < 16:
+        delta = 16
+    return pred, delta
+
+
+def build_wav_msadpcm_block(pred_idx: int, delta0: int, s1: int, s2: int,
+                            nibbles: list[int], rate: int = 8000) -> bytes:
+    """Assemble a mono MS-ADPCM WAV holding ONE block with the given
+    7-byte header (predictor index, initial delta, the two seed samples)
+    and nibble stream, HIGH nibble first per the spec (the gate's
+    synthetic payload path — the nibbles come straight from md5 hex
+    digits there). The fmt chunk carries the canonical 7-pair coefficient
+    table in its extra bytes as the spec requires."""
+    if not 0 <= pred_idx < 7:
+        raise ValueError("predictor index out of 0..6")
+    if len(nibbles) % 2:
+        raise ValueError("nibble count must be even (2 per data byte)")
+    data = bytes((nibbles[2 * j] << 4) | nibbles[2 * j + 1]
+                 for j in range(len(nibbles) // 2))
+    block = struct.pack("<Bhhh", pred_idx, delta0, s1, s2) + data
+    samples_per_block = len(nibbles) + 2
+    block_align = 7 + len(data)
+    coefs = b"".join(struct.pack("<hh", MS_COEF1[i], MS_COEF2[i])
+                     for i in range(7))
+    fmt = struct.pack("<HHIIHHHHH", 0x0002, 1, rate,
+                      rate * block_align // samples_per_block,
+                      block_align, 4, 4 + len(coefs),
+                      samples_per_block, 7) + coefs
+    fact = struct.pack("<I", samples_per_block)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<I", len(fact)) + fact
+            + b"data" + struct.pack("<I", len(block)) + block)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_msadpcm(data: bytes) -> tuple[int, list[int]]:
+    """Parse + decode a mono MS-ADPCM WAV -> (rate, samples). Each block
+    emits its two header seed samples (older first), then one sample per
+    nibble, high nibble first, through the coefficient pair the header's
+    predictor index selects from the fmt chunk's table."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    rate = block_align = None
+    coefs = None
+    blocks = None
+    for tag, off, size in _iter_riff(data, 12, 8 + struct.unpack(
+            "<I", data[4:8])[0]):
+        if tag == b"fmt ":
+            (fmt_tag, channels, rate, _br, block_align,
+             bits) = struct.unpack("<HHIIHH", data[off:off + 16])
+            if fmt_tag != 0x0002 or channels != 1 or bits != 4:
+                raise ValueError("unsupported MS-ADPCM WAV layout")
+            n_coef = struct.unpack("<H", data[off + 20:off + 22])[0]
+            coefs = [struct.unpack("<hh", data[off + 22 + 4 * i:
+                                              off + 26 + 4 * i])
+                     for i in range(n_coef)]
+        elif tag == b"data":
+            blocks = data[off:off + size]
+    if rate is None or blocks is None or coefs is None:
+        raise ValueError("missing fmt/data chunk")
+    samples: list[int] = []
+    for b0 in range(0, len(blocks), block_align):
+        block = blocks[b0:b0 + block_align]
+        pred_idx, delta, s1, s2 = struct.unpack("<Bhhh", block[:7])
+        if pred_idx >= len(coefs):
+            raise ValueError("corrupt block header (predictor index)")
+        c1, c2 = coefs[pred_idx]
+        samples.append(s2)
+        samples.append(s1)
+        for byte in block[7:]:
+            for n in (byte >> 4, byte & 0x0F):
+                pred, delta = _ms_decode_nibble(n, s1, s2, delta, c1, c2)
+                s2, s1 = s1, pred
+                samples.append(pred)
+    return rate, samples
+
+
+def encode_wav_msadpcm(samples: list[int], rate: int = 8000) -> bytes:
+    """PCM16 -> single-block mono MS-ADPCM WAV. Predictor selection is
+    the spec's shape (score all seven coefficient pairs on ideal
+    prediction error, keep the best), the initial delta seeds from the
+    mean residual, then each sample quantizes greedily while tracking the
+    DECODER's state — so decode(encode(x)) equals the encoder's own
+    simulation exactly (the property pytest pins), and tracks x within
+    quantizer error."""
+    if len(samples) < 2:
+        raise ValueError("need at least 2 samples")
+    best = None
+    for idx in range(7):
+        c1, c2 = MS_COEF1[idx], MS_COEF2[idx]
+        a1, a2 = samples[1], samples[0]
+        err = 0
+        for s in samples[2:]:
+            err += abs(s - _trunc_div_256(a1 * c1 + a2 * c2))
+            a2, a1 = a1, s
+        if best is None or err < best[0]:
+            best = (err, idx)
+    pred_idx = best[1]
+    c1, c2 = MS_COEF1[pred_idx], MS_COEF2[pred_idx]
+    n_rest = max(1, len(samples) - 2)
+    delta0 = max(16, min(32767, best[0] // (4 * n_rest)))
+    s2, s1, delta = samples[0], samples[1], delta0
+    nibbles = []
+    for s in samples[2:]:
+        pred = _trunc_div_256(s1 * c1 + s2 * c2)
+        n = max(-8, min(7, (s - pred) // delta)) & 0x0F
+        dec, delta = _ms_decode_nibble(n, s1, s2, delta, c1, c2)
+        s2, s1 = s1, dec
+        nibbles.append(n)
+    if len(nibbles) % 2:
+        nibbles.append(0)
+    return build_wav_msadpcm_block(pred_idx, delta0, samples[1],
+                                   samples[0], nibbles, rate)
+
+
 def decode_audio(data: bytes) -> tuple[int, list[int]]:
-    """WAV dispatch on wFormatTag: 0x0001 PCM16 (stdlib wave), 0x0006 /
-    0x0007 G.711 A-law / µ-law, or 0x0011 IMA ADPCM (own RIFF walks)."""
+    """WAV dispatch on wFormatTag: 0x0001 PCM16 (stdlib wave), 0x0002
+    MS ADPCM, 0x0006 / 0x0007 G.711 A-law / µ-law, or 0x0011 IMA ADPCM
+    (own RIFF walks)."""
     fmt_tag = None
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         for tag, off, _size in _iter_riff(data, 12, min(len(data), 64)):
@@ -699,6 +855,8 @@ def decode_audio(data: bytes) -> tuple[int, list[int]]:
                 break
     if fmt_tag == 0x0011:
         return decode_wav_ima(data)
+    if fmt_tag == 0x0002:
+        return decode_wav_msadpcm(data)
     if fmt_tag in (0x0006, 0x0007):
         return decode_wav_g711(data)
     return decode_wav(data)
@@ -706,7 +864,7 @@ def decode_audio(data: bytes) -> tuple[int, list[int]]:
 
 def real_features(data: bytes) -> list[float]:
     """Magic-byte dispatch for the real decode seam."""
-    if data[:2] == b"BM" or data[:8] == PNG_SIG:
+    if data[:2] == b"BM" or data[:8] == PNG_SIG or data[:4] == b"GIF8":
         return image_features(data)
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return audio_features(data)
@@ -714,11 +872,357 @@ def real_features(data: bytes) -> list[float]:
         return video_features(data)
     if data[:2] == b"\xff\xd8":
         return image_features(data)
-    raise ValueError("unsupported media container (BMP, gray8 PNG, "
+    raise ValueError("unsupported media container (BMP, gray8 PNG, GIF, "
                      "baseline + progressive JPEG, PCM16 WAV, "
-                     "IMA-ADPCM WAV, G.711 u-law/A-law WAV, "
+                     "IMA-ADPCM WAV, MS-ADPCM WAV, G.711 u-law/A-law WAV, "
                      "uncompressed-DIB AVI and MJPG AVI are the decoders "
                      "available without optional codec deps)")
+
+
+# --------------------------------------------------- GIF (87a/89a, LZW)
+# A real GIF codec in pure stdlib (same seam as the PNG/JPEG/ADPCM
+# decoders: reference NLP-Lib is text-only Java with no media path, so
+# this implements the engine's multimodal contract, cited at
+# operators/multimodal.py): the decoder walks the logical screen
+# descriptor, global/local color tables, 0x21 extension blocks
+# (sub-block chains), the image descriptor (including the 4-pass
+# interlace layout), and entropy-decodes the variable-width LSB-first
+# LZW code stream with code-width growth, the KwKwK case, and deferred
+# clear codes. Palette entries map to gray via integer ITU-R 601 luma
+# (exact identity on the encoder's (i,i,i) grayscale table). GIF's LZW
+# is lossless, so the gate oracle recomputes decoded pixels closed-form
+# from the md5-expansion raster, like media_features_png.
+
+def _gif_lzw_compress(indices: list[int], mcs: int,
+                      defer_clear: bool = False) -> bytes:
+    """Variable-width LZW, LSB-first (GIF appendix F): emits CLEAR up
+    front, giflib-conformant late width growth, table reset at
+    LZ_MAX_CODE. With defer_clear the encoder instead freezes the full
+    table and keeps emitting 12-bit codes — the spec-legal deferred-clear
+    stream shape some encoders produce, used to exercise the decoder's
+    tolerance for it."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(1 << mcs)}
+    nxt, width = eoi + 1, mcs + 1
+    emit(clear, width)
+    run: tuple[int, ...] = ()
+    for idx in indices:
+        if not 0 <= idx < (1 << mcs):
+            raise ValueError("palette index out of range")
+        cand = run + (idx,)
+        if cand in table:
+            run = cand
+            continue
+        emit(table[run], width)
+        # giflib's "late change": width grows AFTER the emission at which
+        # the next-assignable code (pre-insert) no longer fits — the first
+        # wider code on the wire is the one after that, not it
+        if nxt >= (1 << width) and width < 12:
+            width += 1
+        if nxt >= 4095:  # giflib clears at LZ_MAX_CODE; decoders also
+            if not defer_clear:  # survive deferred clears past this point
+                emit(clear, width)
+                table = {(i,): i for i in range(1 << mcs)}
+                nxt, width = eoi + 1, mcs + 1
+        else:
+            table[cand] = nxt
+            nxt += 1
+        run = (idx,)
+    if run:
+        emit(table[run], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decompress(data: bytes, mcs: int) -> list[int]:
+    """Inverse of _gif_lzw_compress, tolerant of deferred clear codes
+    (a conforming encoder may keep emitting 12-bit codes with a full
+    table instead of resetting — GIF89a spec, appendix F note)."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    pos = acc = nbits = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return eoi  # truncated stream: treat as end
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    table: dict[int, tuple[int, ...]] = {i: (i,) for i in range(1 << mcs)}
+    nxt, width = eoi + 1, mcs + 1
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            break
+        if code == clear:
+            table = {i: (i,) for i in range(1 << mcs)}
+            nxt, width = eoi + 1, mcs + 1
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif prev is not None and code == nxt:
+            entry = prev + (prev[0],)  # KwKwK: defined by this very output
+        else:
+            raise ValueError("corrupt LZW stream: undefined code")
+        out.extend(entry)
+        if prev is not None and nxt < 4096:
+            table[nxt] = prev + (entry[0],)
+            nxt += 1
+        # the decoder's insertions lag the encoder's by one code (it can
+        # only build entry k while reading code k+1), so checking the SAME
+        # nxt == 2^width threshold after its lagged insert lands exactly
+        # one read later than the encoder's post-emission check — i.e. the
+        # first wider read is the code after the encoder's first wider
+        # emission, which is giflib's RunningCode > MaxCode1 behavior
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    return out
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (start, step)
+
+
+def _gif_row_order(height: int, interlaced: bool) -> list[int]:
+    if not interlaced:
+        return list(range(height))
+    return [r for start, step in _GIF_INTERLACE_PASSES
+            for r in range(start, height, step)]
+
+
+def _gif_subblocks(payload: bytes) -> bytes:
+    """Chop a byte stream into GIF sub-blocks (<=255 bytes, length-prefixed,
+    0x00 terminator)."""
+    out = bytearray()
+    for i in range(0, len(payload), 255):
+        chunk = payload[i:i + 255]
+        out.append(len(chunk))
+        out.extend(chunk)
+    out.append(0)
+    return bytes(out)
+
+
+def encode_gif(gray: list[int], width: int, height: int,
+               interlaced: bool = False) -> bytes:
+    """Write a real GIF89a: logical screen descriptor, 256-entry grayscale
+    global color table ((i,i,i) so palette index == gray level), a Graphic
+    Control Extension (so decoders must walk 0x21 extension chains), one
+    image descriptor (optionally interlaced), LZW-compressed indices with
+    minimum code size 8."""
+    if len(gray) != width * height:
+        raise ValueError("pixel count != width*height")
+    rows = _gif_row_order(height, interlaced)
+    indices = [gray[r * width + c] & 0xFF
+               for r in rows for c in range(width)]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)          # GCT present, 8-bit color res, 256 entries
+    out += b"\x00\x00"        # background index, aspect ratio
+    for i in range(256):      # grayscale GCT
+        out += bytes((i, i, i))
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"   # GCE: no transparency
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+    out.append(0x40 if interlaced else 0x00)      # no LCT; interlace flag
+    out.append(8)                                 # LZW min code size
+    out += _gif_subblocks(_gif_lzw_compress(indices, 8))
+    out.append(0x3B)                              # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> tuple[int, int, list[int]]:
+    """Decode the first image of a GIF87a/89a to a gray raster: header +
+    logical-screen walk, global/local color tables, extension-block
+    skipping, interlace reordering, LZW decompression, and palette-to-gray
+    via integer ITU-R 601 luma (exact identity on (i,i,i) gray tables)."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a stream")
+    pos = 6
+    _sw, _sh = struct.unpack_from("<HH", data, pos)
+    packed, _bg, _aspect = data[pos + 4], data[pos + 5], data[pos + 6]
+    pos += 7
+    palette: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = [tuple(data[pos + 3 * i:pos + 3 * i + 3])
+                   for i in range(n)]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:                      # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:                      # extension: label + chain
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        _left, _top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if ipacked & 0x80:                     # local color table wins
+            n = 2 << (ipacked & 0x07)
+            palette = [tuple(data[pos + 3 * i:pos + 3 * i + 3])
+                       for i in range(n)]
+            pos += 3 * n
+        if not palette:
+            raise ValueError("GIF image with no color table")
+        mcs = data[pos]
+        pos += 1
+        payload = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            payload += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decompress(bytes(payload), mcs)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        luma = [(r * 299 + g * 587 + b * 114 + 500) // 1000
+                for r, g, b in palette]
+        gray = [0] * (w * h)
+        for out_r, src_r in enumerate(_gif_row_order(h, bool(ipacked & 0x40))):
+            for c in range(w):
+                gray[src_r * w + c] = luma[idx[out_r * w + c]]
+        return w, h, gray
+    raise ValueError("truncated GIF stream")
+
+
+# ------------------------------------------- animated GIF (multi-frame 89a)
+# Animated GIF as a VIDEO container at the frame_sample seam, beside the
+# DIB-AVI and Motion-JPEG demuxers: GIF89a files carrying several image
+# blocks, each preceded by a Graphic Control Extension (delay/disposal)
+# and optionally an application extension (NETSCAPE2.0 looping), each
+# frame independently interlaceable with its own local color table.
+# Scope is full-frame replacement (every image descriptor covers the
+# whole logical screen — disposal semantics never matter); partial-frame
+# composition raises loudly rather than decoding wrong pixels.
+
+def encode_gif_anim(frames: list[list[int]], width: int, height: int,
+                    delay_cs: int = 4) -> bytes:
+    """Write a real animated GIF89a: logical screen + grayscale GCT, a
+    NETSCAPE2.0 looping application extension (so decoders must walk
+    app-extension sub-block chains), then per frame a Graphic Control
+    Extension and a full-screen image block — odd frames interlaced so
+    the per-frame reorder path runs inside one file."""
+    if not frames:
+        raise ValueError("empty frame list")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out.append(0xF7)
+    out += b"\x00\x00"
+    for i in range(256):
+        out += bytes((i, i, i))
+    out += (b"\x21\xff\x0bNETSCAPE2.0"      # app extension: loop forever
+            b"\x03\x01\x00\x00\x00")
+    for k, gray in enumerate(frames):
+        if len(gray) != width * height:
+            raise ValueError("pixel count != width*height")
+        interlaced = bool(k % 2)
+        out += b"\x21\xf9\x04\x04" + struct.pack("<H", delay_cs) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out.append(0x40 if interlaced else 0x00)
+        out.append(8)
+        rows = _gif_row_order(height, interlaced)
+        idx = [gray[r * width + c] & 0xFF
+               for r in rows for c in range(width)]
+        out += _gif_subblocks(_gif_lzw_compress(idx, 8))
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_anim(data: bytes) -> tuple[int, int, list[list[int]]]:
+    """Demux + decode every frame of a GIF87a/89a -> (w, h, frames).
+    Walks the logical screen, global color table, all extension chains
+    (GCE, comment, application), and each image block with its own
+    optional local color table and interlace flag. Only full-screen
+    frames are supported (see module note); gray via integer ITU-R 601
+    luma like decode_gif."""
+    if data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise ValueError("not a GIF87a/GIF89a stream")
+    pos = 6
+    sw, sh = struct.unpack_from("<HH", data, pos)
+    packed = data[pos + 4]
+    pos += 7
+    gpal: list[tuple[int, int, int]] = []
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gpal = [tuple(data[pos + 3 * i:pos + 3 * i + 3]) for i in range(n)]
+        pos += 3 * n
+    frames: list[list[int]] = []
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            if not frames:
+                raise ValueError("GIF contains no image data")
+            return sw, sh, frames
+        if block == 0x21:
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left, top, w, h = struct.unpack_from("<HHHH", data, pos)
+        ipacked = data[pos + 8]
+        pos += 9
+        if (left, top, w, h) != (0, 0, sw, sh):
+            raise ValueError("partial-frame GIF composition unsupported")
+        pal = gpal
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            pal = [tuple(data[pos + 3 * i:pos + 3 * i + 3])
+                   for i in range(n)]
+            pos += 3 * n
+        if not pal:
+            raise ValueError("GIF image with no color table")
+        mcs = data[pos]
+        pos += 1
+        payload = bytearray()
+        while data[pos]:
+            ln = data[pos]
+            payload += data[pos + 1:pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decompress(bytes(payload), mcs)
+        if len(idx) < w * h:
+            raise ValueError("GIF pixel data truncated")
+        luma = [(r * 299 + g * 587 + b * 114 + 500) // 1000
+                for r, g, b in pal]
+        gray = [0] * (w * h)
+        for out_r, src_r in enumerate(
+                _gif_row_order(h, bool(ipacked & 0x40))):
+            for c in range(w):
+                gray[src_r * w + c] = luma[idx[out_r * w + c]]
+        frames.append(gray)
+    raise ValueError("truncated GIF stream")
 
 
 # ------------------------------------------------ JPEG (baseline DCT, gray)
@@ -1570,6 +2074,36 @@ def synth_png_payload(text: str) -> bytes:
                       PNG_DIM, PNG_DIM)
 
 
+GIF_DIM = 8       # synth GIF: 8x8 gray (64 bytes = 4 md5 blocks)
+
+
+def synth_gif_payload(text: str) -> bytes:
+    """Deterministic GIF payload (gate input builder, mirrored closed-form
+    by the media_features_gif oracle): 8x8 GIF89a whose raster is
+    md5_expand(text, 64); odd-length texts encode interlaced so the gate
+    corpus exercises the 4-pass row order on both sides of the codec.
+    LZW is lossless, so the oracle recomputes the decoded pixels straight
+    from the md5 bytes (same contract as media_features_png)."""
+    return encode_gif(list(md5_expand(text, GIF_DIM * GIF_DIM)),
+                      GIF_DIM, GIF_DIM, interlaced=bool(len(text) % 2))
+
+
+GIF_ANIM_FRAMES = 4   # synth animated GIF: 4 frames of 8x8
+
+
+def synth_gif_anim_payload(text: str) -> bytes:
+    """Deterministic animated-GIF payload (gate input builder, mirrored
+    closed-form by the media_frames_gif oracle): GIF_ANIM_FRAMES full-
+    screen 8x8 frames, frame k's raster = md5_expand(text + '#g' + k,
+    64); encode_gif_anim interlaces the odd frames, so the per-frame
+    reorder runs inside every payload. LZW is lossless, so the oracle
+    recomputes every sampled frame straight from the per-frame md5
+    expansions (same contract as media_frames_avi)."""
+    frames = [list(md5_expand(f"{text}#g{k}", GIF_DIM * GIF_DIM))
+              for k in range(GIF_ANIM_FRAMES)]
+    return encode_gif_anim(frames, GIF_DIM, GIF_DIM)
+
+
 def synth_avi_payload(text: str) -> bytes:
     """Deterministic AVI payload (gate input builder, mirrored closed-form
     by the media_frames_avi oracle): AVI_FRAMES frames of 8x4 gray, frame
@@ -1645,6 +2179,27 @@ def synth_ima_payload(text: str) -> bytes:
     pred0 = b[0] * 256 + b[1] - 32768
     idx0 = b[2] % 89
     return build_wav_ima_block(pred0, idx0, nibbles, 8000)
+
+
+def synth_msadpcm_payload(text: str) -> bytes:
+    """Deterministic MS-ADPCM WAV payload (gate input builder, mirrored
+    closed-form by the media_features_msadpcm oracle): the block's nibble
+    stream IS the 32 hex digits of md5(text) (high nibble first on the
+    wire), with the header (predictor index, initial delta, two seed
+    samples) derived from md5(text || ':m') bytes — so the 34 decoded
+    samples are a pure function of the md5 strings, which the DuckDB
+    oracle replays with a recursive CTE over the same coefficient/adapt
+    tables. The decoder still runs the full real path (RIFF walk, fmt
+    0x0002 parse incl. the coefficient table, 7-byte block header,
+    high-nibble-first unpack, two-tap predictor machine)."""
+    h = hashlib.md5(text.encode()).hexdigest()
+    nibbles = [int(c, 16) for c in h]
+    b = hashlib.md5((text + ":m").encode()).digest()
+    pred_idx = b[0] % 7
+    delta0 = 16 + (b[1] * 256 + b[2]) % 30000
+    s1 = b[3] * 256 + b[4] - 32768
+    s2 = b[5] * 256 + b[6] - 32768
+    return build_wav_msadpcm_block(pred_idx, delta0, s1, s2, nibbles, 8000)
 
 
 def synth_mjpeg_payload(text: str) -> bytes:

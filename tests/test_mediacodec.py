@@ -563,3 +563,316 @@ def test_g711_synth_matches_oracle_model_and_dispatch():
         assert feats[:5] == [8000.0, 32.0, float(min(exp)), float(max(exp)),
                              float(sum(abs(v) for v in exp))]
         assert feats[5:] == [float(v) for v in exp[:16]]
+
+
+# --------------------------------------------------------------- GIF (LZW)
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(1, 13), st.integers(1, 11), st.booleans(), st.data())
+def test_gif_roundtrip_any_dims(w, h, interlaced, data):
+    # h >= 5 with interlaced=True exercises all four interlace passes
+    from nlp_lib_spark.operators.mediacodec import decode_gif, encode_gif
+    gray = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                              max_size=w * h))
+    blob = encode_gif(gray, w, h, interlaced=interlaced)
+    assert blob[:6] == b"GIF89a" and blob[-1] == 0x3B
+    assert decode_gif(blob) == (w, h, gray)
+
+
+def test_gif_lzw_width_growth_and_table_reset_roundtrip():
+    """30k random indices force 9->10->11->12-bit code growth and a full
+    4096-entry table reset; the low-entropy tail stresses KwKwK chains.
+    Also proves the deferred-clear stream shape (spec-legal: the encoder
+    freezes the full table instead of clearing) decodes identically."""
+    import random
+
+    from nlp_lib_spark.operators.mediacodec import (_gif_lzw_compress,
+                                                    _gif_lzw_decompress)
+    rng = random.Random(31337)
+    seq = ([rng.randrange(256) for _ in range(30000)]
+           + [5, 9] * 2000 + [5] * 1000)
+    for defer in (False, True):
+        blob = _gif_lzw_compress(seq, 8, defer_clear=defer)
+        assert _gif_lzw_decompress(blob, 8) == seq
+    for mcs in (2, 3, 4):  # small-palette widths start below 9 bits
+        small = [rng.randrange(1 << mcs) for _ in range(8000)]
+        assert _gif_lzw_decompress(
+            _gif_lzw_compress(small, mcs), mcs) == small
+
+
+def test_gif_rejects_garbage_and_truncation():
+    from nlp_lib_spark.operators.mediacodec import decode_gif, encode_gif
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF88a" + b"\x00" * 20)
+    blob = encode_gif(list(range(16)), 4, 4)
+    with pytest.raises(ValueError):
+        decode_gif(blob[:20] + b"\x3b")  # trailer before any image
+    # corrupt LZW: an undefined code past the assigned range
+    body = bytearray(blob)
+    body[-4] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_gif(bytes(body))
+
+
+def test_gif_synth_matches_oracle_model_and_dispatch():
+    """synth_gif_payload (interlaced for odd-length text) decodes back to
+    the md5_expand raster — the closed-form property the media_features_gif
+    oracle recomputes in SQL — and dispatches through decode_image and
+    real_features."""
+    from nlp_lib_spark.operators.mediacodec import (GIF_DIM, decode_image,
+                                                    synth_gif_payload)
+    for text in ("hello", "four"):  # odd -> interlaced, even -> sequential
+        payload = synth_gif_payload(text)
+        exp = list(md5_expand(text, GIF_DIM * GIF_DIM))
+        assert decode_image(payload) == (GIF_DIM, GIF_DIM, exp)
+        feats = real_features(payload)
+        assert feats[:5] == [8.0, 8.0, float(min(exp)), float(max(exp)),
+                             float(sum(exp))]
+        # 4x4 nearest-neighbor resize of the 8x8 raster
+        assert feats[5:] == [float(exp[(t // 4) * 16 + (t % 4) * 2])
+                             for t in range(16)]
+
+
+def test_gif_conformance_against_system_giflib():
+    """Cross-implementation conformance: encode_gif streams decode
+    pixel-exactly under the SYSTEM giflib (the reference C decoder),
+    including interlaced layout and >4096-entry streams that cross every
+    code-width boundary and a table clear; and decode_gif exactly decodes
+    giflib-ENCODED files (foreign LZW emission order)."""
+    import random
+
+    from tests.giflib_ref import (AVAILABLE, giflib_decode_gray,
+                                  giflib_encode_gray)
+
+    from nlp_lib_spark.operators.mediacodec import decode_gif, encode_gif
+    if not AVAILABLE:
+        pytest.skip("system giflib not present")
+    rng = random.Random(99)
+    big = [rng.randrange(256) for _ in range(150 * 200)]
+    for name, px, w, h, il in [
+        ("seq", big, 150, 200, False),
+        ("int", big, 150, 200, True),
+        ("runs", (([5] * 997 + [9] * 1003) * 6)[:100 * 120], 100, 120,
+         False),
+    ]:
+        path = f"/tmp/test_gifref_{name}.gif"
+        with open(path, "wb") as f:
+            f.write(encode_gif(px, w, h, interlaced=il))
+        assert giflib_decode_gray(path) == (w, h, px), name
+    foreign = "/tmp/test_gifref_foreign.gif"
+    giflib_encode_gray(foreign, big, 150, 200)
+    with open(foreign, "rb") as f:
+        assert decode_gif(f.read()) == (150, 200, big)
+
+
+# ------------------------------------------------------------- MS ADPCM
+
+def _ms_spec_decode_block(pred_idx, delta, s1, s2, nibbles):
+    """Independent literal transliteration of the MS 'Multimedia Data
+    Standards Update' ADPCM decode pseudocode (float division + trunc =
+    the C signed-division semantics), kept deliberately different in
+    shape from mediacodec's integer form."""
+    import math
+
+    from nlp_lib_spark.operators.mediacodec import (MS_ADAPT, MS_COEF1,
+                                                    MS_COEF2)
+    c1, c2 = MS_COEF1[pred_idx], MS_COEF2[pred_idx]
+    out = [s2, s1]
+    for n in nibbles:
+        lPredSample = int(math.trunc((s1 * c1 + s2 * c2) / 256))
+        iErrorDelta = n - 16 if n & 8 else n
+        lNewSample = lPredSample + delta * iErrorDelta
+        lNewSample = max(-32768, min(32767, lNewSample))
+        delta = int(math.trunc(delta * MS_ADAPT[n] / 256))
+        if delta < 16:
+            delta = 16
+        s2, s1 = s1, lNewSample
+        out.append(lNewSample)
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(0, 6), st.integers(16, 16000),
+       st.integers(-32768, 32767), st.integers(-32768, 32767), st.data())
+def test_msadpcm_decoder_matches_spec_transliteration(pred_idx, delta,
+                                                      s1, s2, data):
+    from nlp_lib_spark.operators.mediacodec import (
+        build_wav_msadpcm_block, decode_wav_msadpcm)
+    nibbles = data.draw(st.lists(st.integers(0, 15), min_size=2,
+                                 max_size=60).filter(
+                                     lambda v: len(v) % 2 == 0))
+    blob = build_wav_msadpcm_block(pred_idx, delta, s1, s2, nibbles)
+    assert decode_wav_msadpcm(blob) == (
+        8000, _ms_spec_decode_block(pred_idx, delta, s1, s2, nibbles))
+
+
+def test_msadpcm_roundtrip_tracks_smooth_signal():
+    """Encoder fidelity: decode(encode(x)) tracks a +/-15k two-tone sine
+    within a small fraction of peak (the two-tap predictor's design
+    point), and the blob is a well-formed single-block WAV."""
+    import math
+
+    from nlp_lib_spark.operators.mediacodec import (decode_wav_msadpcm,
+                                                    encode_wav_msadpcm)
+    sig = [int(12000 * math.sin(i / 9) + 3000 * math.sin(i / 3))
+           for i in range(400)]
+    blob = encode_wav_msadpcm(sig)
+    assert blob[:4] == b"RIFF" and blob[8:12] == b"WAVE"
+    rate, dec = decode_wav_msadpcm(blob)
+    assert rate == 8000 and dec[:2] == sig[:2]
+    err = sum(abs(a - b) for a, b in zip(sig, dec)) / len(sig)
+    assert err / max(abs(v) for v in sig) < 0.05
+
+
+def test_msadpcm_multi_block_state_resets():
+    """Two concatenated blocks decode independently: block 2's samples
+    equal a fresh single-block decode of the same header+nibbles."""
+    import struct
+
+    from nlp_lib_spark.operators.mediacodec import (
+        build_wav_msadpcm_block, decode_wav_msadpcm)
+    b1 = build_wav_msadpcm_block(1, 500, 1000, -1000, [7, 8, 15, 0])
+    b2 = build_wav_msadpcm_block(4, 64, -99, 99, [1, 2, 3, 4])
+    # splice block 2's data block after file 1's (same block_align)
+    d1 = b1[b1.index(b"data") + 8:]
+    d2 = b2[b2.index(b"data") + 8:]
+    merged_file = bytearray(
+        b1[:b1.index(b"data")] + b"data"
+        + struct.pack("<I", len(d1) + len(d2)) + d1 + d2)
+    merged_file[4:8] = struct.pack("<I", len(merged_file) - 8)
+    _, merged = decode_wav_msadpcm(bytes(merged_file))
+    _, solo1 = decode_wav_msadpcm(b1)
+    _, solo2 = decode_wav_msadpcm(b2)
+    assert merged == solo1 + solo2
+
+
+def test_msadpcm_rejects_garbage_and_corrupt_header():
+    from nlp_lib_spark.operators.mediacodec import (
+        build_wav_msadpcm_block, decode_wav_msadpcm)
+    with pytest.raises(ValueError):
+        decode_wav_msadpcm(b"RIFFxxxxAVI LIST")
+    with pytest.raises(ValueError):
+        build_wav_msadpcm_block(7, 16, 0, 0, [0, 0])  # predictor > 6
+    with pytest.raises(ValueError):
+        build_wav_msadpcm_block(0, 16, 0, 0, [1, 2, 3])  # odd nibbles
+    blob = bytearray(build_wav_msadpcm_block(0, 16, 0, 0, [0, 0]))
+    blob[blob.index(b"data") + 8] = 9  # block predictor index past table
+    with pytest.raises(ValueError):
+        decode_wav_msadpcm(bytes(blob))
+
+
+def test_msadpcm_synth_matches_oracle_model_and_dispatch():
+    """synth_msadpcm_payload decodes to exactly the md5-driven two-tap
+    machine the DuckDB oracle replays, and decode_audio/real_features
+    dispatch the 0x0002 fmt tag to the MS-ADPCM path."""
+    import hashlib
+
+    from nlp_lib_spark.operators.mediacodec import (_ms_decode_nibble,
+                                                    MS_COEF1, MS_COEF2,
+                                                    decode_audio,
+                                                    real_features,
+                                                    synth_msadpcm_payload)
+    text = "the cat sat on the mat"
+    payload = synth_msadpcm_payload(text)
+    assert len(payload) == 113  # the gate oracle's n_bytes constant
+    rate, dec = decode_audio(payload)
+    b = hashlib.md5((text + ":m").encode()).digest()
+    c1, c2 = MS_COEF1[b[0] % 7], MS_COEF2[b[0] % 7]
+    delta = 16 + (b[1] * 256 + b[2]) % 30000
+    s1 = b[3] * 256 + b[4] - 32768
+    s2 = b[5] * 256 + b[6] - 32768
+    exp = [s2, s1]
+    for c in hashlib.md5(text.encode()).hexdigest():
+        pred, delta = _ms_decode_nibble(int(c, 16), s1, s2, delta, c1, c2)
+        s2, s1 = s1, pred
+        exp.append(pred)
+    assert (rate, dec) == (8000, exp)
+    feats = real_features(payload)
+    assert feats[:5] == [8000.0, 34.0, float(min(exp)), float(max(exp)),
+                         float(sum(abs(v) for v in exp))]
+    assert feats[5:] == [float(v) for v in exp[:16]]
+
+
+# ------------------------------------------------------- animated GIF
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(1, 10), st.integers(1, 9), st.integers(1, 5), st.data())
+def test_gif_anim_roundtrip(w, h, n_frames, data):
+    from nlp_lib_spark.operators.mediacodec import (decode_gif_anim,
+                                                    encode_gif_anim)
+    frames = [data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                 max_size=w * h)) for _ in range(n_frames)]
+    blob = encode_gif_anim(frames, w, h)
+    assert blob[:6] == b"GIF89a" and b"NETSCAPE2.0" in blob
+    assert decode_gif_anim(blob) == (w, h, frames)
+
+
+def test_gif_anim_rejects_partial_frames_and_garbage():
+    import struct
+
+    from nlp_lib_spark.operators.mediacodec import (decode_gif_anim,
+                                                    encode_gif, encode_gif_anim)
+    with pytest.raises(ValueError):
+        decode_gif_anim(b"NOTAGIF")
+    with pytest.raises(ValueError):
+        encode_gif_anim([], 4, 4)
+    # a partial frame (image smaller than the logical screen) must raise,
+    # not decode wrong pixels: widen the screen of a 4x4 single-frame GIF
+    blob = bytearray(encode_gif(list(range(16)), 4, 4))
+    blob[6:8] = struct.pack("<H", 8)  # screen width 8, image still 4x4
+    with pytest.raises(ValueError):
+        decode_gif_anim(bytes(blob))
+
+
+def test_gif_anim_synth_matches_oracle_model_and_frame_sample():
+    """synth_gif_anim_payload demuxes back to the per-frame md5_expand
+    rasters — the closed-form property the media_frames_gif oracle
+    recomputes in SQL — and frame_features samples every 2nd frame with
+    the image feature contract."""
+    from nlp_lib_spark.operators.mediacodec import (GIF_ANIM_FRAMES,
+                                                    GIF_DIM,
+                                                    decode_gif_anim,
+                                                    frame_features,
+                                                    synth_gif_anim_payload)
+    text = "animated gate corpus"
+    payload = synth_gif_anim_payload(text)
+    exp = [list(md5_expand(f"{text}#g{k}", GIF_DIM * GIF_DIM))
+           for k in range(GIF_ANIM_FRAMES)]
+    assert decode_gif_anim(payload) == (GIF_DIM, GIF_DIM, exp)
+    ff = frame_features(payload, every_n=2)
+    assert [k for k, _ in ff] == [0, 2]
+    for k, feats in ff:
+        g = exp[k]
+        assert feats[:5] == [8.0, 8.0, float(min(g)), float(max(g)),
+                             float(sum(g))]
+        assert feats[5:] == [float(g[(i // 4) * 16 + (i % 4) * 2])
+                             for i in range(16)]
+
+
+def test_gif_anim_conformance_against_system_giflib():
+    """Multi-frame cross-implementation conformance: encode_gif_anim
+    streams (with app-extension chain + per-frame interlace) decode
+    frame-exactly under the SYSTEM giflib, and giflib-ENCODED multi-image
+    files decode exactly under decode_gif_anim."""
+    import random
+
+    from tests.giflib_ref import (AVAILABLE, giflib_decode_gray_frames,
+                                  giflib_encode_gray_frames)
+
+    from nlp_lib_spark.operators.mediacodec import (decode_gif_anim,
+                                                    encode_gif_anim)
+    if not AVAILABLE:
+        pytest.skip("system giflib not present")
+    rng = random.Random(41)
+    frames = [[rng.randrange(256) for _ in range(60 * 44)]
+              for _ in range(5)]
+    path = "/tmp/test_gifanim_ours.gif"
+    with open(path, "wb") as f:
+        f.write(encode_gif_anim(frames, 60, 44))
+    assert giflib_decode_gray_frames(path) == (60, 44, frames)
+    foreign = "/tmp/test_gifanim_foreign.gif"
+    giflib_encode_gray_frames(foreign, frames, 60, 44)
+    with open(foreign, "rb") as f:
+        assert decode_gif_anim(f.read()) == (60, 44, frames)
