@@ -57,6 +57,7 @@ HEADLINE = (
     "media_features_msadpcm",  # MS-ADPCM two-tap predictor decode (r5)
     "media_features_jpeg_prog",  # progressive (SOF2) JPEG decode (r5)
     "media_features_gif",  # GIF87a/89a LZW decode (r5)
+    "media_features_rle8", # BI_RLE8 BMP escape-machine decode (r5)
     "media_frames_avi",    # real AVI demux + frame sampling (r3)
     "media_frames_mjpeg",  # Motion-JPEG demux + per-frame JPEG decode (r4)
     "media_frames_gif",    # animated-GIF demux + per-frame LZW decode (r5)

@@ -1778,6 +1778,50 @@ def q_media_frames_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("feature_sig")))
 
 
+def _register_media_rle8() -> None:
+    """media_features_rle8: REAL BI_RLE8 BMP decode (round 5, completing
+    the BMP family beside the 24-bit path): documents become genuine
+    8-bit run-length-encoded BMPs over a grayscale palette (raster =
+    md5_expand(text, 64)), and extract_media_features(mode="real") runs
+    the full real path — header/palette walk, the RLE8 escape machine
+    (encoded runs, EOL/EOB/delta, absolute mode with word padding),
+    bottom-up reorder (operators/mediacodec._decode_bmp8; fuzz round-
+    tripped and escape-vector tested by tests/test_mediacodec.py). RLE8
+    is lossless, so the oracle is IDENTICAL to media_features_gif's
+    closed form (the same md5-expansion raster through a different real
+    container+codec) — registered as a thin wrapper referencing that SQL
+    so the two cannot drift."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from nlp_lib_spark.operators.mediacodec import synth_rle8_payload
+        from nlp_lib_spark.operators.multimodal import extract_media_features
+        register_views(spark, sf_dir)
+        docs = spark.table("documents").select("doc_id", "text")
+
+        def synth(batches):
+            for pdf in batches:
+                rows = [(int(d), "image", synth_rle8_payload(t))
+                        for d, t in zip(pdf["doc_id"], pdf["text"])]
+                yield pd.DataFrame(rows,
+                                   columns=["media_id", "kind", "payload"])
+
+        media = _spread(docs).mapInPandas(
+            synth, schema="media_id long, kind string, payload binary")
+        return (extract_media_features(media, mode="real")
+                .select("media_id", "kind",
+                        F.expr("array_join(transform(features, x -> "
+                               "CAST(x AS BIGINT)), ',')")
+                        .alias("feature_sig")))
+
+    QUERIES["media_features_rle8"] = fn
+    ORACLES["media_features_rle8"] = ORACLES["media_features_gif"]
+
+
+_register_media_rle8()
+
+
 @gate("media_frames_gif", oracle="""
 WITH fr AS (SELECT unnest([0, 2]) AS f),
 hx AS (
@@ -5039,6 +5083,7 @@ def _media_suite_composite() -> None:
                .unionByName(g711).unionByName(msa))
         for codec, member in (("png", "media_features_png"),
                               ("gif", "media_features_gif"),
+                              ("rle8", "media_features_rle8"),
                               ("jpeg", "media_features_jpeg"),
                               ("jpegp", "media_features_jpeg_prog")):
             out = out.unionByName(
@@ -5052,7 +5097,7 @@ def _media_suite_composite() -> None:
     COMPOSITE_MEMBERS["media_suite"] = (
         "media_features", "media_features_real", "media_features_ima",
         "media_features_g711", "media_features_msadpcm",
-        "media_features_png", "media_features_gif",
+        "media_features_png", "media_features_gif", "media_features_rle8",
         "media_features_jpeg", "media_features_jpeg_prog")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
@@ -5076,6 +5121,10 @@ SELECT 'png' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
 UNION ALL
 SELECT 'gif' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
        feature_sig FROM ({ORACLES["media_features_gif"]}
+) m
+UNION ALL
+SELECT 'rle8' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
+       feature_sig FROM ({ORACLES["media_features_rle8"]}
 ) m
 UNION ALL
 SELECT 'jpeg' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
@@ -5157,7 +5206,7 @@ _GATE_ORDER = [
     "kg_link_tfidf", "kg_link_tfidf_dist",
     "media_features_real", "media_features_ima", "media_features_g711",
     "media_features_msadpcm", "media_features_png", "media_features_gif",
-    "media_features_jpeg", "media_features_jpeg_prog",
+    "media_features_rle8", "media_features_jpeg", "media_features_jpeg_prog",
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "media_frames_gif",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",

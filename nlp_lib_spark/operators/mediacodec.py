@@ -4,7 +4,8 @@ The container has no PIL/librosa/pyav (verified at round-3 start, recorded
 in BASELINE.md), but four real, widely-used container formats ARE decodable
 with what IS baked in: uncompressed 24-bit BMP (struct parsing), gray8 PNG
 (stdlib ``zlib`` inflate + full five-filter scanline reconstruction),
-PCM16 WAV (stdlib ``wave``), and uncompressed-DIB AVI (RIFF chunk walk +
+linear-PCM WAV (stdlib ``wave``; 8/16/24-bit, stereo downmix), and
+uncompressed-DIB AVI (RIFF chunk walk +
 per-frame DIB decode — a genuine video demuxer, so frame sampling is a
 real operation, not a stub). This module provides symmetric
 encoders/decoders so the ``extract_media_features(mode="real")`` seam
@@ -112,11 +113,146 @@ def decode_bmp(data: bytes) -> tuple[int, int, list[int]]:
         raise ValueError("unsupported BMP header")
     planes, bpp = struct.unpack_from("<HH", data, 26)
     compression = struct.unpack_from("<I", data, 30)[0]
+    if bpp == 8 and compression in (0, 1):
+        return _decode_bmp8(data, off, hdr_size, width, height, compression)
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
     top_down = height < 0
     height = abs(height)
     return width, height, _unpack_dib(data, off, width, height, top_down)
+
+
+# ------------------------------------------- BMP (8bpp palette + BI_RLE8)
+# The OTHER classic BMP pixel format: 8-bit palette indices, optionally
+# run-length encoded with the BI_RLE8 scheme (Windows GDI bitmap spec) —
+# encoded runs (n, v), plus the 00-escapes: 00 00 end-of-line, 00 01
+# end-of-bitmap, 00 02 dx dy position delta (pixels skipped by EOL/delta
+# are defined as palette index 0), 00 n>=3 absolute mode (n literal
+# indices, padded to a 2-byte boundary). RLE8 rows are bottom-up like
+# every BMP. A real compressed image codec with no entropy coder, so the
+# gate corpus decodes closed-form (RLE is lossless).
+
+def encode_bmp_rle8(gray: list[int], width: int, height: int) -> bytes:
+    """Write an 8-bit BI_RLE8 BMP over a grayscale (i,i,i,0) palette so
+    palette index == gray level. Encoded-mode runs (capped at 255) for
+    repeats >= 3, absolute mode for literal stretches, EOL after every
+    row, EOB at the end — the canonical GDI encoder shape."""
+    if len(gray) != width * height:
+        raise ValueError("pixel count != width*height")
+    body = bytearray()
+    for r in range(height - 1, -1, -1):       # bottom-up
+        row = [v & 0xFF for v in gray[r * width:(r + 1) * width]]
+        c = 0
+        lit: list[int] = []
+
+        def flush_lit() -> None:
+            i = 0
+            while i < len(lit):
+                chunk = lit[i:i + 255]
+                if len(chunk) >= 3:
+                    body.append(0)
+                    body.append(len(chunk))
+                    body.extend(chunk)
+                    if len(chunk) % 2:
+                        body.append(0)        # word padding
+                else:                          # too short for absolute mode
+                    for v in chunk:
+                        body.extend((1, v))
+                i += 255
+            lit.clear()
+
+        while c < width:
+            run = 1
+            while c + run < width and row[c + run] == row[c] and run < 255:
+                run += 1
+            if run >= 3:
+                flush_lit()
+                body += bytes((run, row[c]))
+            else:
+                lit.extend(row[c:c + run])
+            c += run
+        flush_lit()
+        body += b"\x00\x00"                   # end of line
+    body += b"\x00\x01"                       # end of bitmap
+    palette = b"".join(bytes((i, i, i, 0)) for i in range(256))
+    off = 14 + 40 + len(palette)
+    hdr = struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8, 1,
+                       len(body), 2835, 2835, 256, 0)
+    return hdr + info + palette + body
+
+
+def _decode_bmp8(data: bytes, off: int, hdr_size: int, width: int,
+                 height: int, compression: int) -> tuple[int, int,
+                                                         list[int]]:
+    """8bpp BMP branch: palette walk + BI_RGB row copy or the BI_RLE8
+    escape machine (encoded runs, EOL/EOB/delta, absolute mode with word
+    padding). Pixels never written (skipped by EOL, delta or early EOB)
+    hold palette index 0 per the GDI convention."""
+    if height < 0 and compression == 1:
+        raise ValueError("top-down BI_RLE8 is invalid")
+    top_down = height < 0
+    height = abs(height)
+    n_colors = struct.unpack_from("<I", data, 46)[0] or 256
+    pal_off = 14 + hdr_size
+    if n_colors > 256 or pal_off + 4 * n_colors > min(off, len(data)):
+        raise ValueError("truncated or missing 8bpp BMP palette")
+    luma = [(data[pal_off + 4 * i + 2] * 299 + data[pal_off + 4 * i + 1]
+             * 587 + data[pal_off + 4 * i] * 114 + 500) // 1000
+            for i in range(n_colors)]
+    idx = [0] * (width * height)              # bottom-up raster (y=0 bottom)
+    if compression == 0:                      # uncompressed 8bpp
+        stride = (width + 3) // 4 * 4
+        for s in range(height):               # s = storage row order
+            y = height - 1 - s if top_down else s
+            base = off + s * stride
+            for c in range(width):
+                idx[y * width + c] = data[base + c]
+    else:                                     # BI_RLE8
+        x, y = 0, 0                           # y = 0 is the BOTTOM row
+        pos = off
+        while True:
+            if pos + 2 > len(data):
+                raise ValueError("truncated RLE8 stream")
+            b0, b1 = data[pos], data[pos + 1]
+            pos += 2
+            if b0 > 0:                        # encoded run
+                if y >= height or x + b0 > width:
+                    raise ValueError("RLE8 run overflows row")
+                for _ in range(b0):
+                    idx[y * width + x] = b1
+                    x += 1
+            elif b1 == 0:                     # end of line
+                x, y = 0, y + 1
+            elif b1 == 1:                     # end of bitmap
+                break
+            elif b1 == 2:                     # delta
+                if pos + 2 > len(data):
+                    raise ValueError("truncated RLE8 delta")
+                x += data[pos]
+                y += data[pos + 1]
+                pos += 2
+                if x > width or y > height:
+                    raise ValueError("RLE8 delta out of bounds")
+            else:                             # absolute mode
+                n = b1
+                if pos + n > len(data):
+                    raise ValueError("truncated RLE8 absolute run")
+                if y >= height or x + n > width:
+                    raise ValueError("RLE8 absolute run overflows row")
+                for k in range(n):
+                    idx[y * width + x] = data[pos + k]
+                    x += 1
+                pos += n + (n % 2)            # word padding
+    for v in idx:
+        if v >= n_colors:
+            raise ValueError("palette index out of range")
+    gray = [0] * (width * height)
+    for disp_r in range(height):              # display order: row 0 = top
+        src_y = height - 1 - disp_r           # idx is normalized bottom-up
+        for c in range(width):
+            gray[disp_r * width + c] = luma[idx[src_y * width + c]]
+    return width, height, gray
 
 
 def image_features(data: bytes) -> list[float]:
@@ -426,26 +562,56 @@ def video_features(data: bytes) -> list[float]:
 
 # --------------------------------------------------------------- WAV (PCM16)
 
-def encode_wav(samples: list[int], rate: int = 8000) -> bytes:
+def encode_wav(samples: list[int], rate: int = 8000,
+               sampwidth: int = 2, channels: int = 1) -> bytes:
+    """PCM WAV writer over the real-world linear-PCM variants: 16-bit
+    signed (the default), 8-bit unsigned (PCM16 input quantized to the
+    top byte + 0x80 bias, the WAV u8 convention) and 24-bit signed LE.
+    ``channels=2`` duplicates the mono input into both channels
+    (interleaved frames) — the round-trip partner of the decoder's
+    stereo downmix."""
+    if sampwidth not in (1, 2, 3) or channels not in (1, 2):
+        raise ValueError(f"unsupported layout: sampwidth={sampwidth} "
+                         f"channels={channels}")
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
-        w.setnchannels(1)
-        w.setsampwidth(2)
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
         w.setframerate(rate)
-        w.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+        inter = [s for s in samples for _ in range(channels)]
+        if sampwidth == 1:
+            w.writeframes(bytes(((s >> 8) + 128) & 0xFF for s in inter))
+        elif sampwidth == 2:
+            w.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+        else:
+            w.writeframes(b"".join(
+                int(s).to_bytes(3, "little", signed=True) for s in inter))
     return buf.getvalue()
 
 
 def decode_wav(data: bytes) -> tuple[int, list[int]]:
-    """Parse PCM16 mono WAV -> (sample_rate, samples)."""
+    """Parse linear-PCM WAV -> (sample_rate, samples): 8-bit unsigned
+    (expanded to centered PCM16, (v-128)<<8), 16-bit signed, or 24-bit
+    signed LE; mono, or stereo downmixed to mono by the per-frame floor
+    mean ((l + r) // 2)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     with wave.open(io.BytesIO(data), "rb") as w:
-        if w.getnchannels() != 1 or w.getsampwidth() != 2:
+        ch, sw = w.getnchannels(), w.getsampwidth()
+        if ch not in (1, 2) or sw not in (1, 2, 3):
             raise ValueError("unsupported WAV layout")
         n = w.getnframes()
-        samples = list(struct.unpack(f"<{n}h", w.readframes(n)))
-        return w.getframerate(), samples
+        raw = w.readframes(n)
+        if sw == 1:
+            flat = [(b - 128) << 8 for b in raw]
+        elif sw == 2:
+            flat = list(struct.unpack(f"<{n * ch}h", raw))
+        else:
+            flat = [int.from_bytes(raw[3 * i:3 * i + 3], "little",
+                                   signed=True) for i in range(n * ch)]
+        if ch == 2:
+            flat = [(flat[2 * i] + flat[2 * i + 1]) // 2 for i in range(n)]
+        return w.getframerate(), flat
 
 
 def audio_features(data: bytes) -> list[float]:
@@ -873,7 +1039,7 @@ def real_features(data: bytes) -> list[float]:
     if data[:2] == b"\xff\xd8":
         return image_features(data)
     raise ValueError("unsupported media container (BMP, gray8 PNG, GIF, "
-                     "baseline + progressive JPEG, PCM16 WAV, "
+                     "baseline + progressive JPEG, PCM 8/16/24-bit WAV, "
                      "IMA-ADPCM WAV, MS-ADPCM WAV, G.711 u-law/A-law WAV, "
                      "uncompressed-DIB AVI and MJPG AVI are the decoders "
                      "available without optional codec deps)")
@@ -2086,6 +2252,18 @@ def synth_gif_payload(text: str) -> bytes:
     from the md5 bytes (same contract as media_features_png)."""
     return encode_gif(list(md5_expand(text, GIF_DIM * GIF_DIM)),
                       GIF_DIM, GIF_DIM, interlaced=bool(len(text) % 2))
+
+
+def synth_rle8_payload(text: str) -> bytes:
+    """Deterministic BI_RLE8 BMP payload (gate input builder, mirrored
+    closed-form by the media_features_rle8 oracle): 8x8 raster =
+    md5_expand(text, 64) over the grayscale palette. RLE8 is lossless, so
+    the oracle recomputes the decoded pixels straight from the md5 bytes
+    (same contract as media_features_png/gif); the decoder still runs the
+    full real path (header/palette walk, escape machine, absolute-mode
+    word padding, bottom-up reorder)."""
+    return encode_bmp_rle8(list(md5_expand(text, GIF_DIM * GIF_DIM)),
+                           GIF_DIM, GIF_DIM)
 
 
 GIF_ANIM_FRAMES = 4   # synth animated GIF: 4 frames of 8x8

@@ -876,3 +876,157 @@ def test_gif_anim_conformance_against_system_giflib():
     giflib_encode_gray_frames(foreign, frames, 60, 44)
     with open(foreign, "rb") as f:
         assert decode_gif_anim(f.read()) == (60, 44, frames)
+
+
+# ---------------------------------------------------------- BI_RLE8 BMP
+
+@settings(max_examples=80, deadline=None)
+@given(st.integers(1, 13), st.integers(1, 11), st.integers(0, 2), st.data())
+def test_rle8_roundtrip_any_dims(w, h, kind, data):
+    from nlp_lib_spark.operators.mediacodec import (decode_bmp,
+                                                    encode_bmp_rle8)
+    if kind == 0:    # random: absolute-mode heavy
+        px = data.draw(st.lists(st.integers(0, 255), min_size=w * h,
+                                max_size=w * h))
+    elif kind == 1:  # runs-heavy: encoded-mode heavy
+        px = data.draw(st.lists(st.sampled_from([7, 7, 7, 9]),
+                                min_size=w * h, max_size=w * h))
+    else:            # flat: single max-length runs per row
+        px = [data.draw(st.integers(0, 255))] * (w * h)
+    blob = encode_bmp_rle8(px, w, h)
+    assert blob[:2] == b"BM"
+    assert struct.unpack_from("<I", blob, 30)[0] == 1  # BI_RLE8
+    assert decode_bmp(blob) == (w, h, px)
+
+
+def test_rle8_delta_and_early_eob_fill_zero():
+    """Hand-built escape vectors: pixels skipped by a (0,2) position
+    delta or an early end-of-bitmap must decode as palette index 0 (the
+    GDI convention), and absolute runs pad to word boundaries."""
+    from nlp_lib_spark.operators.mediacodec import (decode_bmp,
+                                                    encode_bmp_rle8)
+    base = encode_bmp_rle8([0] * 16, 4, 4)
+    off = struct.unpack_from("<I", base, 10)[0]
+    # rows bottom-up: run(2,200), delta right1 up1, abs(3: 10,20,30)+pad,
+    # EOL, then EOB two rows early
+    stream = bytes((2, 200,           # bottom row: x=0..1 = 200
+                    0, 2, 1, 1,       # skip to x=3, y=1
+                    0, 0,             # EOL -> x=0, y=2
+                    0, 3, 10, 20, 30, 0,   # abs mode + pad byte
+                    0, 1))            # EOB (row y=3 untouched)
+    blob = bytearray(base[:off]) + stream
+    blob[2:6] = struct.pack("<I", len(blob))
+    struct.pack_into("<I", blob, 34, len(stream))
+    w, h, gray = decode_bmp(bytes(blob))
+    assert (w, h) == (4, 4)
+    grid = [gray[r * 4:(r + 1) * 4] for r in range(4)]   # row 0 = top
+    assert grid[3] == [200, 200, 0, 0]    # bottom row: the run
+    assert grid[2] == [0, 0, 0, 0]        # y=1: delta skipped it entirely
+    assert grid[1] == [10, 20, 30, 0]     # y=2: absolute mode
+    assert grid[0] == [0, 0, 0, 0]        # y=3: early EOB
+    # spec transliteration cross-check of the same stream: the GDI
+    # machine, written independently (x/y cursor over a zeroed surface)
+    surface = [[0] * 4 for _ in range(4)]
+    x = y = p = 0
+    while True:
+        b0, b1 = stream[p], stream[p + 1]
+        p += 2
+        if b0:
+            for _ in range(b0):
+                surface[y][x] = b1
+                x += 1
+        elif b1 == 0:
+            x, y = 0, y + 1
+        elif b1 == 1:
+            break
+        elif b1 == 2:
+            x += stream[p]
+            y += stream[p + 1]
+            p += 2
+        else:
+            for k in range(b1):
+                surface[y][x] = stream[p + k]
+                x += 1
+            p += b1 + (b1 % 2)
+    assert [grid[3 - yy] for yy in range(4)] == surface
+
+
+def test_rle8_uncompressed_8bpp_and_rejects():
+    from nlp_lib_spark.operators.mediacodec import (decode_bmp,
+                                                    encode_bmp_rle8)
+    # rewrite a 5x3 RLE8 file as BI_RGB 8bpp (stride-padded raw indices)
+    px = list(range(15))
+    blob = bytearray(encode_bmp_rle8(px, 5, 3))
+    off = struct.unpack_from("<I", blob, 10)[0]
+    stride = (5 + 3) // 4 * 4
+    raw = bytearray()
+    for r in (2, 1, 0):  # bottom-up
+        row = bytes(px[r * 5:(r + 1) * 5])
+        raw += row + b"\x00" * (stride - len(row))
+    struct.pack_into("<I", blob, 30, 0)  # BI_RGB
+    struct.pack_into("<I", blob, 34, len(raw))
+    out = bytes(blob[:off]) + bytes(raw)
+    assert decode_bmp(out) == (5, 3, px)
+    # top-down RLE8 is invalid per the spec
+    bad = bytearray(encode_bmp_rle8(px, 5, 3))
+    struct.pack_into("<i", bad, 22, -3)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bad))
+    # truncated stream (EOB stripped mid-run)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(encode_bmp_rle8(px, 5, 3))[:-3])
+
+
+def test_rle8_synth_matches_oracle_model_and_dispatch():
+    from nlp_lib_spark.operators.mediacodec import (GIF_DIM, decode_image,
+                                                    synth_rle8_payload)
+    for text in ("hello", "x"):
+        payload = synth_rle8_payload(text)
+        exp = list(md5_expand(text, GIF_DIM * GIF_DIM))
+        assert decode_image(payload) == (GIF_DIM, GIF_DIM, exp)
+        feats = real_features(payload)
+        assert feats[:5] == [8.0, 8.0, float(min(exp)), float(max(exp)),
+                             float(sum(exp))]
+        assert feats[5:] == [float(exp[(t // 4) * 16 + (t % 4) * 2])
+                             for t in range(16)]
+
+
+# --------------------------------------------- PCM WAV width/channel variants
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=40),
+       st.sampled_from([1, 2, 3]), st.sampled_from([1, 2]))
+def test_wav_pcm_widths_and_stereo(samples, sampwidth, channels):
+    """8-bit WAVs round-trip to the top-byte quantization, 16/24-bit
+    exactly; stereo files (both channels = the mono signal) downmix back
+    to it exactly under the floor mean."""
+    from nlp_lib_spark.operators.mediacodec import decode_wav, encode_wav
+    blob = encode_wav(samples, 8000, sampwidth=sampwidth,
+                      channels=channels)
+    rate, got = decode_wav(blob)
+    if sampwidth == 1:
+        exp = [((s >> 8) + 128 - 128) << 8 for s in samples]
+    else:
+        exp = samples
+    assert (rate, got) == (8000, exp)
+
+
+def test_wav_24bit_full_range_and_stereo_mix_vector():
+    from nlp_lib_spark.operators.mediacodec import decode_wav, encode_wav
+    big = [8_000_000, -8_000_000, 1, -1]
+    _, got = decode_wav(encode_wav(big, 8000, sampwidth=3))
+    assert got == big
+    # hand-interleaved unequal channels: floor mean, negative included
+    import io
+    import struct
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(struct.pack("<6h", 100, 51, -100, -51, 7, -8))
+    _, got = decode_wav(buf.getvalue())
+    assert got == [(100 + 51) // 2, (-100 - 51) // 2, (7 - 8) // 2]
+    with pytest.raises(ValueError):
+        encode_wav([0], 8000, sampwidth=4)
