@@ -58,6 +58,7 @@ HEADLINE = (
     "media_features_jpeg_prog",  # progressive (SOF2) JPEG decode (r5)
     "media_features_gif",  # GIF87a/89a LZW decode (r5)
     "media_features_rle8", # BI_RLE8 BMP escape-machine decode (r5)
+    "media_features_flac", # FLAC Rice/LPC/CRC lossless decode (r5)
     "media_frames_avi",    # real AVI demux + frame sampling (r3)
     "media_frames_mjpeg",  # Motion-JPEG demux + per-frame JPEG decode (r4)
     "media_frames_gif",    # animated-GIF demux + per-frame LZW decode (r5)
@@ -77,12 +78,17 @@ HEADLINE = (
     "doc_pack_bpe",        # packing budgeted by real BPE tokens (r5)
     "doc_mix_pipeline",    # end-to-end model-quality->dedup->decontam->
                            # sample->BPE-pack training mix (r5)
+    "doc_lm_filter",       # CCNet-style integer code-length LM filter (r5)
     "kg_boilerplate",      # cross-conv boilerplate scrub + ordered md5 (r4)
     "kg_stream_dedup",     # stateful streaming dedup drain (r4)
     "kg_stream_dedup_wm",  # bounded-retention watermarked dedup drain (r5)
     "neardup_clusters",    # LSH pairs -> CC -> keeper election (r4)
     "doc_pipeline",        # composed quality->rep->contam->dedup chain (r4)
     "doc_substring_dup",   # strided-window repeated-substring detector (r5)
+    # iterative (driver-loop) members stay at the tail like the CC/stream
+    # legs: per-round localCheckpoints must not inflate earlier queries
+    "semdedup_pairs",      # k-means clusters + in-cluster cosine prune (r5)
+    "bpe_train",           # distributed 8-merge BPE tokenizer training (r5)
 )
 
 

@@ -2220,6 +2220,68 @@ FROM px
 """
 
 
+_FLAC_ORACLE = """
+WITH hx AS (
+  SELECT doc_id, md5(text) || md5(text || ':1') AS h FROM documents
+), b AS (
+  SELECT doc_id, g.k AS k,
+         (strpos('0123456789abcdef', substr(h, 2*g.k + 1, 1)) - 1) * 16
+         + strpos('0123456789abcdef', substr(h, 2*g.k + 2, 1)) - 1 AS v
+  FROM hx, generate_series(0, 31) AS g(k)
+), px AS (
+  SELECT doc_id, list(v ORDER BY k) AS p FROM b GROUP BY doc_id
+), sm AS (
+  SELECT doc_id, list_transform(generate_series(0, 15), t ->
+           p[2*t + 1] * 256 + p[2*t + 2] - 32768) AS s
+  FROM px
+)
+SELECT doc_id AS media_id, 'audio' AS kind,
+       array_to_string([8000, 16, list_min(s), list_max(s),
+         list_sum(list_transform(s, x -> abs(x)))] || s, ',') AS feature_sig
+FROM sm
+"""
+
+
+@gate("media_features_flac", oracle=_FLAC_ORACLE)
+def q_media_features_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode (operators/flac — the free-lossless bitstream
+    from the public spec, pure stdlib): every document becomes a genuine
+    FLAC file over the md5-derived 16-sample PCM16 stream, with the
+    residue class steering encoder features — multi-frame streams with
+    UTF-8-coded frame numbers (doc_id%5=1), partitioned Rice residuals
+    (=2), forced LPC subframes (=3), escape partitions (=4), automatic
+    constant/fixed selection otherwise.  The decoder walks STREAMINFO,
+    frame sync, CRC-8 + CRC-16, subframe types, Rice/escape residuals
+    and verifies the STREAMINFO MD5 of the reconstructed samples.  FLAC
+    is lossless, so the oracle recomputes the sample statistics
+    closed-form from the md5 expansion — a hash match proves the full
+    decode chain inverts the encoder bit-exactly.  n_bytes is excluded
+    like the PNG/JPEG gates: compressed size is an encoder knob, not a
+    data contract."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.mediacodec import synth_flac_payload
+    from nlp_lib_spark.operators.multimodal import extract_media_features
+    register_views(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "text")
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [(int(d), "audio", synth_flac_payload(int(d), t))
+                    for d, t in zip(pdf["doc_id"], pdf["text"])]
+            yield pd.DataFrame(rows,
+                               columns=["media_id", "kind", "payload"])
+
+    media = _spread(docs).mapInPandas(
+        synth, schema="media_id long, kind string, payload binary")
+    return (extract_media_features(media, mode="real")
+            .select("media_id", "kind",
+                    F.expr("array_join(transform(features, x -> "
+                           "CAST(x AS BIGINT)), ',')")
+                    .alias("feature_sig")))
+
+
 @gate("media_features_g711", oracle=_G711_ORACLE)
 def q_media_features_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL companded-telephony-audio decode: documents become genuine
@@ -2575,13 +2637,16 @@ FROM eff
 """
 
 
-def _kmeans_ivf_oracle_sql(k: int = 3, query_max_id: int = 10,
-                           n_centroids: int = 8, iters: int = 2,
-                           nprobe: int = 2, scale: int = 1000) -> str:
-    """DuckDB replica of the k-means IVF (operators/dedup.ann_topk_kmeans_ivf):
-    the Lloyd loop unrolls to ``iters`` assign/recompute CTE pairs; every
-    quantizer step is integer-exact (int vectors, int centroids, BIGINT
-    distances, min-cid tie-break) so both engines compute identical cells."""
+def _kmeans_cells_cte_sql(n_centroids: int = 8, iters: int = 2,
+                          scale: int = 1000) -> tuple[str, str]:
+    """The Lloyd-loop CTE prefix shared by every k-means-based oracle
+    (ann_topk_ivf_kmeans, semdedup_pairs): quantize, unroll ``iters``
+    assign/recompute rounds, and close with the final ``cells``
+    assignment.  Returns ``(sql_prefix, last_centroid_cte)`` so callers
+    can append their own tail CTEs (the tail may re-probe against the
+    final centroids).  Every step is integer-exact (int vectors, int
+    centroids, BIGINT distances, min-cid tie-break) so both engines
+    compute identical cells."""
     parts = [f"""
 WITH qv AS (
   SELECT vec_id,
@@ -2634,7 +2699,17 @@ cells AS (
           FROM qd q JOIN {prev} c ON c.d = q.d
           GROUP BY q.vec_id, c.cid) s
   ) r WHERE rnk = 1
-),
+)""")
+    return "".join(parts), prev
+
+
+def _kmeans_ivf_oracle_sql(k: int = 3, query_max_id: int = 10,
+                           n_centroids: int = 8, iters: int = 2,
+                           nprobe: int = 2, scale: int = 1000) -> str:
+    """DuckDB replica of the k-means IVF (operators/dedup.ann_topk_kmeans_ivf)
+    over the shared Lloyd prefix (_kmeans_cells_cte_sql)."""
+    prefix, prev = _kmeans_cells_cte_sql(n_centroids, iters, scale)
+    return prefix + f""",
 probe AS (
   SELECT vec_id, cid FROM (
     SELECT s.vec_id, s.cid,
@@ -2660,8 +2735,57 @@ SELECT query_id, neighbor_id, sim FROM (
                             ORDER BY sim DESC, neighbor_id) AS rnk
   FROM cand
 ) r WHERE rnk <= {k}
-""")
-    return "".join(parts)
+"""
+
+
+def _semdedup_oracle_sql(n_centroids: int = 8, iters: int = 2,
+                         scale: int = 1000, threshold: float = 0.3,
+                         cluster_cap: int = 1000) -> str:
+    """DuckDB replica of SemDeDup (operators/dedup.semdedup_pairs): the
+    shared Lloyd prefix, a per-cluster min-id row_number cap, then the
+    keep-first-by-id duplicate election — one row per dropped vector
+    with its best kept match."""
+    prefix, _ = _kmeans_cells_cte_sql(n_centroids, iters, scale)
+    return prefix + f""",
+capped AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT c.vec_id, v.embedding, c.cid,
+           row_number() OVER (PARTITION BY c.cid ORDER BY c.vec_id) AS rnk
+    FROM cells c JOIN qv v ON v.vec_id = c.vec_id) z
+  WHERE rnk <= {cluster_cap}
+),
+sims AS (
+  -- CAST to DOUBLE[]: list_cosine_similarity on FLOAT[] computes in
+  -- float32 and rounds the other way at a 4th-decimal boundary (pair
+  -- 27/380 at sf0.001: 0.34785 f32-up vs f64-down); the Spark side sums
+  -- doubles, so the oracle must too
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])),
+               4) AS sim
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vec_id < b.vec_id
+)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims WHERE sim IS NOT NULL AND sim >= {threshold}
+) r WHERE rnk = 1
+"""
+
+
+@gate("semdedup_pairs", oracle=_semdedup_oracle_sql())
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic pruning (operators/dedup.semdedup_pairs):
+    k-means clusters from the shared exact-integer Lloyd loop, then
+    keep-first-by-id within-cluster cosine dedup — one certified row per
+    dropped vector (dropped id, kept representative, similarity), the
+    ann schema so the gate unions into ann_variants.  The per-cluster
+    row_number cap (mirrored in the oracle) is the mega-cluster bound:
+    the pair stage can never exceed cluster_cap^2 rows per cluster."""
+    from nlp_lib_spark.operators.dedup import semdedup_pairs
+    register_views(spark, sf_dir)
+    return semdedup_pairs(spark.table("embeddings"))
 
 
 @gate("ann_topk_ivf_kmeans", oracle=_kmeans_ivf_oracle_sql())
@@ -4724,6 +4848,71 @@ def q_doc_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_model(spark.table("documents"))
 
 
+def _doc_lm_filter_oracle_sql() -> str:
+    from nlp_lib_spark.operators.lm_filter import lm_filter_sql
+    return lm_filter_sql("duckdb", "documents")
+
+
+@gate("doc_lm_filter", oracle=_doc_lm_filter_oracle_sql())
+def q_doc_lm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM perplexity filter (operators/lm_filter.lm_filter):
+    a Laplace-smoothed bigram model trained on the deterministic
+    reference slice (doc_id % 3 = 0), scoring every document by exact
+    integer Shannon code length (bitlen arithmetic — no float ln in the
+    scoring path), bucketed into the classic head/middle/tail terciles.
+    Thresholds come from the distinct-score histogram, never a global
+    row window. Both dialects render from one shared template
+    (lm_filter_sql), so the hash certifies counts, code lengths,
+    milli-bit scores and buckets bit-for-bit."""
+    from nlp_lib_spark.operators.lm_filter import lm_filter
+    register_views(spark, sf_dir)
+    return lm_filter(spark.table("documents").select("doc_id", "text"))
+
+
+def _bpe_train_oracle_sql(n_merges: int = 8) -> str:
+    from nlp_lib_spark.operators.bpe import (bpe_recursive_cte_sql,
+                                             bpe_train_rounds_cte_sql)
+    return f"""
+WITH RECURSIVE
+words0 AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+{bpe_train_rounds_cte_sql(n_merges, 'words0')},
+{bpe_recursive_cte_sql('words0')},
+posw AS (SELECT doc_id, i, arr[i] AS word FROM (
+           SELECT doc_id, arr, unnest(generate_series(1, len(arr))) AS i
+           FROM (SELECT doc_id, string_split(text, ' ') AS arr
+                 FROM documents))
+         WHERE arr[i] <> '')
+SELECT doc_id,
+       CAST(sum(n_sym) AS BIGINT) AS n_bpe_learned,
+       md5(string_agg(toks, ' ' ORDER BY i)) AS bpe_learned_md5
+FROM posw JOIN tok USING (word)
+GROUP BY doc_id
+"""
+
+
+@gate("bpe_train", oracle=_bpe_train_oracle_sql())
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING (operators/bpe.bpe_train_merges)
+    certified end-to-end: learn 8 merges on the corpus vocabulary (one
+    freq-weighted pair-count groupBy + one 1-row collect per round —
+    nothing data-sized reaches the driver), then tokenize every document
+    under the LEARNED table (the frozen-table mapInPandas shape with the
+    learned ranks in the closure).  The DuckDB oracle re-learns the same
+    table with the unrolled round CTEs (doubled-space replace-all
+    encoding, identical count/tie-break arithmetic) and feeds it through
+    the shared recursive tokenizer — the per-doc hash therefore
+    certifies the TRAINING result, not just the application: one flipped
+    merge anywhere and every document containing it mismatches."""
+    from nlp_lib_spark.operators.bpe import (bpe_token_counts_learned,
+                                             bpe_train_merges)
+    register_views(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = bpe_train_merges(docs, n_merges=8)
+    out = bpe_token_counts_learned(_spread(docs), merges)
+    return out.select("doc_id", out.n_bpe_tokens.alias("n_bpe_learned"),
+                      out.bpe_md5.alias("bpe_learned_md5"))
+
+
 def _doc_mix_pipeline_oracle_sql() -> str:
     from nlp_lib_spark.operators.bpe import (bpe_merges_values_sql,
                                              bpe_recursive_cte_sql)
@@ -4914,6 +5103,7 @@ union_composite("kg_rule_pairs", "rule", {
 # ANN family: exact brute-force baseline + the three approximate scale
 # paths (random-hyperplane LSH, grid IVF, k-means IVF), tagged by variant.
 union_composite("ann_variants", "variant", {
+    "semdedup": "semdedup_pairs",
     "brute": "ann_topk",
     "lsh": "ann_topk_lsh",
     "ivf": "ann_topk_ivf",
@@ -5017,7 +5207,7 @@ join_composite("doc_stats", "doc_id",
                 "doc_pack", "doc_substring_dup", "doc_urls",
                 "doc_contamination_norm", "token_counts_bpe",
                 "doc_quality_model", "doc_pack_bpe",
-                "doc_mix_pipeline"))
+                "doc_mix_pipeline", "doc_lm_filter", "bpe_train"))
 
 
 def _kg_base_composite() -> None:
@@ -5085,7 +5275,8 @@ def _media_suite_composite() -> None:
                               ("gif", "media_features_gif"),
                               ("rle8", "media_features_rle8"),
                               ("jpeg", "media_features_jpeg"),
-                              ("jpegp", "media_features_jpeg_prog")):
+                              ("jpegp", "media_features_jpeg_prog"),
+                              ("flac", "media_features_flac")):
             out = out.unionByName(
                 QUERIES[member](spark, sf_dir)
                 .select(F.lit(codec).alias("codec"), "media_id", "kind",
@@ -5098,7 +5289,8 @@ def _media_suite_composite() -> None:
         "media_features", "media_features_real", "media_features_ima",
         "media_features_g711", "media_features_msadpcm",
         "media_features_png", "media_features_gif", "media_features_rle8",
-        "media_features_jpeg", "media_features_jpeg_prog")
+        "media_features_jpeg", "media_features_jpeg_prog",
+        "media_features_flac")
     ORACLES["media_suite"] = f"""
 SELECT 'fake' AS codec, m.* FROM ({ORACLES["media_features"]}
 ) m
@@ -5133,6 +5325,10 @@ SELECT 'jpeg' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
 UNION ALL
 SELECT 'jpegp' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
        feature_sig FROM ({ORACLES["media_features_jpeg_prog"]}
+) m
+UNION ALL
+SELECT 'flac' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
+       feature_sig FROM ({ORACLES["media_features_flac"]}
 ) m
 """
 
@@ -5207,15 +5403,17 @@ _GATE_ORDER = [
     "media_features_real", "media_features_ima", "media_features_g711",
     "media_features_msadpcm", "media_features_png", "media_features_gif",
     "media_features_rle8", "media_features_jpeg", "media_features_jpeg_prog",
+    "media_features_flac",
     "media_features", "media_frames_avi", "media_frames_mjpeg",
     "media_frames_gif",
     "ann_topk", "ann_topk_ivf_kmeans", "ann_topk_lsh", "ann_topk_ivf",
+    "semdedup_pairs",
     "doc_quality", "doc_lang_id", "token_counts", "doc_fingerprint",
     "minhash_signatures", "simhash", "doc_pii", "doc_repetition",
     "doc_contamination", "doc_pipeline", "neardup_clusters", "doc_sample",
     "doc_pack", "doc_substring_dup", "doc_urls", "doc_contamination_norm",
     "token_counts_bpe", "doc_quality_model", "doc_pack_bpe",
-    "doc_mix_pipeline", "kg_tool_stats",
+    "doc_mix_pipeline", "doc_lm_filter", "bpe_train", "kg_tool_stats",
     "tpch_q1", "top_event_types", "cust_nation_rev", "fold_split",
     "union_distinct_keys", "pr_eval", "topk_terms",
     "kg_rule1_pairs", "kg_rule2_pairs", "kg_rule3_pairs", "kg_rule2b_pairs",

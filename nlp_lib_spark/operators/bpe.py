@@ -90,10 +90,13 @@ def bpe_vocab(words: DataFrame) -> DataFrame:
                              "word string, toks string, n_sym long")
 
 
-def _tokenize_docs(id_col: str, text_col: str):
+def _tokenize_docs(id_col: str, text_col: str,
+                   ranks: dict[tuple[str, str], int] | None = None):
     """mapInPandas body: (id, text) -> (id, n_bpe_tokens, bpe_md5); the
     per-word merge loop is memoized per worker, so the Python cost is
-    O(distinct words seen by this worker), not O(corpus words)."""
+    O(distinct words seen by this worker), not O(corpus words).
+    ``ranks`` defaults to the frozen table; bpe_train passes its learned
+    table (captured in the closure — a k-row broadcast, not data)."""
     import hashlib
 
     def run(batches):
@@ -107,7 +110,7 @@ def _tokenize_docs(id_col: str, text_col: str):
                         continue
                     hit = cache.get(w)
                     if hit is None:
-                        hit = bpe_word(w)
+                        hit = bpe_word(w, ranks)
                         cache[w] = hit
                     toks.extend(hit)
                 if not toks:
@@ -190,3 +193,124 @@ fin AS (SELECT word, s, n,
 tok AS (SELECT word, trim(s) AS toks,
                len(string_split(trim(s), ' ')) AS n_sym
         FROM fin WHERE rn = 1)"""
+
+
+# --------------------------------------------------------------------------
+# Distributed BPE TRAINING (round 5)
+# --------------------------------------------------------------------------
+# scripts/train_bpe.py trains the frozen table offline on the driver; a
+# real pipeline (re)trains its tokenizer ON the cluster, over the corpus
+# it is about to tokenize.  bpe_train_merges is that operator: classic
+# Sennrich-2016 BPE — count adjacent symbol pairs frequency-weighted over
+# the VOCABULARY (distinct words), merge the most frequent pair (ties:
+# lexicographically largest, matching scripts/train_bpe.py's
+# max((count, pair))), repeat.
+#
+# Scale shape: the vocabulary frame is corpus-size-INDEPENDENT (Zipf:
+# distinct words, not words), built by one word-level groupBy.  Each
+# training round is one groupBy (l, r) with map-side partial aggregation
+# over the vocab frame plus one 1-row collect (the winning pair — the
+# k-means-centroid convention for tiny driver round-trips), and one
+# narrow literal-string replace.  Nothing data-sized ever reaches the
+# driver.
+#
+# Merge application during a round is replace-all, leftmost,
+# non-overlapping (the Python trainer's left-to-right scan).  Symbols
+# are joined with TWO spaces ('  a  b  c  '): each occurrence of the
+# pattern ' l  r ' then owns its boundary spaces exclusively, so SQL
+# replace() — leftmost, non-overlapping, no rescan of the replacement —
+# merges exactly the occurrences the Python scan merges, and the
+# single-space-bounded replacement ' lr ' restores the double-space
+# invariant from its neighbours' remaining spaces.  The same encoding is
+# replayed verbatim by the DuckDB oracle (bpe_train_rounds_cte_sql).
+
+def bpe_train_merges(docs: DataFrame, n_merges: int = 8,
+                     text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from ``docs`` (any frame with a
+    whitespace-tokenizable ``text_col``).  Returns the merge table in
+    creation order (rank = index)."""
+    vocab = (docs
+             .select(F.explode(F.split(text_col, " ")).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.concat(
+                 F.expr("regexp_replace(word, '(?s)(.)', '  $1')"),
+                 F.lit("  ")).alias("s"), "n")
+             .localCheckpoint())
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (vocab
+               .select("n", F.expr("split(trim(s), '  ')").alias("syms"))
+               .select("n", F.expr(
+                   "explode(CASE WHEN size(syms) >= 2 THEN "
+                   "transform(sequence(0, size(syms) - 2), "
+                   "i -> struct(syms[i] AS l, syms[i + 1] AS r)) "
+                   "ELSE array() END)").alias("p"))
+               .groupBy("p.l", "p.r").agg(F.sum("n").alias("cnt"))
+               .orderBy(F.desc("cnt"), F.desc("l"), F.desc("r"))
+               .limit(1).collect())
+        if not top:
+            break  # vocabulary fully merged / no multi-symbol words
+        l, r = top[0].l, top[0].r
+        merges.append((l, r))
+        # F.replace with literal Columns: exact string match, no regex,
+        # no SQL-text interpolation of data-derived symbols (the
+        # sampling.py injection lesson)
+        vocab = vocab.select(
+            F.replace(F.col("s"), F.lit(f" {l}  {r} "),
+                      F.lit(f" {l}{r} ")).alias("s"),
+            "n").localCheckpoint()
+    return merges
+
+
+def bpe_token_counts_learned(df: DataFrame, merges: list[tuple[str, str]],
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Tokenize every document under a LEARNED merge table (same
+    mapInPandas shape as bpe_token_counts, ranks from ``merges``)."""
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    return df.select(id_col, text_col).mapInPandas(
+        _tokenize_docs(id_col, text_col, ranks),
+        f"{id_col} long, n_bpe_tokens long, bpe_md5 string")
+
+
+def bpe_train_rounds_cte_sql(n_merges: int, words_src: str) -> str:
+    """DuckDB CTE chain replaying bpe_train_merges: vocab init, one
+    (pair-count, argmax, replace-all) CTE triple per round, closing with
+    ``m(rank, l, r)`` = the learned merge table — the same contract as
+    the VALUES table bpe_recursive_cte_sql consumes, so the learned
+    table feeds the existing recursive tokenizer unchanged.  The
+    NULL-l guard keeps a dried-up vocabulary (no adjacent pairs left
+    anywhere — adversarial corpora of single-char words) a no-op round,
+    mirroring the Spark side's early break.
+
+    Every chained CTE is MATERIALIZED: DuckDB inlines plain CTEs per
+    reference, and with each round referencing the previous vocabulary
+    from both its pair-count and its rewrite the expansion is
+    exponential in rounds — 8 unmaterialized rounds re-opened the
+    source parquet tens of thousands of times ("Too many open files").
+    Materialization evaluates each round exactly once, which is also
+    what the Spark side's per-round localCheckpoint does."""
+    parts = [f"""v0 AS MATERIALIZED (
+  SELECT regexp_replace(word, '(?s)(.)', '  \\1', 'g') || '  ' AS s,
+         count(*) AS n
+  FROM (SELECT word FROM {words_src} WHERE word <> '') vw
+  GROUP BY word)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+b{i} AS MATERIALIZED (
+  SELECT l, r FROM (
+    SELECT syms[j] AS l, syms[j + 1] AS r, sum(n) AS cnt FROM (
+      SELECT syms, n, unnest(generate_series(1, len(syms) - 1)) AS j
+      FROM (SELECT string_split(trim(s), '  ') AS syms, n FROM v{i}) q1) q2
+    GROUP BY 1, 2) p
+  ORDER BY cnt DESC, l DESC, r DESC LIMIT 1),
+v{i + 1} AS MATERIALIZED (
+  SELECT CASE WHEN b.l IS NULL THEN v.s
+         ELSE replace(v.s, ' ' || b.l || '  ' || b.r || ' ',
+                      ' ' || b.l || b.r || ' ') END AS s, v.n
+  FROM v{i} v LEFT JOIN b{i} b ON true)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, l, r FROM b{i}" for i in range(n_merges))
+    parts.append(f",\nm AS (\n{union}\n)")
+    return "".join(parts)

@@ -389,6 +389,63 @@ SELECT query_id, neighbor_id, sim FROM (
 """)
 
 
+def _kmeans_lloyd(df: DataFrame, id_col: str, vec_col: str,
+                  n_centroids: int, iters: int, scale: int):
+    """The shared exact-integer Lloyd loop (hoisted verbatim from
+    ann_topk_kmeans_ivf so semdedup_pairs reuses the identical quantizer
+    — both gates' oracles unroll the same arithmetic).  Returns
+    ``(q, q_ids, cents, with_cid)``: the quantized localCheckpointed
+    frame (vid, qarr, emb), its RDD block ids (caller releases via
+    canonicalize._unpersist_rdd_ids), the final integer centroids, and
+    the assignment closure."""
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.operators.canonicalize import _persistent_ids
+    sc = df.sparkSession.sparkContext
+    before_q = _persistent_ids(sc)
+    q = df.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
+               f"* {scale} + 0.5) AS BIGINT))").alias("qarr"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
+    ).localCheckpoint()  # reused every Lloyd pass
+    q_ids = _persistent_ids(sc) - before_q
+
+    init = (q.orderBy("vid").limit(n_centroids)
+            .select("qarr").collect())
+    cents = [list(r.qarr) for r in init]
+
+    def with_cid(frame, cs: list[list[int]]):
+        """Exact integer distance per centroid; argmin with min-cid
+        tiebreak.  The distance array is materialized in its own column
+        so the argmin does not recompute the transform."""
+        arr = ("array(" + ", ".join(
+            "array(" + ", ".join(str(v) for v in c) + ")" for c in cs)
+            + ")")
+        return (frame
+                .withColumn("__d", F.expr(f"""
+transform({arr}, c ->
+  aggregate(zip_with(qarr, c, (a, b) -> (a - b) * (a - b)), 0L,
+            (s, v) -> s + v))"""))
+                .withColumn("cid", F.expr(
+                    "array_position(__d, array_min(__d)) - 1"))
+                .drop("__d"))
+
+    for _ in range(iters):
+        assigned = with_cid(q, cents)
+        agg = (assigned
+               .select("cid", F.posexplode("qarr").alias("d", "v"))
+               .groupBy("cid", "d")
+               .agg(F.floor(F.sum("v") * 1.0 / F.count(F.lit(1)) + 0.5)
+                    .alias("c"))
+               .collect())
+        new = [list(c) for c in cents]  # empty clusters keep old centroid
+        for r in agg:
+            new[int(r.cid)][int(r.d)] = int(r.c)
+        cents = new
+    return q, q_ids, cents, with_cid
+
+
 def ann_topk_kmeans_ivf(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding", k: int = 3,
                         query_max_id: int = 10, n_centroids: int = 8,
@@ -416,53 +473,11 @@ def ann_topk_kmeans_ivf(df: DataFrame, id_col: str = "vec_id",
     shape); the full-data passes stay distributed.  Final ranking is
     cosine over the original floats among vectors in the ``nprobe``
     nearest cells of each query."""
-    from pyspark.sql import functions as F
-
-    from nlp_lib_spark.operators.canonicalize import (_persistent_ids,
-                                                      _unpersist_rdd_ids)
+    from nlp_lib_spark.operators.canonicalize import _unpersist_rdd_ids
     spark = df.sparkSession
     sc = spark.sparkContext
-    before_q = _persistent_ids(sc)
-    q = df.select(
-        F.col(id_col).alias("vid"),
-        F.expr(f"transform({vec_col}, x -> CAST(floor(CAST(x AS DOUBLE) "
-               f"* {scale} + 0.5) AS BIGINT))").alias("qarr"),
-        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("emb"),
-    ).localCheckpoint()  # reused every Lloyd pass
-    q_ids = _persistent_ids(sc) - before_q
-
-    init = (q.orderBy("vid").limit(n_centroids)
-            .select("qarr").collect())
-    cents = [list(r.qarr) for r in init]
-
-    def with_cid(frame, cs: list[list[int]]):
-        """Exact integer distance per centroid; argmin with min-cid
-        tiebreak.  The distance array is materialized in its own column so
-        the argmin does not recompute the transform."""
-        arr = ("array(" + ", ".join(
-            "array(" + ", ".join(str(v) for v in c) + ")" for c in cs)
-            + ")")
-        return (frame
-                .withColumn("__d", F.expr(f"""
-transform({arr}, c ->
-  aggregate(zip_with(qarr, c, (a, b) -> (a - b) * (a - b)), 0L,
-            (s, v) -> s + v))"""))
-                .withColumn("cid", F.expr(
-                    "array_position(__d, array_min(__d)) - 1"))
-                .drop("__d"))
-
-    for _ in range(iters):
-        assigned = with_cid(q, cents)
-        agg = (assigned
-               .select("cid", F.posexplode("qarr").alias("d", "v"))
-               .groupBy("cid", "d")
-               .agg(F.floor(F.sum("v") * 1.0 / F.count(F.lit(1)) + 0.5)
-                    .alias("c"))
-               .collect())
-        new = [list(c) for c in cents]  # empty clusters keep old centroid
-        for r in agg:
-            new[int(r.cid)][int(r.d)] = int(r.c)
-        cents = new
+    q, q_ids, cents, with_cid = _kmeans_lloyd(
+        df, id_col, vec_col, n_centroids, iters, scale)
 
     cells_v, cents_v = unique_view("ivf_cells"), unique_view("ivf_cents")
     cells = with_cid(q, cents)
@@ -510,5 +525,61 @@ SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
     result = result.localCheckpoint()
     for v in (cells_v, cents_v):
         spark.catalog.dropTempView(v)
+    _unpersist_rdd_ids(sc, q_ids)
+    return result
+
+
+def semdedup_pairs(df: DataFrame, id_col: str = "vec_id",
+                   vec_col: str = "embedding", n_centroids: int = 8,
+                   iters: int = 2, scale: int = 1000,
+                   threshold: float = 0.3,
+                   cluster_cap: int = 1000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning —
+    k-means-cluster the embedding space, then drop any vector whose
+    cosine to an EARLIER (lower-id) vector in the same cluster clears
+    ``threshold``.  Emits one row per dropped vector: ``(query_id = the
+    dropped vec, neighbor_id = the kept earlier vec it best matches,
+    sim)`` — the ann-gate schema, so the gate unions into ann_variants.
+
+    Keep-first-by-id is the deterministic stand-in for the paper's
+    "keep one representative per semantic-duplicate set"; min-id
+    election matches the exact-dedup and neardup_clusters keeper
+    convention repo-wide.
+
+    Scale shape: the quantizer is the shared exact-integer Lloyd loop
+    (_kmeans_lloyd — k x dim centroid aggregates are the only driver
+    collects); the pair stage shuffles once on cid, and the per-cluster
+    row_number cap bounds the within-cluster self-join at cluster_cap^2
+    exactly like minhash_lsh_pairs' bucket cap, so a pathological
+    mega-cluster cannot go quadratic in the corpus.  Cosine ranking
+    reuses _COS (nullif zero-norm guard: undefined sims never pass the
+    threshold on either engine)."""
+    from nlp_lib_spark.operators.canonicalize import _unpersist_rdd_ids
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    q, q_ids, cents, with_cid = _kmeans_lloyd(
+        df, id_col, vec_col, n_centroids, iters, scale)
+    view = unique_view("semdedup_cells")
+    with_cid(q, cents).createOrReplaceTempView(view)
+    cos = _COS.format(a="a.emb", b="b.emb")
+    result = spark.sql(f"""
+WITH capped AS (
+  SELECT vid, emb, cid FROM (
+    SELECT vid, emb, cid,
+           row_number() OVER (PARTITION BY cid ORDER BY vid) AS rnk
+    FROM {view}) z WHERE rnk <= {cluster_cap}
+),
+sims AS (
+  SELECT b.vid AS query_id, a.vid AS neighbor_id, {cos} AS sim
+  FROM capped a JOIN capped b ON a.cid = b.cid AND a.vid < b.vid
+)
+SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM sims WHERE sim IS NOT NULL AND sim >= {threshold}
+) r WHERE rnk = 1
+""").localCheckpoint()
+    spark.catalog.dropTempView(view)
     _unpersist_rdd_ids(sc, q_ids)
     return result
