@@ -89,6 +89,7 @@ HEADLINE = (
     # legs: per-round localCheckpoints must not inflate earlier queries
     "semdedup_pairs",      # k-means clusters + in-cluster cosine prune (r5)
     "bpe_train",           # distributed 8-merge BPE tokenizer training (r5)
+    "kg_pagerank",         # 5-round exact-integer weighted PageRank (r5)
 )
 
 

@@ -4186,6 +4186,70 @@ def q_kg_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _graph_tables(spark, sf_dir)[0]
 
 
+def _pagerank_oracle_sql(edges_sql: str, iters: int = 5,
+                         damping_pct: int = 85,
+                         scale: int = 10 ** 12) -> str:
+    """DuckDB replica of operators/graph.pagerank: the canonical edge
+    oracle spliced in as the graph, then ``iters`` unrolled rank rounds.
+    Every chained CTE is MATERIALIZED (the bpe_train lesson: plain CTE
+    inlining is exponential in rounds).  nullif(count, 0) mirrors the
+    Spark side's empty-graph guard."""
+    parts = [f"""
+WITH eo AS MATERIALIZED ({edges_sql}),
+e AS MATERIALIZED (
+  SELECT subj_id AS s, obj_id AS d, CAST(sum(weight) AS BIGINT) AS w
+  FROM eo GROUP BY 1, 2),
+ws AS MATERIALIZED (SELECT s, CAST(sum(w) AS BIGINT) AS tw
+                    FROM e GROUP BY s),
+nodes AS MATERIALIZED (SELECT s AS id FROM e UNION SELECT d FROM e),
+bs AS MATERIALIZED (
+  SELECT CAST({scale} AS BIGINT) // nullif(count(*), 0) AS r0,
+         ({100 - damping_pct} * (CAST({scale} AS BIGINT)
+            // nullif(count(*), 0))) // 100 AS base
+  FROM nodes),
+r0t AS MATERIALIZED (SELECT id, (SELECT r0 FROM bs) AS r FROM nodes)"""]
+    prev = "r0t"
+    for i in range(iters):
+        parts.append(f""",
+c{i} AS MATERIALIZED (
+  -- CAST: DuckDB sum() yields HUGEINT, which pandas renders float64 and
+  -- the driver's dtype-strict hash rejects (the r3 HUGEINT lesson)
+  SELECT e.d AS id, CAST(sum((r.r * e.w) // ws.tw) AS BIGINT) AS sc
+  FROM e JOIN {prev} r ON r.id = e.s JOIN ws ON ws.s = e.s
+  GROUP BY e.d),
+r{i + 1} AS MATERIALIZED (
+  SELECT n.id,
+         CAST((SELECT base FROM bs)
+           + ({damping_pct} * coalesce(c.sc, 0)) // 100 AS BIGINT) AS r
+  FROM nodes n LEFT JOIN c{i} c ON c.id = n.id)""")
+        prev = f"r{i + 1}"
+    parts.append(f"""
+SELECT n.id AS entity_id, r.r AS pr_scaled,
+       CAST(coalesce(ws.tw, 0) AS BIGINT) AS pr_wout,
+       CAST(coalesce(win.tw, 0) AS BIGINT) AS pr_win
+FROM nodes n
+JOIN {prev} r ON r.id = n.id
+LEFT JOIN ws ON ws.s = n.id
+LEFT JOIN (SELECT d, CAST(sum(w) AS BIGINT) AS tw FROM e GROUP BY d) win
+       ON win.d = n.id""")
+    return "".join(parts)
+
+
+@gate("kg_pagerank")  # oracle registered below (splices kg_edges oracle)
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer weighted PageRank over the canonical KG edge table
+    (operators/graph.pagerank): entity salience, the classic iterative
+    graph operator on top of the materialized graph.  Ranks live in
+    10^12 fixed-point BIGINT units with integer divisions only, so the
+    DuckDB oracle — the kg_edges oracle spliced into 5 unrolled
+    MATERIALIZED rank rounds — reproduces every rank bit-for-bit.
+    Certified inside kg_node_suite (1:1 join with kg_nodes: the node
+    table and the edge endpoints cover the same entity set by
+    construction of materialize_graph)."""
+    from nlp_lib_spark.operators.graph import pagerank
+    return pagerank(_graph_tables(spark, sf_dir)[1])
+
+
 @gate("kg_stream_conv_state")  # oracle attached below (splices triples SQL)
 def q_kg_stream_conv_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming driver-certified end-to-end: the transcripts
@@ -4355,6 +4419,7 @@ def _register_rule_chain_oracles() -> None:
     ORACLES["kg_wgp_triples"] = O.wgp_triples_oracle_sql()
     ORACLES["kg_edges"] = O.kg_edges_oracle_sql()
     ORACLES["kg_nodes"] = O.kg_nodes_oracle_sql()
+    ORACLES["kg_pagerank"] = _pagerank_oracle_sql(O.kg_edges_oracle_sql())
     ORACLES["kg_stream_conv_state"] = f"""
 WITH tr AS ({transcripts_select_sql("documents", "duckdb", with_ts=True)}),
 tc AS (
@@ -4534,6 +4599,14 @@ FROM j GROUP BY conv_id
 # (members stay individually checked by paritycheck.run_all and pytest).
 join_composite("kg_conv_quality", "conv_id",
                ("kg_conversations", "kg_boilerplate", "kg_tool_stats"))
+
+# kg_nodes x kg_pagerank are 1:1 on entity_id by construction (the node
+# table and the edge endpoints both derive from the SAME localCheckpointed
+# triple frame in materialize_graph), so one wide row per entity certifies
+# the node stats AND the 5-round exact-integer rank together.  The
+# composite takes kg_nodes' former cap slot; both members move below the
+# cap (still individually parity-checked).
+join_composite("kg_node_suite", "entity_id", ("kg_nodes", "kg_pagerank"))
 
 
 @gate("doc_repetition", oracle="""
@@ -5380,7 +5453,7 @@ _GATE_ORDER = [
     "kg_tree_deps", "kg_conn_features_v2", "kg_aimed_features",
     "kg_stream_conv_state",
     # -- KG pipeline -------------------------------------------------------
-    "kg_edges", "kg_nodes",
+    "kg_edges", "kg_node_suite",
     "kg_token_stats", "kg_conv_quality", "kg_mentions",
     "kg_blinded", "kg_domain_tags", "kg_pos_tags", "kg_dep_edges",
     "kg_clauses", "kg_entity_spans", "kg_chunks", "kg_connectives",
@@ -5395,6 +5468,7 @@ _GATE_ORDER = [
     # -- composite members (certified via their composite's hash above;
     # individually checked by paritycheck.run_all + the pytest suite) ------
     "kg_triples", "kg_stream_triples",
+    "kg_nodes", "kg_pagerank",
     "kg_tree_scores", "kg_sst_scores",
     "kg_transcripts", "kg_sentences",
     "kg_conversations", "kg_boilerplate",

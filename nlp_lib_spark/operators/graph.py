@@ -97,3 +97,80 @@ def write_graph(nodes: DataFrame, edges: DataFrame, out_dir: str,
      .write.mode("overwrite").parquet(f"{out_dir}/nodes"))
     (edges.repartition(buckets, "subj_id")
      .write.mode("overwrite").parquet(f"{out_dir}/edges"))
+
+
+# --------------------------------------------------------------------------
+# PageRank over the canonical KG (round 5)
+# --------------------------------------------------------------------------
+
+PR_SCALE = 10 ** 12      # fixed-point rank units
+PR_DAMPING_PCT = 85      # 0.85 as an integer percentage
+PR_ITERS = 5
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS,
+             damping_pct: int = PR_DAMPING_PCT,
+             scale: int = PR_SCALE,
+             src_col: str = "subj_id", dst_col: str = "obj_id",
+             weight_col: str = "weight") -> DataFrame:
+    """Weighted PageRank over the canonical edge table, exact-integer.
+
+    Entity salience for the KG (which canonical entities does the graph
+    keep pointing at) — the classic iterative graph operator the CC
+    stage does not provide.  Determinism is engineered like the Lloyd
+    loop (dedup._kmeans_lloyd): ranks live in ``scale`` fixed-point
+    BIGINT units, every division is integer (Spark ``DIV`` == DuckDB
+    ``//`` on the non-negative operands here), so both engines and any
+    retry/partitioning compute identical ranks.
+
+        r0(x)   = scale // N
+        contrib = (r(src) * w) // W(src)          per edge
+        r'(x)   = (100-d) * (scale // N) // 100 + d * sum(contrib) // 100
+
+    Dangling-node mass is dropped (the simplest of the standard
+    variants; the oracle replays the same choice).  No driver collect
+    anywhere: N and the base term ride along as 1-row frames
+    (broadcast-nested-loop, the lm_filter threshold convention).
+
+    Scale shape: per round ONE shuffle join ranks-to-edges on src plus
+    ONE groupBy(dst) with map-side partial aggregation — the canonical
+    distributed-PageRank plan; edge and node frames are materialized
+    once (localCheckpoint) and reused by all rounds.  Hot entities are
+    AQE skew-join territory on the dst aggregation.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct out of range: {damping_pct}")
+    e = (edges.groupBy(F.col(src_col).alias("s"),
+                       F.col(dst_col).alias("d"))
+         .agg(F.sum(weight_col).cast("long").alias("w"))
+         .localCheckpoint())
+    wout = e.groupBy("s").agg(F.sum("w").alias("tw")).localCheckpoint()
+    nodes = (e.select(F.col("s").alias("id"))
+             .union(e.select("d")).distinct().localCheckpoint())
+    n1 = nodes.agg(F.count(F.lit(1)).alias("n"))
+    # nullif: an empty graph must yield an empty result, not an ANSI
+    # divide-by-zero (the NULL never surfaces — no node rows consume it)
+    base = n1.selectExpr(
+        f"CAST({scale} AS BIGINT) DIV nullif(n, 0) AS r0",
+        f"({100 - damping_pct} * (CAST({scale} AS BIGINT) "
+        f"DIV nullif(n, 0))) DIV 100 AS base").localCheckpoint()
+    ranks = nodes.crossJoin(F.broadcast(base)) \
+                 .select("id", F.col("r0").alias("r"))
+    for _ in range(iters):
+        contrib = (e.join(ranks, e.s == ranks.id)
+                   .join(wout, "s")
+                   .selectExpr("d AS id", "(r * w) DIV tw AS c")
+                   .groupBy("id").agg(F.sum("c").alias("sc")))
+        ranks = (nodes.join(contrib, "id", "left")
+                 .crossJoin(F.broadcast(base))
+                 .selectExpr(
+                     "id",
+                     f"base + ({damping_pct} * coalesce(sc, 0L)) DIV 100"
+                     " AS r"))
+    win = e.groupBy(F.col("d").alias("id")).agg(F.sum("w").alias("twin"))
+    return (ranks
+            .join(wout.selectExpr("s AS id", "tw"), "id", "left")
+            .join(win, "id", "left")
+            .selectExpr("id AS entity_id", "r AS pr_scaled",
+                        "CAST(coalesce(tw, 0) AS BIGINT) AS pr_wout",
+                        "CAST(coalesce(twin, 0) AS BIGINT) AS pr_win"))
