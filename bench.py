@@ -90,6 +90,8 @@ HEADLINE = (
     "semdedup_pairs",      # k-means clusters + in-cluster cosine prune (r5)
     "bpe_train",           # distributed 8-merge BPE tokenizer training (r5)
     "kg_pagerank",         # 5-round exact-integer weighted PageRank (r5)
+    "kg_sessions",         # batch islands-and-gaps sessionization (r5)
+    "kg_stream_sessions",  # streaming session_window drain + flush (r5)
 )
 
 

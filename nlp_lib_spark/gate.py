@@ -1268,6 +1268,115 @@ join_composite("dedup_all", "text_hash",
                ("dedup_exact", "kg_stream_dedup", "kg_stream_dedup_wm"))
 
 
+def _session_synth_sql(dialect: str) -> str:
+    """Gate corpus for the sessionization pair: transcript-style conv
+    ids + the session-shaped synthesized event time (shared snippet,
+    operators/sessions.session_ts_sql)."""
+    from nlp_lib_spark.operators.sessions import session_ts_sql
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return (f"SELECT 'conv_' || lpad(CAST(CAST(doc_id % 100 AS INT) "
+            f"AS {cast}), 4, '0') AS conv_id, "
+            f"{session_ts_sql(dialect)} AS ts FROM documents")
+
+
+def _sessions_oracle_sql() -> str:
+    from nlp_lib_spark.operators.sessions import sessionize_sql
+    return sessionize_sql("duckdb", f"({_session_synth_sql('duckdb')})")
+
+
+@gate("kg_sessions", oracle=_sessions_oracle_sql())
+def q_kg_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (operators/sessions.sessionize): split each
+    conversation's turn stream at >= 30-minute event-time gaps — the
+    islands-and-gaps plan (two conv-partitioned windows + one agg, no
+    global window).  The synthesized corpus walks every conversation in
+    60 s steps with an hour jump every (2 + conv % 3) turns, so session
+    lengths differ per conversation and every conversation has several
+    sessions."""
+    from nlp_lib_spark.operators.sessions import sessionize
+    register_views(spark, sf_dir)
+    return sessionize(spark.sql(_session_synth_sql("spark")))
+
+
+@gate("kg_stream_sessions", oracle=_sessions_oracle_sql())
+def q_kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization certified against the SAME oracle as the
+    batch gate: Spark's merging ``session_window`` under an event-time
+    watermark (streaming/ingest.stream_sessions), drained one file per
+    micro-batch, append mode.  A far-future flush-sentinel file written
+    LAST advances the watermark so every real session finalizes before
+    the drain ends (the sentinel's own never-finalized session is
+    filtered); ``window.end - gap`` recovers the batch convention
+    ``session_end = max(ts)``.  A hash match proves the native streaming
+    session semantics equal the batch islands partition exactly."""
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from nlp_lib_spark.streaming.ingest import (SESSION_FLUSH_CONV,
+                                                run_stream_sessions_once)
+    register_views(spark, sf_dir)
+    synth = spark.sql(_session_synth_sql("spark"))
+    in_dir = tempfile.mkdtemp(prefix="kgx_stream_sessions_")
+    query_name = f"sessions_stream_{uuid.uuid4().hex[:8]}"
+    try:
+        synth.repartition(4).write.mode("overwrite").parquet(in_dir)
+        # TWO staggered sentinel files (later mtimes => later micro-
+        # batches): the first advances the watermark past every real
+        # session, the second runs a batch UNDER that watermark and
+        # flushes them — append-mode emission lags the watermark by one
+        # batch, and the trailing no-data batch that would otherwise
+        # flush is not guaranteed under availableNow (observed: 187/234
+        # sessions with a single sentinel).
+        for sentinel_ts in ("2035-01-01 00:00:00", "2035-01-01 01:00:00"):
+            time.sleep(1.2)  # distinct mtime => deterministic file order
+            spark.createDataFrame(
+                [(SESSION_FLUSH_CONV,)], "conv_id string") \
+                .select("conv_id",
+                        F.lit(sentinel_ts).cast("timestamp").alias("ts")) \
+                .coalesce(1).write.mode("append").parquet(in_dir)
+        out = run_stream_sessions_once(spark, in_dir,
+                                       query_name=query_name)
+        return out.localCheckpoint()
+    finally:
+        spark.catalog.dropTempView(query_name)
+        shutil.rmtree(in_dir, ignore_errors=True)
+
+
+def _neardup_pair_suite() -> None:
+    """ngram-Jaccard + embedding-cosine near-dup pair gates harmonized
+    to one (variant, a, b, score) schema under a single driver slot
+    (the media_suite padding precedent) — frees the cap slot the
+    sessionization composite takes."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ng = QUERIES["ngram_jaccard_pairs"](spark, sf_dir).selectExpr(
+            "'ngram' AS variant", "CAST(doc_a AS BIGINT) AS a",
+            "CAST(doc_b AS BIGINT) AS b",
+            "CAST(jac_bp AS DOUBLE) AS score")
+        em = QUERIES["embedding_neardup_pairs"](spark, sf_dir).selectExpr(
+            "'cosine' AS variant", "CAST(vec_a AS BIGINT) AS a",
+            "CAST(vec_b AS BIGINT) AS b", "CAST(sim AS DOUBLE) AS score")
+        return ng.unionByName(em)
+
+    QUERIES["neardup_pair_suite"] = fn
+    ORACLES["neardup_pair_suite"] = f"""
+SELECT 'ngram' AS variant, CAST(doc_a AS BIGINT) AS a,
+       CAST(doc_b AS BIGINT) AS b, CAST(jac_bp AS DOUBLE) AS score
+FROM ({ORACLES["ngram_jaccard_pairs"]}
+) m
+UNION ALL
+SELECT 'cosine' AS variant, CAST(vec_a AS BIGINT) AS a,
+       CAST(vec_b AS BIGINT) AS b, CAST(sim AS DOUBLE) AS score
+FROM ({ORACLES["embedding_neardup_pairs"]}
+) m"""
+    COMPOSITE_MEMBERS["neardup_pair_suite"] = (
+        "ngram_jaccard_pairs", "embedding_neardup_pairs")
+
+
 @gate("doc_substring_dup", oracle="""
 WITH a AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
 w AS (
@@ -5407,6 +5516,14 @@ SELECT 'flac' AS codec, media_id, kind, CAST(-1 AS INTEGER) AS n_bytes,
 
 
 _media_suite_composite()
+_neardup_pair_suite()  # defined above; members register mid-module
+
+# batch + streaming sessionization under one driver slot and ONE shared
+# oracle (the dedup_all convention for batch/stream equivalence)
+union_composite("kg_sessions_all", "mode", {
+    "batch": "kg_sessions",
+    "stream": "kg_stream_sessions",
+})
 
 # Video frame sampling: uncompressed-DIB, animated-GIF and Motion-JPEG (full
 # per-frame JPEG decode) under one gate, tagged by container codec.
@@ -5463,12 +5580,14 @@ _GATE_ORDER = [
     "kg_link_scores", "kg_vocab_canon", "kg_entity_links",
     # -- LLM-data pipeline (returned to the cap in round 4) ----------------
     "kg_triple_counts", "dedup_all", "minhash_lsh_pairs",
-    "ngram_jaccard_pairs", "embedding_neardup_pairs", "sentence_dedup",
+    "neardup_pair_suite", "kg_sessions_all", "sentence_dedup",
     # ======================== 50-gate cap ends here =======================
     # -- composite members (certified via their composite's hash above;
     # individually checked by paritycheck.run_all + the pytest suite) ------
     "kg_triples", "kg_stream_triples",
     "kg_nodes", "kg_pagerank",
+    "ngram_jaccard_pairs", "embedding_neardup_pairs",
+    "kg_sessions", "kg_stream_sessions",
     "kg_tree_scores", "kg_sst_scores",
     "kg_transcripts", "kg_sentences",
     "kg_conversations", "kg_boilerplate",
