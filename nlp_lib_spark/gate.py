@@ -1311,7 +1311,6 @@ def q_kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session semantics equal the batch islands partition exactly."""
     import shutil
     import tempfile
-    import time
     import uuid
 
     from pyspark.sql import functions as F
@@ -1330,14 +1329,24 @@ def q_kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         # flushes them — append-mode emission lags the watermark by one
         # batch, and the trailing no-data batch that would otherwise
         # flush is not guaranteed under availableNow (observed: 187/234
-        # sessions with a single sentinel).
-        for sentinel_ts in ("2035-01-01 00:00:00", "2035-01-01 01:00:00"):
-            time.sleep(1.2)  # distinct mtime => deterministic file order
+        # sessions with a single sentinel).  FileStreamSource orders by
+        # mtime, so the sentinels' mtimes are stamped explicitly (+2 s /
+        # +4 s past every data file) instead of sleeping between writes.
+        import glob
+        import os
+        seen = set(glob.glob(f"{in_dir}/*.parquet"))
+        t_max = max(os.path.getmtime(f) for f in seen)
+        for step, sentinel_ts in enumerate(
+                ("2035-01-01 00:00:00", "2035-01-01 01:00:00"), start=1):
             spark.createDataFrame(
                 [(SESSION_FLUSH_CONV,)], "conv_id string") \
                 .select("conv_id",
                         F.lit(sentinel_ts).cast("timestamp").alias("ts")) \
                 .coalesce(1).write.mode("append").parquet(in_dir)
+            now = set(glob.glob(f"{in_dir}/*.parquet"))
+            for f in now - seen:
+                os.utime(f, (t_max + 2 * step, t_max + 2 * step))
+            seen = now
         out = run_stream_sessions_once(spark, in_dir,
                                        query_name=query_name)
         return out.localCheckpoint()
