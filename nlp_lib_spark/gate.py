@@ -1322,7 +1322,11 @@ def q_kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_dir = tempfile.mkdtemp(prefix="kgx_stream_sessions_")
     query_name = f"sessions_stream_{uuid.uuid4().hex[:8]}"
     try:
-        synth.repartition(4).write.mode("overwrite").parquet(in_dir)
+        # 2 data files: cross-batch session merging is already proven
+        # with two (sessions span files under the random repartition),
+        # and each extra stateful micro-batch costs ~3.5 s of state-store
+        # round-trips at sf0.1 — 4 files measured 21-24 s vs ~14 s
+        synth.repartition(2).write.mode("overwrite").parquet(in_dir)
         # TWO staggered sentinel files (later mtimes => later micro-
         # batches): the first advances the watermark past every real
         # session, the second runs a batch UNDER that watermark and
@@ -1347,8 +1351,20 @@ def q_kg_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f in now - seen:
                 os.utime(f, (t_max + 2 * step, t_max + 2 * step))
             seen = now
-        out = run_stream_sessions_once(spark, in_dir,
-                                       query_name=query_name)
+        # state-store parallelism: session-window state costs scale with
+        # (state partitions x micro-batches), and 1840 open sessions
+        # need nowhere near 32 state partitions — 8 measured ~3x faster
+        # wall on the same drain (26.6 s vs 61 s cold) with identical
+        # output (partitioning never reaches the values; parity re-run
+        # green).  The conf is read once at stream start, so the
+        # save/restore cannot leak into the batch gates.
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            out = run_stream_sessions_once(spark, in_dir,
+                                           query_name=query_name)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return out.localCheckpoint()
     finally:
         spark.catalog.dropTempView(query_name)
@@ -2856,7 +2872,7 @@ SELECT query_id, neighbor_id, sim FROM (
 """
 
 
-def _semdedup_oracle_sql(n_centroids: int = 8, iters: int = 2,
+def _semdedup_oracle_sql(n_centroids: int = 16, iters: int = 2,
                          scale: int = 1000, threshold: float = 0.3,
                          cluster_cap: int = 1000) -> str:
     """DuckDB replica of SemDeDup (operators/dedup.semdedup_pairs): the

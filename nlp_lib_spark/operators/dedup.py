@@ -530,7 +530,7 @@ SELECT query_id, neighbor_id, CAST(sim AS DOUBLE) AS sim FROM (
 
 
 def semdedup_pairs(df: DataFrame, id_col: str = "vec_id",
-                   vec_col: str = "embedding", n_centroids: int = 8,
+                   vec_col: str = "embedding", n_centroids: int = 16,
                    iters: int = 2, scale: int = 1000,
                    threshold: float = 0.3,
                    cluster_cap: int = 1000) -> DataFrame:

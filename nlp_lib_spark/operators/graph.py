@@ -157,9 +157,18 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS,
     ranks = nodes.crossJoin(F.broadcast(base)) \
                  .select("id", F.col("r0").alias("r"))
     for _ in range(iters):
+        # (r*w) DIV tw decomposed as (r DIV tw)*w + ((r%tw)*w) DIV tw —
+        # identical value for non-negative operands, but the raw product
+        # r*w overflows BIGINT at hot entities once tw reaches ~1e9 with
+        # scale=1e12 (ANSI mode would kill the job); the decomposition's
+        # largest intermediate is (r%tw)*w < tw^2, safe to tw ~ 3e9, and
+        # (r DIV tw)*w <= r.  The DuckDB oracle keeps the plain form
+        # (HUGEINT products don't overflow) — same value, two spellings.
         contrib = (e.join(ranks, e.s == ranks.id)
                    .join(wout, "s")
-                   .selectExpr("d AS id", "(r * w) DIV tw AS c")
+                   .selectExpr(
+                       "d AS id",
+                       "(r DIV tw) * w + ((r % tw) * w) DIV tw AS c")
                    .groupBy("id").agg(F.sum("c").alias("sc")))
         ranks = (nodes.join(contrib, "id", "left")
                  .crossJoin(F.broadcast(base))
