@@ -1163,7 +1163,17 @@ def q_kg_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
     try:
         dup.repartition(4).write.mode("overwrite").parquet(in_dir)
-        out = run_stream_dedup_once(spark, in_dir, query_name=query_name)
+        # 8 state partitions for the drain (the kg_stream_sessions
+        # lesson: state cost scales with partitions x micro-batches and
+        # the distinct-hash state needs nowhere near 32); values are
+        # partitioning-invariant, parity re-verified
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            out = run_stream_dedup_once(spark, in_dir,
+                                        query_name=query_name)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return out.localCheckpoint()
     finally:
         spark.catalog.dropTempView(query_name)
@@ -1206,8 +1216,14 @@ def q_kg_stream_dedup_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     query_name = f"dedup_stream_wm_{uuid.uuid4().hex[:8]}"
     try:
         dup.repartition(4).write.mode("overwrite").parquet(in_dir)
-        out = run_stream_dedup_wm_once(spark, in_dir,
-                                       query_name=query_name)
+        # 8 state partitions for the drain (see kg_stream_dedup)
+        old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            out = run_stream_dedup_wm_once(spark, in_dir,
+                                           query_name=query_name)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_parts)
         return (out.groupBy("text_hash")
                 .agg(F.count(F.lit(1)).alias("wm_emits"))
                 .localCheckpoint())
